@@ -1,0 +1,228 @@
+"""Box-constrained QP: min 0.5 x'Hx + g'x  s.t.  lower <= x <= upper.
+
+TPU-native rebuild of the projected-Newton active-set solver in
+``src/cddp_core/boxqp.cpp`` (Tassa-style BoxQP). The reference extracts the
+free-variable sub-block and LDLT-factorizes it whenever the clamped set
+changes (boxqp.cpp:89-111). Dynamic sub-block shapes don't exist under XLA,
+so the free-block system is solved at full static shape with masking:
+
+    H_ff = H * (free free') + diag(clamped)
+
+has the same free-block solution when the right-hand side is zeroed on
+clamped rows, and is PD iff the true free block is PD. Everything is a
+``lax.while_loop`` over fixed-shape state, so the solver nests inside the
+Riccati ``lax.scan`` and under ``vmap`` (batched MPC / multi-alpha search).
+
+Control dims here are tiny (nu <= 4 in the model zoo), so the Cholesky is a
+handful of VPU ops; the win comes from batching thousands of these via vmap,
+not from the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from cddp_tpu.options import BoxQPOptions
+
+
+class BoxQPStatus:
+    """Mirror of the reference enum (boxqp.hpp:46-54)."""
+
+    HESSIAN_NOT_PD = -1
+    NO_DESCENT = 0
+    MAX_ITER_EXCEEDED = 1
+    MAX_LS_EXCEEDED = 2
+    NO_BOUNDS = 3
+    SUCCESS = 4
+    ALL_CLAMPED = 5
+
+
+class BoxQPResult(NamedTuple):
+    x: jax.Array  # (n,) solution
+    status: jax.Array  # int32 BoxQPStatus
+    free: jax.Array  # (n,) bool free-variable mask
+    chol_free: jax.Array  # (n, n) Cholesky factor of the masked free block
+    iterations: jax.Array  # int32
+    final_value: jax.Array
+    final_grad_norm: jax.Array
+
+
+def _masked_free_hessian(H, free):
+    """Identity-padded free block: PD iff true free block is PD."""
+    n = H.shape[0]
+    f = free.astype(H.dtype)
+    return H * jnp.outer(f, f) + jnp.eye(n, dtype=H.dtype) * (1.0 - f)
+
+
+def solve_masked_free(chol_free, rhs, free):
+    """Solve the free-block system with clamped entries forced to zero.
+
+    ``rhs`` may be (n,) or (n, m); rows outside ``free`` are masked before the
+    triangular solves and zeroed after (mirrors Hfree.solve on the extracted
+    sub-block, boxqp.cpp:227-233 / clddp_solver.cpp:162-178).
+    """
+    f = free.astype(rhs.dtype)
+    rhs_masked = rhs * (f[:, None] if rhs.ndim == 2 else f)
+    sol = jax.scipy.linalg.cho_solve((chol_free, True), rhs_masked)
+    return sol * (f[:, None] if rhs.ndim == 2 else f)
+
+
+def _objective(x, H, g):
+    return 0.5 * x @ H @ x + g @ x
+
+
+def _project(x, lower, upper):
+    return jnp.clip(x, lower, upper)
+
+
+def boxqp_solve(
+    H: jax.Array,
+    g: jax.Array,
+    lower: jax.Array,
+    upper: jax.Array,
+    x0: jax.Array,
+    options: BoxQPOptions = BoxQPOptions(),
+) -> BoxQPResult:
+    """Projected-Newton BoxQP (boxqp.cpp:25-182). Shapes are static; the
+    iteration/line-search loops are ``lax.while_loop``s with the reference's
+    exact termination rules."""
+    n = H.shape[0]
+    dtype = H.dtype
+    inf = jnp.asarray(jnp.inf, dtype)
+
+    x_init = _project(x0, lower, upper)
+
+    class Carry(NamedTuple):
+        x: jax.Array
+        clamped: jax.Array  # bool (n,)
+        chol: jax.Array  # (n, n)
+        value: jax.Array
+        old_value: jax.Array
+        grad_norm: jax.Array
+        status: jax.Array
+        it: jax.Array
+        done: jax.Array
+
+    init = Carry(
+        x=x_init,
+        clamped=jnp.zeros((n,), bool),
+        chol=jnp.eye(n, dtype=dtype),
+        value=_objective(x_init, H, g),
+        old_value=inf,
+        grad_norm=jnp.asarray(0.0, dtype),
+        status=jnp.asarray(BoxQPStatus.MAX_ITER_EXCEEDED, jnp.int32),
+        it=jnp.asarray(0, jnp.int32),
+        done=jnp.asarray(False),
+    )
+
+    def cond(c: Carry):
+        return (~c.done) & (c.it < options.max_iterations)
+
+    def body(c: Carry) -> Carry:
+        it = c.it
+
+        # Relative-improvement convergence (boxqp.cpp:46-52).
+        rel_converged = (it > 0) & (
+            jnp.abs(c.old_value - c.value)
+            < options.min_relative_improvement * jnp.abs(c.old_value)
+        )
+
+        grad = g + H @ c.x
+
+        # Clamped-set update by gradient sign at active bounds (boxqp.cpp:67-73).
+        new_clamped = ((c.x == lower) & (grad > 0)) | ((c.x == upper) & (grad < 0))
+        free = ~new_clamped
+        all_clamped = jnp.all(new_clamped)
+
+        # Refactorize only when the clamped set changed (boxqp.cpp:83-111).
+        # The reference breaks on rel_converged/all_clamped *before* the
+        # factorization step, so those paths keep the previous factor.
+        need_factor = ((it == 0) | jnp.any(new_clamped != c.clamped)) & (
+            ~rel_converged
+        ) & (~all_clamped)
+        chol = jnp.where(
+            need_factor,
+            jnp.linalg.cholesky(_masked_free_hessian(H, free)),
+            c.chol,
+        )
+        hess_not_pd = need_factor & jnp.any(jnp.isnan(chol))
+        chol_safe = jnp.where(hess_not_pd, jnp.eye(n, dtype=dtype), chol)
+
+        # Free-gradient norm convergence (boxqp.cpp:114-125).
+        fmask = free.astype(dtype)
+        grad_norm = jnp.sqrt(jnp.sum((grad * fmask) ** 2))
+        grad_converged = grad_norm < options.min_gradient_norm
+
+        # Newton direction on the free set (boxqp.cpp:128-157):
+        # grad_clamped = g + H[:, clamped] x[clamped].
+        grad_clamped = g + H @ (c.x * new_clamped.astype(dtype))
+        newton_free = solve_masked_free(chol_safe, -grad_clamped, free)
+        search = (newton_free - c.x) * fmask
+
+        sdotg = search @ grad
+        no_descent = sdotg >= 0
+
+        # Armijo projected backtracking (boxqp.cpp:207-233).
+        def ls_cond(s):
+            step, _, _, accepted = s
+            return (~accepted) & (step > options.min_step_size)
+
+        def ls_body(s):
+            step, _, _, _ = s
+            x_new = _project(c.x + step * search, lower, upper)
+            v_new = _objective(x_new, H, g)
+            accepted = (v_new - c.value) <= options.armijo_constant * step * sdotg
+            return (
+                jnp.where(accepted, step, step * options.step_decrease_factor),
+                jnp.where(accepted, x_new, c.x),
+                jnp.where(accepted, v_new, c.value),
+                accepted,
+            )
+
+        step0 = jnp.asarray(1.0, dtype)
+        _, x_ls, v_ls, ls_ok = jax.lax.while_loop(
+            ls_cond, ls_body, (step0, c.x, c.value, jnp.asarray(False))
+        )
+
+        # Resolve this iteration's outcome in the reference's check order.
+        done = jnp.asarray(False)
+        status = c.status
+
+        def pick(cond_flag, code, done, status):
+            take = cond_flag & ~done
+            return done | take, jnp.where(take, code, status)
+
+        done, status = pick(rel_converged, BoxQPStatus.SUCCESS, done, status)
+        done, status = pick(all_clamped, BoxQPStatus.ALL_CLAMPED, done, status)
+        done, status = pick(hess_not_pd, BoxQPStatus.HESSIAN_NOT_PD, done, status)
+        done, status = pick(grad_converged, BoxQPStatus.SUCCESS, done, status)
+        done, status = pick(no_descent, BoxQPStatus.NO_DESCENT, done, status)
+        done, status = pick(~ls_ok, BoxQPStatus.MAX_LS_EXCEEDED, done, status)
+
+        advance = ~done
+        return Carry(
+            x=jnp.where(advance, x_ls, c.x),
+            # rel_converged breaks before committing the new clamped set.
+            clamped=jnp.where(rel_converged, c.clamped, new_clamped),
+            chol=chol_safe,
+            value=jnp.where(advance, v_ls, c.value),
+            old_value=c.value,
+            grad_norm=grad_norm,
+            status=status,
+            it=it + 1,
+            done=done,
+        )
+
+    out = jax.lax.while_loop(cond, body, init)
+    return BoxQPResult(
+        x=out.x,
+        status=out.status,
+        free=~out.clamped,
+        chol_free=out.chol,
+        iterations=out.it,
+        final_value=out.value,
+        final_grad_norm=out.grad_norm,
+    )

@@ -1,0 +1,205 @@
+"""Solver option trees.
+
+TPU-native rebuild of the reference option structs
+(``include/cddp-cpp/cddp_core/options.hpp:41-251``). Field names and defaults
+mirror the reference exactly — defaults ARE behavior there (e.g.
+``max_iterations = 1``, the barrier mu ladder, filter thresholds).
+
+Options are *static* configuration: they are plain frozen dataclasses, NOT
+pytrees. Each distinct options object triggers one jit specialization of the
+solver, which is what we want — option values become compile-time constants
+so XLA can fold them (alpha ladders unrolled, filter sizes static, etc.).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from dataclasses import dataclass, field
+from typing import Tuple
+
+
+class BarrierStrategy(enum.Enum):
+    """Barrier update strategy (``options.hpp:28-33``)."""
+
+    ADAPTIVE = "adaptive"
+    MONOTONIC = "monotonic"
+    IPOPT = "ipopt"
+
+
+@dataclass(frozen=True)
+class LineSearchOptions:
+    """``options.hpp:41-52``."""
+
+    max_iterations: int = 11
+    initial_step_size: float = 1.0
+    min_step_size: float = 1e-8
+    step_reduction_factor: float = 0.5
+
+
+@dataclass(frozen=True)
+class RegularizationOptions:
+    """``options.hpp:58-68``."""
+
+    initial_value: float = 1e-6
+    update_factor: float = 10.0
+    max_value: float = 1e7
+    min_value: float = 1e-10
+    step_initial_value: float = 1.0
+
+
+@dataclass(frozen=True)
+class BarrierOptions:
+    """``SolverSpecificBarrierOptions`` (``options.hpp:73-88``)."""
+
+    mu_initial: float = 1e-0
+    mu_min_value: float = 1e-10
+    mu_update_factor: float = 0.5
+    mu_update_power: float = 1.2
+    min_fraction_to_boundary: float = 0.99
+    strategy: BarrierStrategy = BarrierStrategy.ADAPTIVE
+
+
+@dataclass(frozen=True)
+class FilterOptions:
+    """``SolverSpecificFilterOptions`` (``options.hpp:93-108``)."""
+
+    merit_acceptance_threshold: float = 1e-6
+    violation_acceptance_threshold: float = 1e-6
+    max_violation_threshold: float = 1e4
+    min_violation_for_armijo_check: float = 1e-7
+    armijo_constant: float = 1e-4
+
+
+@dataclass(frozen=True)
+class BoxQPOptions:
+    """``boxqp.hpp:30-41``."""
+
+    max_iterations: int = 100
+    min_gradient_norm: float = 1e-8
+    min_relative_improvement: float = 1e-8
+    step_decrease_factor: float = 0.6
+    min_step_size: float = 1e-22
+    armijo_constant: float = 0.1
+    verbose: bool = False
+    # JAX-only: static bound on Armijo backtracking steps inside the
+    # projected-Newton iteration (the reference loops `while step >
+    # min_step_size`, which with factor 0.6 terminates in <= 99 steps).
+    max_ls_iterations: int = 99
+
+
+@dataclass(frozen=True)
+class LogBarrierOptions:
+    """``options.hpp:135-143``."""
+
+    use_relaxed_log_barrier_penalty: bool = False
+    relaxed_log_barrier_delta: float = 1e-10
+    barrier: BarrierOptions = field(default_factory=BarrierOptions)
+
+
+@dataclass(frozen=True)
+class IPDDPOptions:
+    """``IPDDPAlgorithmOptions`` (``options.hpp:148-185``)."""
+
+    dual_var_init_scale: float = 1e-1
+    slack_var_init_scale: float = 1e-2
+    barrier_tol_mult: float = 0.1
+    barrier_update_dual_weight: float = 0.01
+    mu_kappa_epsilon: float = 10.0
+    check_state_stationarity: bool = False
+    theta_norm: str = "l1"
+    max_filter_size: int = 5
+    theta_0_floor: float = 1.0
+    warmstart_repair: bool = False
+    warmstart_s_min: float = 1e-4
+    warmstart_y_min: float = 1e-4
+    warmstart_interior_factor: float = 1.1
+    warmstart_reset_x0_threshold: float = -1.0
+    jacobian_regularization_value: float = 1e-8
+    jacobian_regularization_exponent: float = 0.25
+    barrier: BarrierOptions = field(default_factory=BarrierOptions)
+
+
+@dataclass(frozen=True)
+class MultiShootingOptions:
+    """``options.hpp:120-130``."""
+
+    segment_length: int = 5
+    rollout_type: str = "nonlinear"
+    use_controlled_rollout: bool = False
+    costate_var_init_scale: float = 1e-6
+
+
+@dataclass(frozen=True)
+class MSIPDDPOptions:
+    """``MSIPDDPAlgorithmOptions`` = InteriorPointOptions + MultiShootingOptions
+    (``options.hpp:113-131,190``)."""
+
+    dual_var_init_scale: float = 1e-1
+    slack_var_init_scale: float = 1e-2
+    barrier: BarrierOptions = field(default_factory=BarrierOptions)
+    segment_length: int = 5
+    rollout_type: str = "nonlinear"
+    use_controlled_rollout: bool = False
+    costate_var_init_scale: float = 1e-6
+
+
+@dataclass(frozen=True)
+class CDDPOptions:
+    """Top-level options (``options.hpp:208-251``).
+
+    Notable reference defaults preserved: ``max_iterations = 1`` and
+    ``tolerance = 1e-5``. ``verbose`` defaults False here (host printing from
+    inside jit requires debug callbacks; enable explicitly).
+    """
+
+    tolerance: float = 1e-5
+    acceptable_tolerance: float = 1e-6
+    max_iterations: int = 1
+    max_cpu_time: float = 0.0  # accepted for API parity; no-op under jit
+    verbose: bool = False
+    debug: bool = False
+    print_solver_header: bool = False
+    print_solver_options: bool = False
+    use_ilqr: bool = True
+    # In the reference this toggles std::async thread fan-out over the alpha
+    # ladder (cddp_solver_base.cpp:248-317). On TPU every alpha is evaluated by
+    # one vmapped rollout either way; this flag only selects which result is
+    # taken: False -> first successful alpha (sequential early-exit parity),
+    # True -> best merit among successes (parallel parity).
+    enable_parallel: bool = False
+    num_threads: int = 1
+    return_iteration_info: bool = False
+    warm_start: bool = False
+    termination_scaling_max_factor: float = 100.0
+
+    line_search: LineSearchOptions = field(default_factory=LineSearchOptions)
+    regularization: RegularizationOptions = field(default_factory=RegularizationOptions)
+    box_qp: BoxQPOptions = field(default_factory=BoxQPOptions)
+    filter: FilterOptions = field(default_factory=FilterOptions)
+    log_barrier: LogBarrierOptions = field(default_factory=LogBarrierOptions)
+    ipddp: IPDDPOptions = field(default_factory=IPDDPOptions)
+    msipddp: MSIPDDPOptions = field(default_factory=MSIPDDPOptions)
+
+    def replace(self, **kw) -> "CDDPOptions":
+        return dataclasses.replace(self, **kw)
+
+
+def line_search_alphas(opts: LineSearchOptions) -> Tuple[float, ...]:
+    """Geometric alpha ladder with min-step tail.
+
+    Mirrors ``detail::buildLineSearchAlphas`` (cddp_context_utils.cpp:37-57):
+    alpha_i = a0 * r^i for max_iterations entries; if the decayed alpha drops
+    below min_step_size before the ladder ends, append min_step_size and stop.
+    """
+    alphas = []
+    a = opts.initial_step_size
+    for i in range(max(1, opts.max_iterations)):
+        alphas.append(a)
+        a *= opts.step_reduction_factor
+        if a < opts.min_step_size and i < opts.max_iterations - 1:
+            alphas.append(opts.min_step_size)
+            break
+    if not alphas:
+        alphas.append(opts.initial_step_size)
+    return tuple(alphas)

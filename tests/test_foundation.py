@@ -1,0 +1,138 @@
+"""Foundation tests: integrators, dynamics FD oracles, objective derivatives.
+
+Mirrors reference test tiers 1-2 (SURVEY.md §4): every analytic derivative is
+checked against a central finite-difference oracle
+(tests/cddp_core/test_finite_difference.cpp pattern).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cddp_tpu.models import CartPole, Pendulum, Unicycle, rollout
+from cddp_tpu.costs.objective import quadratic_objective
+from cddp_tpu.utils.fd import finite_difference_jacobian
+
+
+MODELS = [
+    (Pendulum(length=0.5, mass=1.0, damping=0.01), jnp.array([0.3, -0.2]), jnp.array([0.5])),
+    (Unicycle(), jnp.array([1.0, 2.0, 0.7]), jnp.array([0.8, -0.3])),
+    (CartPole(), jnp.array([0.1, 0.4, -0.2, 0.3]), jnp.array([1.5])),
+]
+
+
+@pytest.mark.parametrize("model,x,u", MODELS, ids=lambda m: type(m).__name__ if hasattr(m, "state_dim") else None)
+def test_jacobians_match_fd(model, x, u):
+    t = 0.0
+    Fx, Fu = model.jacobians(x, u, t)
+    Fx_fd = finite_difference_jacobian(lambda xx: model.continuous_dynamics(xx, u, t), x)
+    Fu_fd = finite_difference_jacobian(lambda uu: model.continuous_dynamics(x, uu, t), u)
+    np.testing.assert_allclose(Fx, Fx_fd, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(Fu, Fu_fd, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("model,x,u", MODELS, ids=lambda m: type(m).__name__ if hasattr(m, "state_dim") else None)
+def test_hessians_match_fd(model, x, u):
+    t = 0.0
+    Fxx, Fuu, Fux = model.hessians(x, u, t)
+    nx, nu = x.shape[0], u.shape[0]
+    assert Fxx.shape == (nx, nx, nx)
+    assert Fuu.shape == (nx, nu, nu)
+    assert Fux.shape == (nx, nu, nx)
+    # FD of the AD jacobian row-wise
+    Fxx_fd = finite_difference_jacobian(
+        lambda xx: model.state_jacobian(xx, u, t).reshape(-1), x
+    ).reshape(nx, nx, nx)
+    np.testing.assert_allclose(Fxx, Fxx_fd, rtol=1e-4, atol=1e-5)
+
+
+def test_integrators_accuracy():
+    # Linear ODE xdot = a x with exact solution; rk4 should be far more
+    # accurate than euler at the same step.
+    a = -1.3
+
+    def f(x, u, t):
+        return a * x
+
+    x0 = jnp.array([1.0])
+    u = jnp.array([0.0])
+    dt = 0.1
+    exact = float(np.exp(a * dt))
+    from cddp_tpu.ops.integrators import integrate
+
+    errs = {
+        m: abs(float(integrate(f, m, x0, u, 0.0, dt)[0]) - exact)
+        for m in ("euler", "heun", "rk3", "rk4")
+    }
+    assert errs["euler"] > errs["heun"] > errs["rk3"] > errs["rk4"]
+    assert errs["rk4"] < 1e-6
+
+
+def test_integrator_unknown_raises():
+    from cddp_tpu.ops.integrators import integrate
+
+    with pytest.raises(ValueError):
+        integrate(lambda x, u, t: x, "rk5", jnp.zeros(1), jnp.zeros(1), 0.0, 0.1)
+
+
+def test_rollout_shapes():
+    model = Unicycle()
+    U = jnp.zeros((10, 2))
+    X = rollout(model, jnp.array([0.0, 0.0, 0.0]), U, 0.1)
+    assert X.shape == (11, 3)
+
+
+def test_quadratic_objective_scaling_and_derivatives():
+    # Q,R are pre-scaled by dt at construction (objective.cpp:37-39); no 1/2
+    # factor: gradient is 2Qe.
+    dt = 0.05
+    Q = jnp.eye(2) * 3.0
+    R = jnp.eye(1) * 0.1
+    Qf = jnp.eye(2) * 100.0
+    xref = jnp.array([1.0, 0.0])
+    obj = quadratic_objective(Q, R, Qf, xref, dt)
+
+    x = jnp.array([0.5, -0.2])
+    u = jnp.array([0.7])
+    e = x - xref
+    expected = float(e @ (Q * dt) @ e + u @ (R * dt) @ u)
+    assert np.isclose(float(obj.running_cost(x, u, 0)), expected)
+    # terminal is unscaled
+    assert np.isclose(float(obj.terminal_cost(x)), float(e @ Qf @ e))
+
+    lx, lu = obj.running_cost_gradients(x, u, 0)
+    np.testing.assert_allclose(lx, 2 * dt * Q @ e)
+    np.testing.assert_allclose(lu, 2 * dt * R @ u)
+    lxx, luu, lux = obj.running_cost_hessians(x, u, 0)
+    np.testing.assert_allclose(lxx, 2 * dt * Q)
+    np.testing.assert_allclose(luu, 2 * dt * R)
+    np.testing.assert_allclose(lux, jnp.zeros((1, 2)))
+
+    # AD fallback (base-class path) agrees with analytic overrides
+    lx_ad = jax.grad(lambda xx: obj.running_cost(xx, u, 0))(x)
+    np.testing.assert_allclose(lx, lx_ad, rtol=1e-12)
+
+
+def test_quadratic_objective_reference_trajectory():
+    dt = 0.1
+    refs = jnp.stack([jnp.array([0.0, 0.0]), jnp.array([1.0, 1.0])])
+    obj = quadratic_objective(
+        jnp.eye(2), jnp.eye(1), jnp.eye(2), jnp.array([1.0, 1.0]), dt,
+        reference_states=refs,
+    )
+    x = jnp.array([1.0, 1.0])
+    u = jnp.array([0.0])
+    # index 0 tracks refs[0]
+    assert float(obj.running_cost(x, u, 0)) > 0
+    assert np.isclose(float(obj.running_cost(x, u, 1)), 0.0)
+
+
+def test_quadratic_objective_validation():
+    with pytest.raises(ValueError):
+        quadratic_objective(jnp.zeros((2, 3)), jnp.eye(1), jnp.eye(2), jnp.zeros(2), 0.1)
+    with pytest.raises(ValueError):
+        quadratic_objective(
+            jnp.eye(2), jnp.eye(1), jnp.eye(2), jnp.ones(2), 0.1,
+            reference_states=jnp.zeros((3, 2)),
+        )
