@@ -1,0 +1,1352 @@
+"""IPDDP — primal-dual interior-point DDP (single shooting).
+
+TPU-native rebuild of ``src/cddp_core/ipddp_solver.cpp`` (slack formulation
+g(x,u) + s = 0, s > 0, y > 0; Pavlov 2021 + terminal-constraint extensions).
+Architecture:
+
+- all path constraints are stacked into static (m,)-blocks in name-sorted
+  order (:mod:`cddp_tpu.constraints.stack`), so the per-step condensation
+  Sigma = Y S^-1, Q_uu += G_u' Sigma G_u, single Cholesky gain solve
+  (ipddp_solver.cpp:1410-1486) is dense fixed-shape math inside one reverse
+  ``lax.scan``;
+- the terminal-equality reduced LQR solves its p+1 perturbed LQR variants
+  (ipddp_solver.cpp:478-639) as a single ``vmap`` over the variant axis, and
+  the 5-scale regularized least-squares retry ladder (:556-617) as a vmapped
+  solve + best-residual select;
+- the multi-alpha filter line search (ipddp_solver.cpp:1571-1876) is one
+  ``vmap`` over the alpha ladder with fraction-to-boundary feasibility masks;
+- the IPOPT-style filter is a fixed-size masked array
+  (:mod:`cddp_tpu.solvers.filter`);
+- the driver is a ``lax.while_loop`` mirroring ``CDDPSolverBase::solve`` with
+  IPDDP's hooks (early KKT convergence :925-958, barrier updates :2548-2660,
+  forward-pass-failure handling :2037-2082).
+
+Eigen-LDLT failure (regularize-and-retry trigger) maps to a Cholesky-NaN
+check: Q_uu(+condensation) must be PD for a descent direction, and cholesky
+fails exactly on non-PD input.
+
+Warm starting: the explicit :class:`IPDDPSolverState` pytree carries gains,
+duals, slacks and costates across solves (reference member state,
+ipddp_solver.cpp:652-817); pass it back in with ``options.warm_start=True``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from cddp_tpu.constraints.stack import PathStacker, TerminalStacker
+from cddp_tpu.options import BarrierStrategy, CDDPOptions
+from cddp_tpu.problem import Problem
+from cddp_tpu.solution import Solution, Status
+from cddp_tpu.solvers import base
+from cddp_tpu.solvers import filter as flt
+from cddp_tpu.models.base import rollout as open_loop_rollout
+
+# Constants mirroring ipddp_solver.cpp:34-37.
+SLACK_INTERIOR_OFFSET = 1e-4
+EPS_SLACK = 1e-10
+EPS_DUAL = 1e-10
+MAX_BARRIER_RATIO = 1e6
+
+
+def _s_safe(s, mu):
+    return jnp.maximum(s, jnp.maximum(mu * 1e-3, EPS_SLACK))
+
+
+def _clip_pos(num, den):
+    return jnp.clip(num / den, 0.0, MAX_BARRIER_RATIO)
+
+
+def _clip_signed(num, den):
+    return jnp.clip(num / den, -MAX_BARRIER_RATIO, MAX_BARRIER_RATIO)
+
+
+def _sym(M):
+    return 0.5 * (M + M.swapaxes(-1, -2))
+
+
+def _maxabs(x):
+    """inf-norm that is 0 for empty arrays."""
+    if x.size == 0:
+        return jnp.zeros(())
+    return jnp.max(jnp.abs(x))
+
+
+class IPDDPSolverState(NamedTuple):
+    """Warm-start checkpoint: everything the reference solver object preserves
+    across solve() calls. A plain pytree — serialize with orbax for free."""
+
+    k_u: jax.Array  # (N, nu)
+    K_u: jax.Array  # (N, nu, nx)
+    Y: jax.Array  # (N, m)
+    S: jax.Array  # (N, m)
+    Lambda: jax.Array  # (N+1, nx)
+    Y_T: jax.Array  # (mT,)
+    S_T: jax.Array  # (mT,)
+    Lambda_T_eq: jax.Array  # (p,)
+
+
+class _BP(NamedTuple):
+    """Backward pass products."""
+
+    k_u: jax.Array
+    K_u: jax.Array
+    k_y: jax.Array  # (N, m)
+    K_y: jax.Array  # (N, m, nx)
+    k_s: jax.Array
+    K_s: jax.Array
+    k_lambda: jax.Array  # (N+1, nx)
+    K_lambda: jax.Array  # (N+1, nx, nx)
+    dY: jax.Array  # (N, m)
+    dS: jax.Array
+    dS_T: jax.Array  # (mT,)
+    dY_T: jax.Array
+    dLambda_T_eq: jax.Array  # (p,)
+    dV: jax.Array  # (2,)
+    inf_pr: jax.Array
+    inf_du: jax.Array
+    inf_comp: jax.Array
+    step_norm: jax.Array
+    ok: jax.Array
+
+
+class _Carry(NamedTuple):
+    X: jax.Array
+    U: jax.Array
+    Y: jax.Array
+    S: jax.Array
+    G: jax.Array  # (N, m) shifted g - ub
+    Lambda: jax.Array
+    Y_T: jax.Array
+    S_T: jax.Array
+    G_T: jax.Array
+    Lambda_T_eq: jax.Array
+    bp: _BP
+    mu: jax.Array
+    filt: flt.Filter
+    phi: jax.Array
+    filter_theta: jax.Array
+    theta: jax.Array
+    cost: jax.Array
+    merit: jax.Array
+    reg: jax.Array
+    inf_pr: jax.Array
+    inf_du: jax.Array
+    inf_comp: jax.Array
+    step_norm: jax.Array
+    alpha_pr: jax.Array
+    alpha_du: jax.Array
+    it: jax.Array
+    status: jax.Array
+    done: jax.Array
+
+
+# ---------------------------------------------------------------------------
+# shared evaluations
+# ---------------------------------------------------------------------------
+
+
+def _eval_path(problem, stk: PathStacker, X, U):
+    """Stacked shifted constraint values over the horizon, (N, m)."""
+    if not stk:
+        return jnp.zeros((problem.horizon, 0), X.dtype)
+    ks = jnp.arange(problem.horizon)
+    return jax.vmap(stk.evaluate_shifted)(X[:-1], U, ks)
+
+
+def _barrier_merit(cost, S, S_T, lam_eq, h_T, mu, has_te: bool):
+    """computeBarrierMerit (ipddp_solver.cpp:2851-2881): cost - mu*sum log s
+    over path + terminal slacks, + lambda_T . h_T for terminal equalities."""
+    merit = cost
+    if S.size:
+        merit = merit - mu * jnp.sum(jnp.log(jnp.maximum(S, EPS_SLACK)))
+    if S_T.size:
+        merit = merit - mu * jnp.sum(jnp.log(jnp.maximum(S_T, EPS_SLACK)))
+    if has_te:
+        merit = merit + lam_eq @ h_T
+    return merit
+
+
+def _theta(options, G, S, G_T, S_T, h_T):
+    """computeTheta (ipddp_solver.cpp:2778-2849): l1 (default) or l2 of the
+    primal residuals g+s (+ |h_T|), maxed with the largest single entry."""
+    use_l2 = options.ipddp.theta_norm == "l2"
+    total = jnp.zeros(())
+    max_entry = jnp.zeros(())
+    for r in (
+        [(G + S).reshape(-1)] if G.size else []
+    ) + ([(G_T + S_T)] if G_T.size else []) + ([h_T] if h_T.size else []):
+        total = total + (jnp.sum(r * r) if use_l2 else jnp.sum(jnp.abs(r)))
+        max_entry = jnp.maximum(max_entry, _maxabs(r))
+    theta = jnp.sqrt(total) if use_l2 else total
+    return jnp.maximum(theta, max_entry)
+
+
+def _primal_comp(G, S, Y, G_T, S_T, Y_T, h_T, mu):
+    """computePrimalAndComplementarity (ipddp_solver.cpp:2883-2937):
+    inf-norms of g+s and y*s - mu over path and terminal, |h_T| into inf_pr."""
+    inf_pr = jnp.zeros(())
+    inf_comp = jnp.zeros(())
+    if G.size:
+        inf_pr = jnp.maximum(inf_pr, _maxabs(G + S))
+        inf_comp = jnp.maximum(inf_comp, _maxabs(Y * S - mu))
+    if G_T.size:
+        inf_pr = jnp.maximum(inf_pr, _maxabs(G_T + S_T))
+        inf_comp = jnp.maximum(inf_comp, _maxabs(Y_T * S_T - mu))
+    if h_T.size:
+        inf_pr = jnp.maximum(inf_pr, _maxabs(h_T))
+    return inf_pr, inf_comp
+
+
+def _max_step_sizes(S, Y, dS, dY, S_T, Y_T, dS_T, dY_T, mu, options):
+    """Fraction-to-boundary maximum primal/dual steps
+    (computeMaxStepSizes, ipddp_solver.cpp:2939-2988)."""
+    tau = jnp.maximum(options.ipddp.barrier.min_fraction_to_boundary, 1.0 - mu)
+
+    def shrink(alpha, v, dv):
+        if v.size == 0:
+            return alpha
+        ratio = jnp.where(dv < 0.0, -tau * v / jnp.where(dv < 0, dv, -1.0), jnp.inf)
+        return jnp.minimum(alpha, jnp.min(ratio))
+
+    a_pr = shrink(jnp.ones(()), S.reshape(-1), dS.reshape(-1))
+    a_pr = shrink(a_pr, S_T, dS_T)
+    a_du = shrink(jnp.ones(()), Y.reshape(-1), dY.reshape(-1))
+    a_du = shrink(a_du, Y_T, dY_T)
+    return jnp.clip(a_pr, 0.0, 1.0), jnp.clip(a_du, 0.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# backward passes
+# ---------------------------------------------------------------------------
+
+
+def _terminal_value_fold(problem, tstk, X_last, S_T, Y_T, mu):
+    """Fold terminal inequalities into V_x, V_xx at t=N
+    (ipddp_solver.cpp:999-1031). Returns (V_x, V_xx, g_T, inf_pr_T, inf_comp_T)."""
+    V_x = problem.objective.terminal_cost_gradient(X_last)
+    V_xx = _sym(problem.objective.terminal_cost_hessian(X_last))
+    inf_pr = jnp.zeros(())
+    inf_comp = jnp.zeros(())
+    g_T = tstk.ineq_evaluate(X_last)
+    if tstk.ineq_dim > 0:
+        G_T_x = tstk.ineq_jacobian(X_last)
+        s_safe = _s_safe(S_T, mu)
+        y_safe = jnp.maximum(Y_T, EPS_DUAL)
+        sigma_T = _clip_pos(y_safe, s_safe)
+        barrier_grad_T = y_safe + _clip_signed(y_safe * g_T + mu, s_safe)
+        V_x = V_x + G_T_x.T @ barrier_grad_T
+        V_xx = _sym(V_xx + G_T_x.T @ (sigma_T[:, None] * G_T_x))
+        inf_pr = _maxabs(g_T + S_T)
+        inf_comp = _maxabs(Y_T * S_T - mu)
+    return V_x, V_xx, g_T, inf_pr, inf_comp
+
+
+def _condense_path(y, s, g, Gx, Gu, mu):
+    """Per-step interior-point condensation quantities
+    (ipddp_solver.cpp:1404-1453): Sigma = clip(y/s_safe), rhat, S^-1 rhat."""
+    s_safe = _s_safe(s, mu)
+    sigma = _clip_pos(y, s_safe)  # (m,)
+    primal_residual = g + s
+    comp_residual = y * s - mu
+    rhat = y * primal_residual - comp_residual
+    s_inv_rhat = _clip_signed(rhat, s_safe)
+    return sigma, primal_residual, comp_residual, rhat, s_inv_rhat
+
+
+def _path_gains(y, s, rhat, sigma, primal_residual, Gx, Gu, k_u, K_u, mu):
+    """Closed-form dual/slack gains given the control gains
+    (ipddp_solver.cpp:1458-1486 / :1272-1311)."""
+    s_safe = _s_safe(s, mu)
+    temp = Gu @ k_u
+    k_y = _clip_signed(rhat + y * temp, s_safe)
+    K_y = jnp.clip(
+        sigma[:, None] * (Gx + Gu @ K_u), -MAX_BARRIER_RATIO, MAX_BARRIER_RATIO
+    )
+    k_s = -primal_residual - temp
+    K_s = -Gx - Gu @ K_u
+    return k_y, K_y, k_s, K_s
+
+
+def _terminal_ineq_steps(g_T, G_T_x, S_T, Y_T, dx_last, mu):
+    """Terminal-inequality slack/dual Newton steps given dx_N
+    (ipddp_solver.cpp:1315-1345 and :1516-1545)."""
+    r_p = g_T + S_T
+    r_d = S_T * Y_T - mu
+    dS_T = -r_p - G_T_x @ dx_last
+    s_safe = _s_safe(S_T, mu)
+    dual_ratio = _clip_pos(Y_T, s_safe)
+    affine = _clip_signed(-r_d, s_safe)
+    dY_T = jnp.clip(affine - dual_ratio * dS_T, -MAX_BARRIER_RATIO, MAX_BARRIER_RATIO)
+    return dS_T, dY_T
+
+
+def _rollout_linear(A, B, K, k, dx0, d=None):
+    """rolloutLinearPolicy (ipddp_solver.cpp:368-395): dU = k + K dX,
+    dX+ = A dX + B dU (+ d). Returns (dX, dU)."""
+    if d is None:
+        d = jnp.zeros((A.shape[0], A.shape[1]), A.dtype)
+
+    def step(dx, inp):
+        A_t, B_t, K_t, k_t, d_t = inp
+        du = k_t + K_t @ dx
+        dx_next = A_t @ dx + B_t @ du + d_t
+        return dx_next, (dx, du)
+
+    dx_last, (dX_head, dU) = jax.lax.scan(step, dx0, (A, B, K, k, d))
+    dX = jnp.concatenate([dX_head, dx_last[None]], axis=0)
+    return dX, dU
+
+
+def _backward_condensed(problem, options, stk, tstk, X, U, Y, S, G, Y_T, S_T, mu, reg):
+    """Path-constraint condensed Riccati recursion — the
+    ipddp_solver.cpp:1355-1568 regime (also covers the unconstrained regime
+    :1048-1118 as the m=0 special case, which XLA compiles away)."""
+    nx, nu, N = problem.state_dim, problem.control_dim, problem.horizon
+    m = stk.total_dim
+    dtype = X.dtype
+
+    A, B = base.discrete_jacobians(problem, X, U)
+    lx, lu, lxx, luu, lux = base.running_cost_derivatives(problem, X, U)
+    if stk:
+        ks = jnp.arange(N)
+        Gx, Gu = jax.vmap(stk.jacobians)(X[:-1], U, ks)
+    else:
+        Gx = jnp.zeros((N, 0, nx), dtype)
+        Gu = jnp.zeros((N, 0, nu), dtype)
+
+    if not options.use_ilqr:
+        Fxx, Fuu, Fux = base.discrete_hessians(problem, X, U)
+    eye_u = jnp.eye(nu, dtype=dtype)
+
+    V_x, V_xx, g_T, inf_pr_T, inf_comp_T = _terminal_value_fold(
+        problem, tstk, X[-1], S_T, Y_T, mu
+    )
+
+    def step(carry, inp):
+        Vx, Vxx, dV, inf_du, inf_pr, inf_comp, step_norm, ok = carry
+        if options.use_ilqr:
+            A_t, B_t, lx_t, lu_t, lxx_t, luu_t, lux_t, y, s, g, Gx_t, Gu_t = inp
+        else:
+            (A_t, B_t, lx_t, lu_t, lxx_t, luu_t, lux_t, y, s, g, Gx_t, Gu_t,
+             Fxx_t, Fuu_t, Fux_t) = inp
+
+        Qx = lx_t + Gx_t.T @ y + A_t.T @ Vx
+        Qu = lu_t + Gu_t.T @ y + B_t.T @ Vx
+        Qxx = lxx_t + A_t.T @ Vxx @ A_t
+        Qux = lux_t + B_t.T @ Vxx @ A_t
+        Quu = luu_t + B_t.T @ Vxx @ B_t
+        if not options.use_ilqr:
+            # Full-DDP second-order dynamics terms (ipddp_solver.cpp:1397-1409).
+            Qxx = Qxx + jnp.einsum("i,ijk->jk", Vx, Fxx_t)
+            Qux = Qux + jnp.einsum("i,ijk->jk", Vx, Fux_t)
+            Quu = Quu + jnp.einsum("i,ijk->jk", Vx, Fuu_t)
+
+        sigma, primal_residual, comp_residual, rhat, s_inv_rhat = _condense_path(
+            y, s, g, Gx_t, Gu_t, mu
+        )
+
+        Quu_reg = _sym(Quu) + Gu_t.T @ (sigma[:, None] * Gu_t) + reg * eye_u
+        chol = jnp.linalg.cholesky(Quu_reg)
+        fail = jnp.any(jnp.isnan(chol))
+        chol_safe = jnp.where(fail, eye_u, chol)
+
+        rhs_k = Qu + Gu_t.T @ s_inv_rhat
+        rhs_K = Qux + Gu_t.T @ (sigma[:, None] * Gx_t)
+        k_u = -jax.scipy.linalg.cho_solve((chol_safe, True), rhs_k)
+        K_u = -jax.scipy.linalg.cho_solve((chol_safe, True), rhs_K)
+
+        k_y, K_y, k_s, K_s = _path_gains(
+            y, s, rhat, sigma, primal_residual, Gx_t, Gu_t, k_u, K_u, mu
+        )
+
+        # Condensed expansions folded back (ipddp_solver.cpp:1488-1509).
+        Qu_c = rhs_k
+        Qx_c = Qx + Gx_t.T @ s_inv_rhat
+        Qxx_c = Qxx + Gx_t.T @ (sigma[:, None] * Gx_t)
+        Qux_c = rhs_K
+        Quu_c = Quu + Gu_t.T @ (sigma[:, None] * Gu_t)
+
+        dV_step = jnp.stack([k_u @ Qu_c, 0.5 * k_u @ Quu_c @ k_u])
+        Vx_new = Qx_c + K_u.T @ Qu_c + Qux_c.T @ k_u + K_u.T @ Quu_c @ k_u
+        Vxx_new = _sym(Qxx_c + K_u.T @ Qux_c + Qux_c.T @ K_u + K_u.T @ Quu_c @ K_u)
+
+        carry_new = (
+            Vx_new,
+            Vxx_new,
+            dV + dV_step,
+            jnp.maximum(inf_du, _maxabs(Qu_c)),
+            jnp.maximum(inf_pr, _maxabs(primal_residual)),
+            jnp.maximum(inf_comp, _maxabs(comp_residual)),
+            jnp.maximum(step_norm, _maxabs(k_u)),
+            ok & ~fail,
+        )
+        outs = (k_u, K_u, k_y, K_y, k_s, K_s, Vx_new, Vxx_new)
+        return carry_new, outs
+
+    init = (
+        V_x,
+        V_xx,
+        jnp.zeros((2,), dtype),
+        jnp.zeros((), dtype),
+        inf_pr_T,
+        inf_comp_T,
+        jnp.zeros((), dtype),
+        jnp.asarray(True),
+    )
+    inputs = (A, B, lx, lu, lxx, luu, lux, Y, S, G, Gx, Gu)
+    if not options.use_ilqr:
+        inputs = inputs + (Fxx, Fuu, Fux)
+    (Vx0, Vxx0, dV, inf_du, inf_pr, inf_comp, step_norm, ok), outs = jax.lax.scan(
+        step, init, inputs, reverse=True
+    )
+    k_u, K_u, k_y, K_y, k_s, K_s, klam_head, Klam_head = outs
+
+    # Costate gains: k_lambda[t] = V_x after step t; [N] = terminal fold.
+    k_lambda = jnp.concatenate([klam_head, V_x[None]], axis=0)
+    K_lambda = jnp.concatenate([Klam_head, V_xx[None]], axis=0)
+
+    # Newton-step rollout dX, and dS/dY for the fraction-to-boundary rule
+    # (ipddp_solver.cpp:1511-1566).
+    dX, _ = _rollout_linear(A, B, K_u, k_u, jnp.zeros((nx,), dtype))
+    if m > 0:
+        dS = k_s + jnp.einsum("tmn,tn->tm", K_s, dX[:-1])
+        dY = jnp.clip(
+            k_y + jnp.einsum("tmn,tn->tm", K_y, dX[:-1]),
+            -MAX_BARRIER_RATIO,
+            MAX_BARRIER_RATIO,
+        )
+    else:
+        dS = jnp.zeros((N, 0), dtype)
+        dY = jnp.zeros((N, 0), dtype)
+
+    if tstk.ineq_dim > 0:
+        G_T_x = tstk.ineq_jacobian(X[-1])
+        dS_T, dY_T = _terminal_ineq_steps(g_T, G_T_x, S_T, Y_T, dX[-1], mu)
+    else:
+        dS_T = jnp.zeros((0,), dtype)
+        dY_T = jnp.zeros((0,), dtype)
+
+    return _BP(
+        k_u=k_u,
+        K_u=K_u,
+        k_y=k_y,
+        K_y=K_y,
+        k_s=k_s,
+        K_s=K_s,
+        k_lambda=k_lambda,
+        K_lambda=K_lambda,
+        dY=dY,
+        dS=dS,
+        dS_T=dS_T,
+        dY_T=dY_T,
+        dLambda_T_eq=jnp.zeros((tstk.eq_dim,), dtype),
+        dV=dV,
+        inf_pr=inf_pr,
+        inf_du=inf_du,
+        inf_comp=inf_comp,
+        step_norm=step_norm,
+        ok=ok,
+    )
+
+
+def _solve_sequential_lqr(Q, q, R, r, M, A, B):
+    """solveSequentialLQR (ipddp_solver.cpp:413-476) as a reverse scan.
+    Returns (K, k, P, p, ok). Drift d is zero in all call sites here."""
+    n = Q.shape[-1]
+    T = R.shape[0]
+    dtype = Q.dtype
+    P_T = _sym(Q[T])
+    p_T = q[T]
+
+    def step(carry, inp):
+        P_next, p_next, ok = carry
+        Q_t, q_t, R_t, r_t, M_t, A_t, B_t = inp
+        BtP = B_t.T @ P_next
+        Quu = _sym(R_t + BtP @ B_t)
+        Qux = BtP @ A_t + M_t.T
+        Qx = q_t + A_t.T @ p_next
+        Qu = r_t + B_t.T @ p_next
+        chol = jnp.linalg.cholesky(Quu)
+        fail = jnp.any(jnp.isnan(chol))
+        chol_safe = jnp.where(fail, jnp.eye(Quu.shape[0], dtype=dtype), chol)
+        K_t = -jax.scipy.linalg.cho_solve((chol_safe, True), Qux)
+        k_t = -jax.scipy.linalg.cho_solve((chol_safe, True), Qu)
+        P_t = _sym(Q_t + A_t.T @ P_next @ A_t + Qux.T @ K_t + K_t.T @ Qux + K_t.T @ Quu @ K_t)
+        p_t = Qx + Qux.T @ k_t + K_t.T @ Qu + K_t.T @ Quu @ k_t
+        bad = fail | ~(
+            jnp.all(jnp.isfinite(P_t))
+            & jnp.all(jnp.isfinite(p_t))
+            & jnp.all(jnp.isfinite(K_t))
+            & jnp.all(jnp.isfinite(k_t))
+        )
+        return (P_t, p_t, ok & ~bad), (K_t, k_t, P_t, p_t)
+
+    (P0, p0, ok), (K, k, P_head, p_head) = jax.lax.scan(
+        step, (P_T, p_T, jnp.asarray(True)), (Q[:T], q[:T], R, r, M, A, B),
+        reverse=True,
+    )
+    P = jnp.concatenate([P_head, P_T[None]], axis=0)
+    p = jnp.concatenate([p_head, p_T[None]], axis=0)
+    return K, k, P, p, ok
+
+
+def _backward_terminal_eq(
+    problem, options, stk, tstk, X, U, Y, S, G, Y_T, S_T, Lambda, Lambda_T_eq,
+    mu, reg,
+):
+    """Terminal-equality reduced-LQR regime (ipddp_solver.cpp:1121-1351 +
+    solveTerminalEqualityLQR :478-639). The p+1 perturbed-q LQR variants run
+    as ONE vmapped scan (variant axis is a batch dimension), and the 5-scale
+    regularization retry ladder is a vmapped LS solve + masked best-residual
+    select — no sequential retries on device."""
+    nx, nu, N = problem.state_dim, problem.control_dim, problem.horizon
+    m = stk.total_dim
+    dtype = X.dtype
+
+    A, B = base.discrete_jacobians(problem, X, U)
+    lx, lu, lxx, luu, lux = base.running_cost_derivatives(problem, X, U)
+
+    V_x, V_xx, g_T, inf_pr_T, inf_comp_T = _terminal_value_fold(
+        problem, tstk, X[-1], S_T, Y_T, mu
+    )
+    h_T = tstk.eq_evaluate(X[-1])
+    H_T = tstk.eq_jacobian(X[-1])
+    p_dim = tstk.eq_dim
+    inf_pr = jnp.maximum(inf_pr_T, _maxabs(h_T))
+    inf_comp = inf_comp_T
+
+    # Stagewise LQR data (ipddp_solver.cpp:1143-1258).
+    Qs = _sym(lxx)
+    qs = lx
+    Rs = _sym(luu)
+    rs = lu
+    Ms = lux.swapaxes(-1, -2)  # (N, nx, nu)
+
+    if not options.use_ilqr:
+        Fxx, Fuu, Fux = base.discrete_hessians(problem, X, U)
+        lam_next = jnp.where(
+            jnp.all(jnp.isfinite(Lambda[1:]), axis=-1, keepdims=True),
+            Lambda[1:],
+            0.0,
+        )
+        Qs = _sym(Qs + jnp.einsum("ti,tijk->tjk", lam_next, Fxx))
+        Ms = Ms + jnp.einsum("ti,tijk->tjk", lam_next, Fux).swapaxes(-1, -2)
+        Rs = _sym(Rs + jnp.einsum("ti,tijk->tjk", lam_next, Fuu))
+
+    if m > 0:
+        ks_idx = jnp.arange(N)
+        Gx, Gu = jax.vmap(stk.jacobians)(X[:-1], U, ks_idx)
+        sigma, primal_residual, comp_residual, rhat, s_inv_rhat = jax.vmap(
+            lambda y, s, g: _condense_path(y, s, g, None, None, mu)
+        )(Y, S, G)
+        qs = qs + jnp.einsum("tmn,tm->tn", Gx, Y + s_inv_rhat)
+        rs = rs + jnp.einsum("tmn,tm->tn", Gu, Y + s_inv_rhat)
+        Qs = _sym(Qs + jnp.einsum("tmn,tm,tmk->tnk", Gx, sigma, Gx))
+        Ms = Ms + jnp.einsum("tmn,tm,tmk->tnk", Gx, sigma, Gu)
+        Rs = _sym(Rs + jnp.einsum("tmn,tm,tmk->tnk", Gu, sigma, Gu))
+        inf_pr = jnp.maximum(inf_pr, _maxabs(primal_residual))
+        inf_comp = jnp.maximum(inf_comp, _maxabs(comp_residual))
+    else:
+        Gx = jnp.zeros((N, 0, nx), dtype)
+        Gu = jnp.zeros((N, 0, nu), dtype)
+        sigma = primal_residual = rhat = jnp.zeros((N, 0), dtype)
+
+    Rs = Rs + reg * jnp.eye(nu, dtype=dtype)[None]
+
+    # Terminal block + previous-multiplier shift (ipddp_solver.cpp:509-518).
+    Q_full = jnp.concatenate([Qs, V_xx[None]], axis=0)
+    q_base_T = V_x + H_T.T @ Lambda_T_eq
+    q_full = jnp.concatenate([qs, q_base_T[None]], axis=0)
+
+    # p_dim + 1 variants: variant 0 is the base; variant i>0 perturbs the
+    # terminal linear term by row i-1 of H_T (ipddp_solver.cpp:530-550).
+    # perturb shape (p_dim+1, nx): row 0 zero, row i = H_T[i-1].
+    perturb = jnp.concatenate([jnp.zeros((1, nx), dtype), H_T], axis=0)
+
+    def run_variant(dq_T):
+        qv = q_full.at[N].add(dq_T)
+        K, k, P, p, ok = _solve_sequential_lqr(Q_full, qv, Rs, rs, Ms, A, B)
+        dX, _ = _rollout_linear(A, B, K, k, jnp.zeros((nx,), dtype))
+        return K, k, P, p, dX[-1], ok
+
+    K_v, k_v, P_v, p_v, xT_v, ok_v = jax.vmap(run_variant)(perturb)
+    ok = jnp.all(ok_v)
+
+    # Sensitivity S = dx_T / dlambda, column i = xT_i+1 - xT_0 (:550-554).
+    S_mat = (xT_v[1:] - xT_v[0][None]).T if p_dim else jnp.zeros((nx, 0), dtype)
+    A_small = H_T @ S_mat
+    rhs = -h_T - H_T @ xT_v[0]
+    AtA = A_small.T @ A_small
+    Atb = A_small.T @ rhs
+
+    # Regularized least squares with SVD floor + 5-scale ladder (:556-617).
+    trace_term = jnp.where(
+        jnp.trace(AtA) > 1.0, jnp.trace(AtA) / max(p_dim, 1), 1.0
+    )
+    base_floor = jnp.maximum(
+        1e-10,
+        options.ipddp.jacobian_regularization_value
+        * jnp.maximum(mu, 0.0) ** options.ipddp.jacobian_regularization_exponent,
+    )
+    reg0 = jnp.maximum(base_floor, 1e-6 * trace_term)
+    if p_dim:
+        sv = jnp.linalg.svd(A_small, compute_uv=False)
+        svd_reg = jnp.maximum(1e-8 * jnp.max(sv) - jnp.min(sv), 0.0)
+    else:
+        svd_reg = jnp.zeros(())
+    reg_base = jnp.maximum(reg0, svd_reg)
+    lambda_cap = 100.0 * (1.0 + jnp.linalg.norm(rhs))
+
+    scales = jnp.asarray([1.0, 10.0, 100.0, 1e3, 1e4], dtype)
+
+    def ls_try(scale):
+        reg_i = jnp.maximum(reg_base * scale, 1e-12)
+        shifted = AtA + reg_i * jnp.eye(p_dim, dtype=dtype)
+        chol = jnp.linalg.cholesky(shifted)
+        bad_chol = jnp.any(jnp.isnan(chol))
+        chol_safe = jnp.where(bad_chol, jnp.eye(p_dim, dtype=dtype), chol)
+        lam = jax.scipy.linalg.cho_solve((chol_safe, True), Atb)
+        norm = jnp.linalg.norm(lam)
+        lam = jnp.where(norm > lambda_cap, lam * lambda_cap / jnp.maximum(norm, 1e-12), lam)
+        residual = jnp.linalg.norm(A_small @ lam - rhs)
+        bad = bad_chol | ~jnp.all(jnp.isfinite(lam)) | ~jnp.isfinite(residual)
+        return lam, jnp.where(bad, jnp.inf, residual)
+
+    if p_dim:
+        lams, residuals = jax.vmap(ls_try)(scales)
+        best = jnp.argmin(residuals)
+        best_lambda = jnp.where(jnp.isfinite(residuals[best]), lams[best], 0.0)
+    else:
+        best_lambda = jnp.zeros((0,), dtype)
+
+    # Recombine gains linearly (:619-634).
+    coeff = best_lambda  # (p,)
+    k_u = k_v[0] + jnp.einsum("p,ptm->tm", coeff, k_v[1:] - k_v[0][None])
+    K_u = K_v[0]
+    p_comb = p_v[0] + jnp.einsum("p,ptn->tn", coeff, p_v[1:] - p_v[0][None])
+    P_comb = P_v[0]
+
+    dLambda_T_eq = best_lambda
+    Lambda_T_eq_new = Lambda_T_eq + best_lambda  # lambda_total (caller keeps old until FP)
+
+    # inf_du / step_norm (:1260-1266).
+    Qu_all = rs + jnp.einsum("tnm,tn->tm", B, p_comb[1:])
+    inf_du = jnp.maximum(_maxabs(Qu_all), 0.0)
+    step_norm = _maxabs(k_u)
+
+    dX, _ = _rollout_linear(A, B, K_u, k_u, jnp.zeros((nx,), dtype))
+
+    if m > 0:
+        def gains_t(y, s, rhat_t, sigma_t, pr, Gx_t, Gu_t, ku, Ku):
+            return _path_gains(y, s, rhat_t, sigma_t, pr, Gx_t, Gu_t, ku, Ku, mu)
+
+        k_y, K_y, k_s, K_s = jax.vmap(gains_t)(
+            Y, S, rhat, sigma, primal_residual, Gx, Gu, k_u, K_u
+        )
+        dS = k_s + jnp.einsum("tmn,tn->tm", K_s, dX[:-1])
+        dY = jnp.clip(
+            k_y + jnp.einsum("tmn,tn->tm", K_y, dX[:-1]),
+            -MAX_BARRIER_RATIO,
+            MAX_BARRIER_RATIO,
+        )
+    else:
+        k_y = K_y = k_s = K_s = None
+        k_y = jnp.zeros((N, 0), dtype)
+        K_y = jnp.zeros((N, 0, nx), dtype)
+        k_s = jnp.zeros((N, 0), dtype)
+        K_s = jnp.zeros((N, 0, nx), dtype)
+        dS = jnp.zeros((N, 0), dtype)
+        dY = jnp.zeros((N, 0), dtype)
+
+    if tstk.ineq_dim > 0:
+        G_T_x = tstk.ineq_jacobian(X[-1])
+        dS_T, dY_T = _terminal_ineq_steps(g_T, G_T_x, S_T, Y_T, dX[-1], mu)
+    else:
+        dS_T = jnp.zeros((0,), dtype)
+        dY_T = jnp.zeros((0,), dtype)
+
+    return _BP(
+        k_u=k_u,
+        K_u=K_u,
+        k_y=k_y,
+        K_y=K_y,
+        k_s=k_s,
+        K_s=K_s,
+        k_lambda=p_comb,
+        K_lambda=P_comb,
+        dY=dY,
+        dS=dS,
+        dS_T=dS_T,
+        dY_T=dY_T,
+        dLambda_T_eq=dLambda_T_eq,
+        dV=jnp.zeros((2,), dtype),
+        inf_pr=inf_pr,
+        inf_du=inf_du,
+        inf_comp=inf_comp,
+        step_norm=step_norm,
+        ok=ok,
+    )
+
+
+# ---------------------------------------------------------------------------
+# forward pass
+# ---------------------------------------------------------------------------
+
+
+def _forward_pass(
+    problem, options, stk, tstk, c: _Carry, alpha, alpha_pr_max, alpha_du_max,
+    has_path: bool, has_ti: bool, has_te: bool,
+):
+    """Single-alpha interior-point rollout (ipddp_solver.cpp:1571-1876),
+    vmapped over the ladder by the driver. Returns a dict of trial data plus
+    the acceptance flag."""
+    N = problem.horizon
+    nx = problem.state_dim
+    dtype = c.X.dtype
+    dt = problem.timestep
+    bp = c.bp
+
+    no_barrier = not has_path and not has_ti
+    tau = (
+        jnp.asarray(1.0, dtype)
+        if no_barrier
+        else jnp.maximum(options.ipddp.barrier.min_fraction_to_boundary, 1.0 - c.mu)
+    )
+    alpha_pr = jnp.minimum(alpha, alpha_pr_max)
+    alpha_du = jnp.minimum(alpha, alpha_du_max)
+
+    ts = jnp.arange(N, dtype=dtype) * dt
+    ks_idx = jnp.arange(N)
+
+    def step(carry, inp):
+        x, J, feasible = carry
+        (Xb, Ub, y, s, k_u, K_u, k_lam, K_lam, lam, k_y, K_y, k_s, K_s, t, kk) = inp
+        dx = x - Xb
+        lam_new = lam + alpha_pr * k_lam + K_lam @ dx
+
+        s_new = s + alpha_pr * k_s + K_s @ dx
+        y_new = y + alpha_du * k_y + K_y @ dx
+        if has_path:
+            ok_ftb = jnp.all(s_new >= (1.0 - tau) * s) & jnp.all(
+                y_new >= (1.0 - tau) * y
+            )
+            ok_fin = jnp.all(jnp.isfinite(s_new)) & jnp.all(jnp.isfinite(y_new))
+        else:
+            ok_ftb = jnp.asarray(True)
+            ok_fin = jnp.asarray(True)
+
+        u = Ub + alpha_pr * k_u + K_u @ dx
+        J = J + problem.objective.running_cost(x, u, kk)
+        g_new = stk.evaluate_shifted(x, u, kk) if has_path else jnp.zeros((0,), dtype)
+        x_next = problem.model.discrete_dynamics(x, u, t, dt)
+        ok_traj = jnp.all(jnp.isfinite(x_next)) & jnp.all(jnp.isfinite(u)) & jnp.all(
+            jnp.isfinite(lam_new)
+        )
+        feasible = feasible & ok_ftb & ok_fin & ok_traj
+        return (x_next, J, feasible), (x_next, u, s_new, y_new, g_new, lam_new)
+
+    inputs = (
+        c.X[:-1], c.U, c.Y, c.S, bp.k_u, bp.K_u, bp.k_lambda[:-1],
+        bp.K_lambda[:-1], c.Lambda[:-1], bp.k_y, bp.K_y, bp.k_s, bp.K_s, ts,
+        ks_idx,
+    )
+    (x_last, J, feasible), (X_tail, U_new, S_new, Y_new, G_new, Lam_head) = (
+        jax.lax.scan(step, (problem.x0, jnp.zeros((), dtype), jnp.asarray(True)), inputs)
+    )
+    X_new = jnp.concatenate([problem.x0[None], X_tail], axis=0)
+    J = J + problem.objective.terminal_cost(x_last)
+
+    dx_last = x_last - c.X[-1]
+    lam_last = c.Lambda[-1] + alpha_pr * bp.k_lambda[-1] + bp.K_lambda[-1] @ dx_last
+    Lambda_new = jnp.concatenate([Lam_head, lam_last[None]], axis=0)
+    feasible = feasible & jnp.all(jnp.isfinite(lam_last))
+
+    # Terminal inequality slack/dual trial updates (ipddp_solver.cpp:1667-1725):
+    # gains built at the OLD terminal state, applied with the real dx_N.
+    if has_ti:
+        g_T0 = tstk.ineq_evaluate(c.X[-1])
+        G_T_x0 = tstk.ineq_jacobian(c.X[-1])
+        k_s_T = -(g_T0 + c.S_T)
+        K_s_T = -G_T_x0
+        S_T_new = c.S_T + alpha_pr * k_s_T + K_s_T @ dx_last
+        s_safe = _s_safe(c.S_T, c.mu)
+        r_d = c.Y_T * c.S_T - c.mu
+        dual_ratio = _clip_pos(c.Y_T, s_safe)
+        K_y_T = -(dual_ratio[:, None] * K_s_T)
+        k_y_T = _clip_signed(-r_d - c.Y_T * k_s_T, s_safe)
+        Y_T_new = c.Y_T + alpha_du * k_y_T + K_y_T @ dx_last
+        s_floor = jnp.maximum((1.0 - tau) * c.S_T, jnp.maximum(c.mu * 1e-3, EPS_SLACK))
+        feasible = (
+            feasible
+            & jnp.all(S_T_new >= s_floor)
+            & jnp.all(Y_T_new >= (1.0 - tau) * c.Y_T)
+            & jnp.all(jnp.isfinite(S_T_new))
+            & jnp.all(jnp.isfinite(Y_T_new))
+        )
+        G_T_new = tstk.ineq_evaluate(x_last)
+    else:
+        S_T_new = c.S_T
+        Y_T_new = c.Y_T
+        G_T_new = c.G_T
+
+    if has_te:
+        Lambda_T_eq_new = c.Lambda_T_eq + alpha_pr * bp.dLambda_T_eq
+        h_T_new = tstk.eq_evaluate(x_last)
+        feasible = feasible & jnp.all(jnp.isfinite(Lambda_T_eq_new))
+    else:
+        Lambda_T_eq_new = c.Lambda_T_eq
+        h_T_new = jnp.zeros((0,), dtype)
+
+    phi_new = _barrier_merit(J, S_new, S_T_new, Lambda_T_eq_new, h_T_new, c.mu, has_te)
+    theta_new = _theta(options, G_new, S_new, G_T_new, S_T_new, h_T_new)
+    inf_pr_new, inf_comp_new = _primal_comp(
+        G_new, S_new, Y_new, G_T_new, S_T_new, Y_T_new, h_T_new, c.mu
+    )
+    feasible = (
+        feasible
+        & jnp.isfinite(phi_new)
+        & jnp.isfinite(theta_new)
+        & jnp.isfinite(inf_pr_new)
+        & jnp.isfinite(inf_comp_new)
+    )
+
+    # Acceptance (ipddp_solver.cpp:1784-1839).
+    if no_barrier and not has_te:
+        dJ = c.cost - J
+        expected = -alpha_pr * (bp.dV[0] + 0.5 * alpha_pr * bp.dV[1])
+        ratio = jnp.where(expected > 0.0, dJ / expected, jnp.sign(dJ))
+        accept = ratio > 1e-6
+    else:
+        expected_improvement = alpha_pr * bp.dV[0]
+        f_mf, f_cv, f_nonempty = flt.back(c.filt)
+        cv_old = jnp.where(f_nonempty, f_cv, 0.0)
+        high_violation_ref = jnp.where(f_nonempty, f_cv, c.filter_theta)
+        merit_old = c.merit
+
+        br1 = theta_new > options.filter.max_violation_threshold
+        acc1 = theta_new < (1 - options.filter.violation_acceptance_threshold) * high_violation_ref
+
+        br2 = (
+            jnp.maximum(theta_new, cv_old)
+            < options.filter.min_violation_for_armijo_check
+        ) & (expected_improvement < 0)
+        acc2 = phi_new < merit_old + options.filter.armijo_constant * expected_improvement
+
+        acc3 = (
+            phi_new < merit_old - options.filter.merit_acceptance_threshold * theta_new
+        ) | (theta_new < (1 - options.filter.violation_acceptance_threshold) * cv_old)
+
+        accept = jnp.where(br1, acc1, jnp.where(br2, acc2, acc3))
+
+    success = feasible & accept
+    return dict(
+        success=success,
+        cost=J,
+        merit=phi_new,
+        theta=theta_new,
+        inf_pr=inf_pr_new,
+        inf_comp=inf_comp_new,
+        X=X_new,
+        U=U_new,
+        Y=Y_new,
+        S=S_new,
+        G=G_new,
+        Lambda=Lambda_new,
+        S_T=S_T_new,
+        Y_T=Y_T_new,
+        G_T=G_T_new,
+        Lambda_T_eq=Lambda_T_eq_new,
+        alpha_pr=alpha_pr,
+        alpha_du=alpha_du,
+    )
+
+
+# ---------------------------------------------------------------------------
+# barrier update
+# ---------------------------------------------------------------------------
+
+
+def _update_barrier_and_filter(problem, options, stk, tstk, c: _Carry, has_path,
+                               has_ti, has_te):
+    """updateBarrierParameters on a successful step
+    (ipddp_solver.cpp:2548-2660): mu schedule (ADAPTIVE tiered factors or
+    MONOTONIC/IPOPT kappa rule), filter reset on mu decrease, and
+    recomputation of merit/inf_pr/inf_comp under the new mu."""
+    no_barrier = not has_path and not has_ti
+    mu_old = c.mu
+    scaled_inf_du = c.inf_du
+    scaled_inf_comp = c.inf_comp
+    bopt = options.ipddp.barrier
+
+    if no_barrier:
+        mu_new = mu_old
+    elif bopt.strategy == BarrierStrategy.ADAPTIVE:
+        kkt = jnp.maximum(jnp.maximum(c.inf_pr, scaled_inf_du), scaled_inf_comp)
+        threshold = jnp.maximum(bopt.mu_update_factor * mu_old, 2.0 * mu_old)
+        ratio = kkt / jnp.maximum(mu_old, 1e-20)
+        factor = jnp.where(
+            ratio < 0.01,
+            0.1 * bopt.mu_update_factor,
+            jnp.where(
+                ratio < 0.1,
+                0.3 * bopt.mu_update_factor,
+                jnp.where(ratio < 0.5, 0.6 * bopt.mu_update_factor, bopt.mu_update_factor),
+            ),
+        )
+        factor = jnp.where(mu_old > 1e-20, factor, bopt.mu_update_factor)
+        linear = factor * mu_old
+        superlinear = mu_old ** bopt.mu_update_power
+        mu_cand = jnp.maximum(
+            jnp.minimum(linear, superlinear),
+            jnp.maximum(bopt.mu_min_value, options.tolerance / 100.0),
+        )
+        mu_new = jnp.where(kkt <= threshold, mu_cand, mu_old)
+    else:
+        weighted_du = scaled_inf_du * options.ipddp.barrier_update_dual_weight
+        kkt = jnp.maximum(jnp.maximum(c.inf_pr, weighted_du), scaled_inf_comp)
+        linear = bopt.mu_update_factor * mu_old
+        superlinear = mu_old ** bopt.mu_update_power
+        mu_cand = jnp.maximum(bopt.mu_min_value, jnp.minimum(linear, superlinear))
+        mu_new = jnp.where(kkt <= options.ipddp.mu_kappa_epsilon * mu_old, mu_cand, mu_old)
+
+    h_T = tstk.eq_evaluate(c.X[-1]) if has_te else jnp.zeros((0,), c.X.dtype)
+    filter_theta = jnp.maximum(
+        _theta(options, c.G, c.S, c.G_T, c.S_T, h_T), 1e-8
+    )
+
+    reset = (mu_new < mu_old) & (mu_new > 0.0)
+
+    # Filter maintenance — both paths computed, selected by `reset`.
+    cleared = flt.clear(c.filt)
+    if has_te or has_ti:
+        cleared, _ = flt.accept_entry(cleared, c.phi, filter_theta)
+    kept, _ = flt.accept_entry(c.filt, c.phi, filter_theta)
+    kept = jax.lax.cond(
+        flt.size(kept) > options.ipddp.max_filter_size,
+        flt.prune_to_best,
+        lambda f: f,
+        kept,
+    )
+    filt_new = jax.tree.map(
+        lambda a, b: jnp.where(reset, a, b), cleared, kept
+    )
+
+    inf_pr, inf_comp = _primal_comp(
+        c.G, c.S, c.Y, c.G_T, c.S_T, c.Y_T, h_T, mu_new
+    )
+    merit = _barrier_merit(c.cost, c.S, c.S_T, c.Lambda_T_eq, h_T, mu_new, has_te)
+    theta = jnp.maximum(filter_theta, max(options.ipddp.theta_0_floor, 1e-8))
+
+    return c._replace(
+        mu=mu_new,
+        filt=filt_new,
+        phi=merit,
+        filter_theta=filter_theta,
+        theta=theta,
+        merit=merit,
+        inf_pr=inf_pr,
+        inf_comp=inf_comp,
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
+
+
+def _cold_mu(problem, options, has_any_constraint: bool):
+    if not has_any_constraint:
+        return max(options.tolerance / 10.0, options.ipddp.barrier.mu_min_value)
+    return options.ipddp.barrier.mu_initial
+
+
+def _init_dual_slack(G, mu, options):
+    """s = max(s0, -g + offset); y = mu*scale / max(s, eps)
+    (initializeDualSlackVariables, ipddp_solver.cpp:2428-2480)."""
+    S = jnp.maximum(options.ipddp.slack_var_init_scale, -G + SLACK_INTERIOR_OFFSET)
+    Y = (mu * options.ipddp.dual_var_init_scale) / jnp.maximum(S, EPS_SLACK)
+    return Y, S
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _solve(problem: Problem, options: CDDPOptions, X0, U0, warm: Optional[IPDDPSolverState]):
+    stk = PathStacker(problem)
+    tstk = TerminalStacker(problem)
+    has_path = bool(stk)
+    has_ti = tstk.ineq_dim > 0
+    has_te = tstk.eq_dim > 0
+    has_any = has_path or has_ti or has_te
+    no_barrier = not has_path and not has_ti
+
+    nx, nu, N = problem.state_dim, problem.control_dim, problem.horizon
+    m, mT, p = stk.total_dim, tstk.ineq_dim, tstk.eq_dim
+    dtype = X0.dtype
+
+    # --- cold-start initialization (ipddp_solver.cpp:820-914) -------------
+    U = U0
+    X = open_loop_rollout(problem.model, problem.x0, U, problem.timestep)
+    mu0 = jnp.asarray(_cold_mu(problem, options, has_any), dtype)
+
+    G = _eval_path(problem, stk, X, U)
+    if has_path:
+        Y, S = _init_dual_slack(G, mu0, options)
+    else:
+        Y = jnp.zeros((N, 0), dtype)
+        S = jnp.zeros((N, 0), dtype)
+
+    G_T = tstk.ineq_evaluate(X[-1])
+    if has_ti:
+        S_T = jnp.maximum(
+            options.ipddp.slack_var_init_scale, -G_T + SLACK_INTERIOR_OFFSET
+        )
+        Y_T = (mu0 * options.ipddp.dual_var_init_scale) / jnp.maximum(S_T, EPS_SLACK)
+    else:
+        S_T = jnp.zeros((0,), dtype)
+        Y_T = jnp.zeros((0,), dtype)
+
+    Lambda = jnp.zeros((N + 1, nx), dtype)
+    Lambda_T_eq = jnp.zeros((p,), dtype)
+
+    if warm is not None and options.warm_start:
+        # Warm start with existing solver state (ipddp_solver.cpp:652-817):
+        # keep U/gains/duals/slacks/costates, re-rollout X, restart mu.
+        mu0 = jnp.asarray(options.ipddp.barrier.mu_initial * 0.1, dtype)
+        Y, S = warm.Y, warm.S
+        Y_T, S_T = warm.Y_T, warm.S_T
+        Lambda = warm.Lambda
+        Lambda_T_eq = warm.Lambda_T_eq
+        # Staleness reinit per step (warmstartNeedsReinit, :264-292).
+        if has_path:
+            def repair(y, s, g):
+                required = jnp.maximum(
+                    options.ipddp.slack_var_init_scale, -g + SLACK_INTERIOR_OFFSET
+                )
+                bad = (
+                    jnp.any(y <= EPS_DUAL)
+                    | jnp.any(s <= EPS_SLACK)
+                    | jnp.any(s < 0.1 * required)
+                    | ~jnp.all(jnp.isfinite(y))
+                    | ~jnp.all(jnp.isfinite(s))
+                )
+                y_new, s_new = _init_dual_slack(g, mu0, options)
+                return (
+                    jnp.where(bad, y_new, y),
+                    jnp.where(bad, s_new, s),
+                )
+
+            Y, S = jax.vmap(repair)(Y, S, G)
+
+    cost0 = problem.objective.evaluate(X, U)
+    h_T0 = tstk.eq_evaluate(X[-1]) if has_te else jnp.zeros((0,), dtype)
+
+    # resetFilter (ipddp_solver.cpp:2484-2524).
+    inf_pr0, inf_comp0 = _primal_comp(G, S, Y, G_T, S_T, Y_T, h_T0, mu0)
+    merit0 = _barrier_merit(cost0, S, S_T, Lambda_T_eq, h_T0, mu0, has_te)
+    filter_theta0 = jnp.maximum(_theta(options, G, S, G_T, S_T, h_T0), 1e-8)
+    theta0 = jnp.maximum(filter_theta0, max(options.ipddp.theta_0_floor, 1e-8))
+    filt0 = flt.empty_filter(options.ipddp.max_filter_size + 2, dtype)
+    if has_ti or has_te:
+        filt0, _ = flt.accept_entry(filt0, merit0, filter_theta0)
+
+    bp0 = _BP(
+        k_u=jnp.zeros((N, nu), dtype),
+        K_u=jnp.zeros((N, nu, nx), dtype),
+        k_y=jnp.zeros((N, m), dtype),
+        K_y=jnp.zeros((N, m, nx), dtype),
+        k_s=jnp.zeros((N, m), dtype),
+        K_s=jnp.zeros((N, m, nx), dtype),
+        k_lambda=jnp.zeros((N + 1, nx), dtype),
+        K_lambda=jnp.zeros((N + 1, nx, nx), dtype),
+        dY=jnp.zeros((N, m), dtype),
+        dS=jnp.zeros((N, m), dtype),
+        dS_T=jnp.zeros((mT,), dtype),
+        dY_T=jnp.zeros((mT,), dtype),
+        dLambda_T_eq=jnp.zeros((p,), dtype),
+        dV=jnp.zeros((2,), dtype),
+        inf_pr=inf_pr0,
+        inf_du=jnp.zeros((), dtype),
+        inf_comp=inf_comp0,
+        step_norm=jnp.zeros((), dtype),
+        ok=jnp.asarray(True),
+    )
+
+    if warm is not None and options.warm_start:
+        bp0 = bp0._replace(k_u=warm.k_u, K_u=warm.K_u)
+
+    init = _Carry(
+        X=X, U=U, Y=Y, S=S, G=G, Lambda=Lambda, Y_T=Y_T, S_T=S_T, G_T=G_T,
+        Lambda_T_eq=Lambda_T_eq, bp=bp0, mu=mu0, filt=filt0, phi=merit0,
+        filter_theta=filter_theta0, theta=theta0, cost=cost0, merit=merit0,
+        reg=jnp.asarray(options.regularization.initial_value, dtype),
+        inf_pr=inf_pr0, inf_du=jnp.zeros((), dtype), inf_comp=inf_comp0,
+        step_norm=jnp.zeros((), dtype), alpha_pr=jnp.asarray(1.0, dtype),
+        alpha_du=jnp.asarray(1.0, dtype), it=jnp.asarray(0, jnp.int32),
+        status=jnp.asarray(Status.MAX_ITERATIONS_REACHED, jnp.int32),
+        done=jnp.asarray(False),
+    )
+
+    alphas = base.alphas_array(options, dtype)
+
+    def backward(c: _Carry, reg):
+        if has_te:
+            return _backward_terminal_eq(
+                problem, options, stk, tstk, c.X, c.U, c.Y, c.S, c.G, c.Y_T,
+                c.S_T, c.Lambda, c.Lambda_T_eq, c.mu, reg,
+            )
+        return _backward_condensed(
+            problem, options, stk, tstk, c.X, c.U, c.Y, c.S, c.G, c.Y_T, c.S_T,
+            c.mu, reg,
+        )
+
+    def cond(c: _Carry):
+        return (~c.done) & (c.it < options.max_iterations)
+
+    def body(c: _Carry) -> _Carry:
+        it = c.it + 1
+
+        # --- backward pass with regularization retry ----------------------
+        def bp_cond(s):
+            _, _, bp_done, _ = s
+            return ~bp_done
+
+        def bp_body(s):
+            _, reg, _, _ = s
+            bp = backward(c, reg)
+            reg_next = jnp.where(bp.ok, reg, base.increase_regularization(reg, options))
+            limit = (~bp.ok) & base.regularization_limit_reached(reg_next, options)
+            return bp, reg_next, bp.ok | limit, limit
+
+        bp_i = backward(c, c.reg)
+        reg1 = jnp.where(bp_i.ok, c.reg, base.increase_regularization(c.reg, options))
+        lim0 = (~bp_i.ok) & base.regularization_limit_reached(reg1, options)
+        bp, reg, _, bp_limit = jax.lax.while_loop(
+            bp_cond, bp_body, (bp_i, reg1, bp_i.ok | lim0, lim0)
+        )
+
+        c1 = c._replace(
+            bp=bp, reg=reg, inf_pr=bp.inf_pr, inf_du=bp.inf_du,
+            inf_comp=bp.inf_comp, step_norm=bp.step_norm, it=it,
+        )
+
+        bp_fail_out = c1._replace(
+            status=jnp.asarray(Status.REGULARIZATION_LIMIT_NOT_CONVERGED, jnp.int32),
+            done=jnp.asarray(True),
+        )
+
+        def after_backward(c1: _Carry) -> _Carry:
+            # --- early convergence (checkEarlyConvergence, :925-958) -------
+            if no_barrier:
+                early = (c1.inf_pr < options.tolerance) & (
+                    c1.inf_du < options.tolerance
+                )
+            else:
+                tol = jnp.maximum(options.tolerance, options.ipddp.barrier_tol_mult * c1.mu)
+                accepted_step = jnp.abs(c1.alpha_pr) * c1.step_norm
+                early = (
+                    (c1.inf_pr < tol)
+                    & (c1.inf_du < tol)
+                    & (c1.inf_comp < tol)
+                    & (accepted_step < options.tolerance * 10.0)
+                )
+
+            # --- forward pass over the alpha ladder -------------------------
+            a_pr_max, a_du_max = _max_step_sizes(
+                c1.S, c1.Y, c1.bp.dS, c1.bp.dY, c1.S_T, c1.Y_T, c1.bp.dS_T,
+                c1.bp.dY_T, c1.mu, options,
+            )
+            fp = jax.vmap(
+                lambda a: _forward_pass(
+                    problem, options, stk, tstk, c1, a, a_pr_max, a_du_max,
+                    has_path, has_ti, has_te,
+                )
+            )(alphas)
+            sel = base.select_forward_result(
+                fp["success"], fp["merit"], options.enable_parallel
+            )
+            take = lambda arr: jax.tree.map(lambda v: v[sel.index], arr)
+            fp_ok = sel.success & ~early
+
+            def commit(ci: _Carry) -> _Carry:
+                r = take(fp)
+                dJ = ci.cost - r["cost"]
+                c2 = ci._replace(
+                    X=r["X"], U=r["U"], Y=r["Y"], S=r["S"], G=r["G"],
+                    Lambda=r["Lambda"], S_T=r["S_T"], Y_T=r["Y_T"], G_T=r["G_T"],
+                    Lambda_T_eq=r["Lambda_T_eq"], cost=r["cost"],
+                    merit=r["merit"], inf_pr=r["inf_pr"], inf_comp=r["inf_comp"],
+                    phi=r["merit"], filter_theta=r["theta"], theta=r["theta"],
+                    alpha_pr=r["alpha_pr"], alpha_du=r["alpha_du"],
+                    reg=base.decrease_regularization(ci.reg, options),
+                )
+                # Barrier + filter update BEFORE the convergence check
+                # (applyForwardPassResult, :1944-1950).
+                c2 = _update_barrier_and_filter(
+                    problem, options, stk, tstk, c2, has_path, has_ti, has_te
+                )
+
+                # --- convergence (checkConvergence, :1953-2025) ------------
+                if no_barrier:
+                    conv_opt = (c2.inf_pr < options.tolerance) & (
+                        c2.inf_du < options.tolerance
+                    )
+                    sqrt_atol = jnp.sqrt(options.acceptable_tolerance)
+                    acc = (
+                        (c2.inf_pr < sqrt_atol)
+                        & (c2.inf_du < sqrt_atol)
+                        & (it > 50)
+                    )
+                    acc = acc | (
+                        (dJ > 0.0)
+                        & (dJ < options.acceptable_tolerance)
+                        & (it > 50)
+                        & (c2.inf_pr < sqrt_atol)
+                        & (c2.inf_du < sqrt_atol)
+                    )
+                    conv_acc = acc if options.acceptable_tolerance > 0 else jnp.asarray(False)
+                else:
+                    tol2 = jnp.maximum(
+                        options.tolerance, options.ipddp.barrier_tol_mult * c2.mu
+                    )
+                    conv_opt = (
+                        (c2.inf_pr < tol2)
+                        & (c2.inf_du < tol2)
+                        & (c2.inf_comp < tol2)
+                        & (c2.step_norm < options.tolerance * 10.0)
+                    )
+                    accept_tol = jnp.sqrt(options.acceptable_tolerance)
+                    barrier_accept_tol = max(
+                        options.ipddp.barrier.mu_min_value * 100.0,
+                        options.tolerance / 10.0,
+                    )
+                    acc_kkt = (
+                        (c2.inf_pr < accept_tol)
+                        & (c2.inf_du < accept_tol)
+                        & (c2.inf_comp < accept_tol)
+                    )
+                    barrier_done = c2.mu <= barrier_accept_tol
+                    acc = (
+                        acc_kkt
+                        & barrier_done
+                        & (it > 10)
+                        & (jnp.abs(dJ) < options.acceptable_tolerance)
+                    )
+                    acc = acc | (
+                        acc_kkt
+                        & barrier_done
+                        & (it >= 1)
+                        & (c2.step_norm < options.tolerance * 10.0)
+                        & (c2.inf_pr < 1e-4)
+                    )
+                    conv_acc = acc if options.acceptable_tolerance > 0 else jnp.asarray(False)
+
+                status = jnp.where(
+                    conv_opt,
+                    Status.OPTIMAL_SOLUTION_FOUND,
+                    jnp.where(conv_acc, Status.ACCEPTABLE_SOLUTION_FOUND, ci.status),
+                ).astype(jnp.int32)
+                return c2._replace(status=status, done=conv_opt | conv_acc)
+
+            def fail(ci: _Carry) -> _Carry:
+                # handleForwardPassFailure (:2037-2082).
+                reg_n = base.increase_regularization(ci.reg, options)
+                if (not no_barrier) and has_te:
+                    reg_n = base.increase_regularization(reg_n, options)
+                limit = base.regularization_limit_reached(reg_n, options)
+                if no_barrier:
+                    accept_tol = jnp.sqrt(
+                        max(options.acceptable_tolerance, options.tolerance)
+                    )
+                    acceptable = (
+                        (options.acceptable_tolerance > 0)
+                        & (ci.inf_pr < accept_tol)
+                        & (ci.inf_du < accept_tol)
+                    )
+                else:
+                    accept_tol = jnp.maximum(
+                        jnp.sqrt(max(options.acceptable_tolerance, options.tolerance)),
+                        options.ipddp.barrier_tol_mult * ci.mu,
+                    )
+                    acceptable = (
+                        (options.acceptable_tolerance > 0)
+                        & (ci.inf_pr < accept_tol)
+                        & (ci.inf_du < accept_tol)
+                        & (ci.inf_comp < accept_tol)
+                    )
+                status = jnp.where(
+                    limit & acceptable,
+                    Status.ACCEPTABLE_SOLUTION_FOUND,
+                    jnp.where(
+                        limit, Status.REGULARIZATION_LIMIT_NOT_CONVERGED, ci.status
+                    ),
+                ).astype(jnp.int32)
+                return ci._replace(reg=reg_n, status=status, done=limit)
+
+            c_next = jax.lax.cond(fp_ok, commit, fail, c1)
+
+            early_out = c1._replace(
+                status=jnp.asarray(Status.OPTIMAL_SOLUTION_FOUND, jnp.int32),
+                done=jnp.asarray(True),
+            )
+            return jax.tree.map(
+                lambda a, b: jnp.where(early, a, b), early_out, c_next
+            )
+
+        return jax.lax.cond(bp_limit, lambda ci: bp_fail_out, after_backward, c1)
+
+    out = jax.lax.while_loop(cond, body, init)
+
+    time_points = jnp.arange(N + 1, dtype=dtype) * problem.timestep
+    solver_state = IPDDPSolverState(
+        k_u=out.bp.k_u, K_u=out.bp.K_u, Y=out.Y, S=out.S, Lambda=out.Lambda,
+        Y_T=out.Y_T, S_T=out.S_T, Lambda_T_eq=out.Lambda_T_eq,
+    )
+    sol = Solution(
+        solver_name="IPDDP",
+        status_code=out.status,
+        iterations_completed=out.it,
+        final_objective=out.cost,
+        final_step_length=out.alpha_pr,
+        final_regularization=out.reg,
+        time_points=time_points,
+        state_trajectory=out.X,
+        control_trajectory=out.U,
+        feedback_gains=out.bp.K_u,
+        feedforward_gains=out.bp.k_u,
+        dual_trajectories=stk.split(out.Y) if has_path else None,
+        slack_trajectories=stk.split(out.S) if has_path else None,
+        costate_trajectory=out.Lambda,
+        terminal_duals=(
+            {**tstk.split_ineq(out.Y_T), **tstk.split_eq(out.Lambda_T_eq)}
+            if (has_ti or has_te)
+            else None
+        ),
+        barrier_mu=out.mu,
+        inf_pr=out.inf_pr,
+        inf_du=out.inf_du,
+        inf_comp=out.inf_comp,
+    )
+    return sol, solver_state
+
+
+def solve(
+    problem: Problem,
+    options: CDDPOptions = CDDPOptions(),
+    X0: Optional[jax.Array] = None,
+    U0: Optional[jax.Array] = None,
+    state: Optional[IPDDPSolverState] = None,
+    return_state: bool = False,
+):
+    """Solve with IPDDP. Pass ``state`` from a previous solve (with
+    ``options.warm_start=True``) to warm start; ``return_state=True`` also
+    returns the :class:`IPDDPSolverState` checkpoint pytree."""
+    X, U = problem.initial_trajectories(X0, U0)
+    warm = state if options.warm_start else None
+    sol, new_state = _solve(problem, options, X, U, warm)
+    if return_state:
+        return sol, new_state
+    return sol

@@ -1,0 +1,167 @@
+"""IPDDP solver integration tests.
+
+Mirrors tests/cddp_core/test_ipddp_solver.cpp tiers: pendulum swing-up with a
+control box (examples/cddp_pendulum.cpp config), unicycle ball-obstacle
+avoidance (python portfolio demo), terminal equality/inequality handling,
+unsupported-terminal-type rejection, warm starting, and vmap batching.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import cddp_tpu as ct
+from cddp_tpu.models import Pendulum, Unicycle
+from cddp_tpu.solvers import ipddp
+
+
+def _pendulum_problem(N=100, dt=0.02, bound=20.0):
+    # examples/cddp_pendulum.cpp:23-67 configuration.
+    model = Pendulum(length=0.5, mass=1.0, damping=0.01)
+    goal = jnp.array([0.0, 0.0])
+    obj = ct.quadratic_objective(
+        jnp.zeros((2, 2)), 0.1 * jnp.eye(1), 100.0 * jnp.eye(2), goal, dt
+    )
+    prob = ct.problem(model, obj, jnp.array([jnp.pi, 0.0]), N, dt)
+    prob = prob.add_constraint(
+        "ControlConstraint",
+        ct.control_constraint(jnp.array([-bound]), jnp.array([bound])),
+    )
+    return prob, goal
+
+
+def test_pendulum_swingup_ipddp():
+    prob, goal = _pendulum_problem()
+    opts = ct.CDDPOptions(max_iterations=300, tolerance=1e-4, acceptable_tolerance=1e-5)
+    sol = ipddp.solve(prob, opts)
+    assert sol.status_message in (
+        "OptimalSolutionFound",
+        "AcceptableSolutionFound",
+    ), sol.status_message
+    err = float(jnp.linalg.norm(sol.state_trajectory[-1] - goal))
+    assert err < 0.3, err
+    assert float(jnp.max(jnp.abs(sol.control_trajectory))) <= 20.0 + 1e-6
+    # Duals/slacks positive at the solution
+    for name, y in sol.dual_trajectories.items():
+        assert float(y.min()) > 0
+    for name, s in sol.slack_trajectories.items():
+        assert float(s.min()) > 0
+
+
+def test_unicycle_ball_obstacle():
+    # python_portfolio_lib.py:374-475: unicycle to (2,2) avoiding ball at
+    # (1,1) with radius 0.4; control box.
+    dt, N = 0.03, 100
+    model = Unicycle()
+    goal = jnp.array([2.0, 2.0, jnp.pi / 2])
+    obj = ct.quadratic_objective(
+        jnp.zeros((3, 3)), 0.05 * jnp.eye(2), 100.0 * jnp.eye(3), goal, dt
+    )
+    prob = ct.problem(model, obj, jnp.zeros(3), N, dt)
+    prob = prob.add_constraint(
+        "ControlConstraint",
+        ct.control_constraint(jnp.array([-2.0, -jnp.pi]), jnp.array([2.0, jnp.pi])),
+    )
+    prob = prob.add_constraint(
+        "BallConstraint", ct.ball_constraint(0.4, jnp.array([1.0, 1.0]))
+    )
+    opts = ct.CDDPOptions(max_iterations=400, tolerance=1e-4, acceptable_tolerance=1e-5)
+    # Seed straight-line-ish controls like the portfolio demo
+    U0 = jnp.tile(jnp.array([0.5, 0.0]), (N, 1))
+    sol = ipddp.solve(prob, opts, U0=U0)
+
+    err = float(jnp.linalg.norm(sol.state_trajectory[-1] - goal))
+    assert err < 0.5, (sol.status_message, err)
+    # Obstacle avoidance: min distance from center >= radius (small slack tol)
+    d = jnp.linalg.norm(sol.state_trajectory[:, :2] - jnp.array([1.0, 1.0]), axis=1)
+    assert float(d.min()) > 0.4 - 0.05, float(d.min())
+
+
+def test_unconstrained_ipddp_runs():
+    model = Pendulum(length=0.5, mass=1.0, damping=0.01)
+    dt, N = 0.02, 100
+    goal = jnp.array([0.0, 0.0])
+    obj = ct.quadratic_objective(
+        jnp.zeros((2, 2)), 0.1 * jnp.eye(1), 100.0 * jnp.eye(2), goal, dt
+    )
+    prob = ct.problem(model, obj, jnp.array([jnp.pi, 0.0]), N, dt)
+    opts = ct.CDDPOptions(max_iterations=200, tolerance=1e-5)
+    sol = ipddp.solve(prob, opts)
+    err = float(jnp.linalg.norm(sol.state_trajectory[-1] - goal))
+    assert err < 0.3, (sol.status_message, err)
+
+
+def test_terminal_equality():
+    # Pendulum with terminal equality to the upright state
+    # (test_ipddp_solver.cpp:1147-1254 analogue).
+    prob, goal = _pendulum_problem(N=100, dt=0.02)
+    prob = prob.add_terminal_constraint(
+        "TerminalEqualityConstraint", ct.terminal_equality_constraint(goal)
+    )
+    opts = ct.CDDPOptions(max_iterations=400, tolerance=1e-4, acceptable_tolerance=1e-5)
+    sol = ipddp.solve(prob, opts)
+    residual = float(jnp.linalg.norm(sol.state_trajectory[-1] - goal))
+    assert residual < 1e-2, (sol.status_message, residual)
+    assert "TerminalEqualityConstraint" in sol.terminal_duals
+
+
+def test_terminal_inequality():
+    # Terminal box |x_N| <= 0.05 via A=[I;-I].
+    prob, goal = _pendulum_problem(N=100, dt=0.02)
+    A = jnp.concatenate([jnp.eye(2), -jnp.eye(2)], axis=0)
+    b = jnp.full((4,), 0.05)
+    prob = prob.add_terminal_constraint(
+        "TerminalInequalityConstraint", ct.terminal_inequality_constraint(A, b)
+    )
+    opts = ct.CDDPOptions(max_iterations=400, tolerance=1e-4, acceptable_tolerance=1e-5)
+    sol = ipddp.solve(prob, opts)
+    g = np.asarray(A @ sol.state_trajectory[-1] - b)
+    assert (g < 0.02).all(), (sol.status_message, g)
+
+
+def test_unsupported_terminal_type_rejected():
+    prob, goal = _pendulum_problem(N=20)
+
+    class Fake(ct.TerminalConstraint):
+        pass
+
+    prob = prob.add_terminal_constraint("Weird", Fake(dual_dim=1))
+    with pytest.raises(TypeError, match="unsupported type"):
+        ipddp.solve(prob, ct.CDDPOptions(max_iterations=1))
+
+
+def test_warm_start_fewer_iterations():
+    # test_ipddp_solver.cpp:470-549: warm start should not take many more
+    # iterations than cold start from the solved point.
+    prob, goal = _pendulum_problem(N=100, dt=0.02)
+    opts = ct.CDDPOptions(max_iterations=300, tolerance=1e-4, acceptable_tolerance=1e-5)
+    cold, state = ipddp.solve(prob, opts, return_state=True)
+    warm_opts = opts.replace(warm_start=True)
+    warm = ipddp.solve(
+        prob,
+        warm_opts,
+        X0=cold.state_trajectory,
+        U0=cold.control_trajectory,
+        state=state,
+    )
+    assert int(warm.iterations_completed) <= int(cold.iterations_completed) + 5
+
+
+def test_vmap_batched_ipddp():
+    prob, goal = _pendulum_problem(N=50)
+    opts = ct.CDDPOptions(max_iterations=50, tolerance=1e-3)
+
+    x0s = jnp.stack(
+        [jnp.array([jnp.pi, 0.0]), jnp.array([2.5, 0.1]), jnp.array([3.0, -0.2])]
+    )
+
+    def solve_one(x0):
+        p = prob.replace(x0=x0)
+        s = ipddp.solve(p, opts)
+        return s.final_objective, s.state_trajectory
+
+    bc, bX = jax.vmap(solve_one)(x0s)
+    for i in range(3):
+        ci, Xi = solve_one(x0s[i])
+        np.testing.assert_allclose(float(bc[i]), float(ci), rtol=1e-9)
