@@ -1,0 +1,71 @@
+"""Benchmark: batched unicycle MPC solves/sec on one TPU chip.
+
+BASELINE.json north-star: >10k batched unicycle MPC solves/sec on a single
+v5e chip (the reference C++ library is strictly sequential per solve — no
+analogous number exists; 10k/s is the target set in BASELINE.md).
+
+One "solve" = a cold control-limited unicycle MPC solve (H=20, dt=0.05,
+CLDDP with BoxQP, 10 iterations max) — the per-tick workload of a
+receding-horizon controller. The whole vmapped batch of solves is a single
+XLA program; throughput = batch / wall-clock.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    dtype = jnp.float32  # TPU-native precision for the throughput path
+    batch = int(os.environ.get("BENCH_BATCH", "4096"))
+    reps = int(os.environ.get("BENCH_REPS", "5"))
+
+    import cddp_tpu as ct
+    from cddp_tpu.parallel.batch import batched_solve
+    from __graft_entry__ import _flagship_problem
+
+    prob = _flagship_problem(horizon=20, dtype=dtype)
+    opts = ct.CDDPOptions(max_iterations=10, tolerance=1e-4)
+
+    key = jax.random.PRNGKey(0)
+    x0 = jax.random.uniform(
+        key, (batch, 3), dtype, minval=-0.5, maxval=0.5
+    )
+
+    @jax.jit
+    def run(x0_batch):
+        sol = batched_solve(prob, x0_batch, solver="CLDDP", options=opts)
+        return sol.final_objective, sol.control_trajectory
+
+    # Warmup / compile
+    costs, _ = run(x0)
+    costs.block_until_ready()
+    assert bool(jnp.all(jnp.isfinite(costs))), "non-finite costs in warmup"
+
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        costs, U = run(x0)
+    costs.block_until_ready()
+    elapsed = time.perf_counter() - t0
+
+    solves_per_sec = batch * reps / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "batched_unicycle_mpc_solves_per_sec",
+                "value": round(solves_per_sec, 1),
+                "unit": "solves/s",
+                "vs_baseline": round(solves_per_sec / 10000.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

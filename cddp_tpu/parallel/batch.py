@@ -1,0 +1,113 @@
+"""Batched solving and receding-horizon MPC.
+
+This is the TPU payoff the reference cannot express (SURVEY.md §2.7: the
+reference is strictly sequential per solve; its only parallelism is
+std::async over line-search alphas). Here a whole solver — iteration loop,
+backward scans, BoxQP, filter line search — is one XLA program, so
+``vmap`` over problem instances amortizes the tiny per-problem matrices
+across thousands of trajectories and keeps the TPU busy.
+
+The MPC driver mirrors the reference's closed-loop pattern
+(examples/ipddp_mpcc_rc.py:649: per-tick solve, apply first control,
+shift/warm-start) as a pure jittable step function, so a fleet of
+controllers is just another vmap axis.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from cddp_tpu.options import CDDPOptions
+from cddp_tpu.problem import Problem
+
+
+def batched_solve(
+    problem: Problem,
+    x0_batch: jax.Array,
+    solver: str = "CLDDP",
+    options: CDDPOptions = CDDPOptions(),
+    U0_batch: Optional[jax.Array] = None,
+):
+    """Solve one problem structure for a batch of initial states.
+
+    ``x0_batch``: (B, nx). Returns a Solution pytree with leading batch axis.
+    Row i equals the unbatched solve of instance i (batching-invariance is a
+    test guarantee, SURVEY.md §4).
+    """
+    from cddp_tpu.solvers import get_solver
+
+    solve_fn = get_solver(solver)
+
+    def one(x0, U0):
+        p = problem.replace(x0=x0)
+        X0 = jnp.broadcast_to(x0, (problem.horizon + 1, x0.shape[0]))
+        return solve_fn(p, options, X0=X0, U0=U0)
+
+    if U0_batch is None:
+        U0_batch = jnp.zeros(
+            (x0_batch.shape[0], problem.horizon, problem.control_dim),
+            x0_batch.dtype,
+        )
+    return jax.vmap(one)(x0_batch, U0_batch)
+
+
+class MPCState(NamedTuple):
+    """Controller state carried between MPC ticks: shifted control plan and
+    previous solution trajectories (primal warm start; the reference preserves
+    these via CDDP::setInitialTrajectory, cddp_core.cpp:126-141)."""
+
+    U_plan: jax.Array  # (N, nu)
+    X_plan: jax.Array  # (N+1, nx)
+
+
+def make_mpc_controller(
+    problem: Problem,
+    solver: str = "CLDDP",
+    options: CDDPOptions = CDDPOptions(),
+    reference_fn: Optional[Callable] = None,
+):
+    """Build (init_fn, step_fn) for warm-started receding-horizon MPC.
+
+    step_fn(state, x_current, tick) -> (u_apply, new_state, info) is pure and
+    jittable; vmap it over a fleet of (state, x) for batched MPC. If
+    ``reference_fn(tick) -> (N, nx)`` is given, the objective's reference
+    trajectory is rebuilt each tick (the MPCC pattern of
+    examples/ipddp_mpcc_rc.py:629-649).
+    """
+    from cddp_tpu.solvers import get_solver
+
+    solve_fn = get_solver(solver)
+    N, nu, nx = problem.horizon, problem.control_dim, problem.state_dim
+
+    def init_fn(x0) -> MPCState:
+        dtype = jnp.asarray(x0).dtype
+        return MPCState(
+            U_plan=jnp.zeros((N, nu), dtype),
+            X_plan=jnp.broadcast_to(jnp.asarray(x0), (N + 1, nx)).astype(dtype),
+        )
+
+    def step_fn(state: MPCState, x_current, tick=0):
+        p = problem.replace(x0=x_current)
+        if reference_fn is not None:
+            refs = reference_fn(tick)
+            p = p.replace(objective=p.objective.replace(reference_states=refs))
+        X0 = state.X_plan.at[0].set(x_current)
+        sol = solve_fn(p, options, X0=X0, U0=state.U_plan)
+        U = sol.control_trajectory
+        X = sol.state_trajectory
+        u_apply = U[0]
+        # Shift plan one step for the next tick (standard receding horizon).
+        U_next = jnp.concatenate([U[1:], U[-1:]], axis=0)
+        X_next = jnp.concatenate([X[1:], X[-1:]], axis=0)
+        info = dict(
+            cost=sol.final_objective,
+            iterations=sol.iterations_completed,
+            status=sol.status_code,
+        )
+        return u_apply, MPCState(U_plan=U_next, X_plan=X_next), info
+
+    return init_fn, step_fn

@@ -1,0 +1,85 @@
+"""LogDDP solver tests (mirror of tests/cddp_core/test_logddp_solver.cpp:
+constrained swing-up via relaxed log-barrier, barrier decay, convergence)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import cddp_tpu as ct
+from cddp_tpu.constraints.barrier import RelaxedLogBarrier, beta_derivatives
+from cddp_tpu.models import Pendulum, Unicycle
+from cddp_tpu.solvers import logddp
+
+
+def test_beta_derivatives_match_ad():
+    # beta is C2 at the switch; check both branches against AD of the value.
+    delta = 1e-1
+    for z0 in (0.5, 0.05, 0.15, 2.0):
+        z = jnp.asarray(z0)
+        v, p, pp = beta_derivatives(z, delta)
+        p_ad = jax.grad(lambda zz: beta_derivatives(zz, delta)[0])(z)
+        pp_ad = jax.grad(lambda zz: beta_derivatives(zz, delta)[1])(z)
+        np.testing.assert_allclose(p, p_ad, rtol=1e-10)
+        np.testing.assert_allclose(pp, pp_ad, rtol=1e-10)
+
+
+def test_barrier_gradients_match_ad():
+    c = ct.control_constraint(jnp.array([-2.0]), jnp.array([2.0]))
+    b = RelaxedLogBarrier(barrier_coeff=0.1, relaxation_delta=1e-2)
+    x = jnp.array([0.3, -0.1])
+    u = jnp.array([1.5])
+    gx, gu = b.gradients(c, x, u)
+    gx_ad = jax.grad(lambda xx: b.evaluate(c, xx, u))(x)
+    gu_ad = jax.grad(lambda uu: b.evaluate(c, x, uu))(u)
+    np.testing.assert_allclose(gx, gx_ad, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(gu, gu_ad, rtol=1e-9, atol=1e-12)
+    hxx, huu, hux = b.hessians(c, x, u)
+    huu_ad = jax.hessian(lambda uu: b.evaluate(c, x, uu))(u)
+    np.testing.assert_allclose(huu, huu_ad, rtol=1e-9, atol=1e-12)
+
+
+def test_pendulum_logddp():
+    dt, N = 0.05, 200
+    model = Pendulum(length=1.0, mass=1.0, damping=0.0)
+    goal = jnp.array([0.0, 0.0])
+    obj = ct.quadratic_objective(
+        jnp.zeros((2, 2)), 0.1 * jnp.eye(1), 100.0 * jnp.eye(2), goal, dt
+    )
+    prob = ct.problem(model, obj, jnp.array([jnp.pi, 0.0]), N, dt)
+    prob = prob.add_constraint(
+        "ControlConstraint",
+        ct.control_constraint(jnp.array([-10.0]), jnp.array([10.0])),
+    )
+    opts = ct.CDDPOptions(max_iterations=300, tolerance=1e-4, acceptable_tolerance=1e-6)
+    sol = logddp.solve(prob, opts)
+    err = float(jnp.linalg.norm(sol.state_trajectory[-1] - goal))
+    assert err < 0.3, (sol.status_message, err)
+    # Barrier keeps controls inside the box (up to mild relaxation)
+    assert float(jnp.max(jnp.abs(sol.control_trajectory))) < 10.0 + 0.2
+    # Barrier coefficient decayed from its initial value
+    assert float(sol.barrier_mu) < 1.0
+
+
+def test_unicycle_logddp_unconstrained():
+    dt, N = 0.03, 100
+    model = Unicycle()
+    goal = jnp.array([2.0, 2.0, jnp.pi / 2])
+    obj = ct.quadratic_objective(
+        jnp.zeros((3, 3)), 0.05 * jnp.eye(2), 100.0 * jnp.eye(3), goal, dt
+    )
+    prob = ct.problem(model, obj, jnp.zeros(3), N, dt)
+    opts = ct.CDDPOptions(max_iterations=200, tolerance=1e-4)
+    sol = logddp.solve(prob, opts)
+    err = float(jnp.linalg.norm(sol.state_trajectory[-1] - goal))
+    assert err < 0.3, (sol.status_message, err)
+
+
+def test_logddp_dispatch():
+    dt, N = 0.05, 50
+    model = Pendulum()
+    obj = ct.quadratic_objective(
+        jnp.zeros((2, 2)), 0.1 * jnp.eye(1), 10.0 * jnp.eye(2), jnp.zeros(2), dt
+    )
+    prob = ct.problem(model, obj, jnp.array([0.5, 0.0]), N, dt)
+    sol = ct.solve(prob, "LogDDP", ct.CDDPOptions(max_iterations=20))
+    assert sol.solver_name == "LogDDP"
