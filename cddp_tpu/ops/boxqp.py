@@ -78,6 +78,106 @@ def _project(x, lower, upper):
     return jnp.clip(x, lower, upper)
 
 
+def boxqp_solve_enum(
+    H: jax.Array,
+    g: jax.Array,
+    lower: jax.Array,
+    upper: jax.Array,
+    x0: jax.Array = None,
+    options: BoxQPOptions = BoxQPOptions(),
+) -> BoxQPResult:
+    """Exact BoxQP by active-set enumeration — the TPU-native fast path.
+
+    For a strictly convex box QP in n variables there are 3^n candidate
+    active sets (each coordinate free / at lower / at upper); exactly one
+    satisfies the KKT conditions. All candidates are solved in one batched
+    masked-Cholesky sweep and the KKT-consistent one selected — fixed
+    sequential depth, no data-dependent loops, so it nests inside
+    ``lax.scan``/``vmap`` without the convergence-tolerance pathologies of
+    iterative solvers in float32. Control dims in the model zoo are <= 4
+    (3^4 = 81 candidates), so this is a handful of fused VPU ops.
+
+    Returns the same BoxQPResult as :func:`boxqp_solve` (the reference
+    projected-Newton, boxqp.cpp:25-182, converges to this same unique
+    optimum; statuses map to SUCCESS/ALL_CLAMPED/HESSIAN_NOT_PD).
+    """
+    del x0  # the exact solve needs no warm start
+    n = H.shape[0]
+    dtype = H.dtype
+
+    # Global PD check (H PD <=> all principal submatrices PD).
+    chol_full = jnp.linalg.cholesky(_sym_part(H))
+    hess_not_pd = jnp.any(jnp.isnan(chol_full))
+
+    import numpy as np
+
+    # configs[c, i] in {0: free, 1: at lower, 2: at upper}
+    configs = np.stack(
+        np.meshgrid(*([np.arange(3)] * n), indexing="ij"), axis=-1
+    ).reshape(-1, n)
+    configs = jnp.asarray(configs)
+
+    def try_config(cfg):
+        free = cfg == 0
+        x_clamped = jnp.where(cfg == 1, lower, jnp.where(cfg == 2, upper, 0.0))
+        fmask = free.astype(dtype)
+        # Solve H_ff x_f = -(g_f + H_fc x_c) at full static shape.
+        Hff = _masked_free_hessian(H, free)
+        chol = jnp.linalg.cholesky(Hff)
+        bad = jnp.any(jnp.isnan(chol))
+        chol_safe = jnp.where(bad, jnp.eye(n, dtype=dtype), chol)
+        rhs = -(g + H @ (x_clamped * (1.0 - fmask))) * fmask
+        x_f = jax.scipy.linalg.cho_solve((chol_safe, True), rhs) * fmask
+        x = x_f + x_clamped * (1.0 - fmask)
+
+        grad = g + H @ x
+        # KKT: free coords inside the box; lower-clamped grad >= 0;
+        # upper-clamped grad <= 0 (sign rule of boxqp.cpp:67-73).
+        ok_free = jnp.where(free, (x >= lower) & (x <= upper), True)
+        ok_lo = jnp.where(cfg == 1, grad >= 0.0, True)
+        ok_hi = jnp.where(cfg == 2, grad <= 0.0, True)
+        valid = jnp.all(ok_free & ok_lo & ok_hi) & ~bad
+        return x, valid, free, chol_safe, grad
+
+    xs, valids, frees, chols, grads = jax.vmap(try_config)(configs)
+    idx = jnp.argmax(valids)  # unique KKT point for strictly convex QP
+    x = xs[idx]
+    free = frees[idx]
+    all_clamped = ~jnp.any(free)
+    status = jnp.where(
+        hess_not_pd,
+        BoxQPStatus.HESSIAN_NOT_PD,
+        jnp.where(all_clamped, BoxQPStatus.ALL_CLAMPED, BoxQPStatus.SUCCESS),
+    ).astype(jnp.int32)
+    fmask = free.astype(dtype)
+    return BoxQPResult(
+        x=x,
+        status=status,
+        free=free,
+        chol_free=chols[idx],
+        iterations=jnp.asarray(1, jnp.int32),
+        final_value=_objective(x, H, g),
+        final_grad_norm=jnp.sqrt(jnp.sum((grads[idx] * fmask) ** 2)),
+    )
+
+
+def _sym_part(M):
+    return 0.5 * (M + M.T)
+
+
+def boxqp(
+    H, g, lower, upper, x0, options: BoxQPOptions = BoxQPOptions()
+) -> BoxQPResult:
+    """Dispatch by ``options.method`` ("auto"/"enum"/"newton"); see
+    :func:`boxqp_solve_enum` for why enum is the TPU default at small n."""
+    n = H.shape[0]
+    if options.method == "enum" or (
+        options.method == "auto" and n <= options.enum_max_dim
+    ):
+        return boxqp_solve_enum(H, g, lower, upper, x0, options)
+    return boxqp_solve(H, g, lower, upper, x0, options)
+
+
 def boxqp_solve(
     H: jax.Array,
     g: jax.Array,

@@ -86,6 +86,13 @@ class BoxQPOptions:
     # projected-Newton iteration (the reference loops `while step >
     # min_step_size`, which with factor 0.6 terminates in <= 99 steps).
     max_ls_iterations: int = 99
+    # JAX-only solver selection. "enum" solves the box QP exactly by
+    # enumerating all 3^n active-set configurations in parallel (fixed-depth,
+    # TPU-native; bit-exact optimum of the strictly convex QP). "newton" is
+    # the reference's iterative projected-Newton. "auto" picks enum for
+    # n <= enum_max_dim and newton above.
+    method: str = "auto"
+    enum_max_dim: int = 4
 
 
 @dataclass(frozen=True)

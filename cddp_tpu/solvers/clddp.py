@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from cddp_tpu.options import CDDPOptions
-from cddp_tpu.ops.boxqp import BoxQPStatus, boxqp_solve, solve_masked_free
+from cddp_tpu.ops.boxqp import BoxQPStatus, boxqp, solve_masked_free
 from cddp_tpu.problem import Problem
 from cddp_tpu.solution import Solution, Status
 from cddp_tpu.solvers import base
@@ -78,7 +78,7 @@ def _backward_pass(
             # (clddp_solver.cpp:147-159), warm-started at the previous k.
             lb = cc.lower - u_t
             ub = cc.upper - u_t
-            qp = boxqp_solve(Quu_reg, Qu, lb, ub, k_p, options.box_qp)
+            qp = boxqp(Quu_reg, Qu, lb, ub, k_p, options.box_qp)
             fail = (qp.status == BoxQPStatus.HESSIAN_NOT_PD) | (
                 qp.status == BoxQPStatus.NO_DESCENT
             )

@@ -1,0 +1,98 @@
+"""Rotation/attitude helpers.
+
+Rebuild of ``src/cddp_core/helper.cpp:27-206``: Euler-ZYX / quaternion / MRP /
+rotation-matrix conversions and the skew operator, including MRP shadow-set
+handling (:70-93). Pure jnp — differentiable and vmappable.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def skew(v):
+    """3x3 cross-product matrix (helper.cpp skew)."""
+    z = jnp.zeros_like(v[0])
+    return jnp.array(
+        [
+            [z, -v[2], v[1]],
+            [v[2], z, -v[0]],
+            [-v[1], v[0], z],
+        ]
+    )
+
+
+def quat_to_rotation_matrix(q):
+    """[w,x,y,z] quaternion -> rotation matrix (quadrotor.cpp:99-117 /
+    helper.cpp quatToRotationMatrix). Assumes unit norm."""
+    qw, qx, qy, qz = q[0], q[1], q[2], q[3]
+    return jnp.array(
+        [
+            [
+                1 - 2 * (qy * qy + qz * qz),
+                2 * (qx * qy - qz * qw),
+                2 * (qx * qz + qy * qw),
+            ],
+            [
+                2 * (qx * qy + qz * qw),
+                1 - 2 * (qx * qx + qz * qz),
+                2 * (qy * qz - qx * qw),
+            ],
+            [
+                2 * (qx * qz - qy * qw),
+                2 * (qy * qz + qx * qw),
+                1 - 2 * (qx * qx + qy * qy),
+            ],
+        ]
+    )
+
+
+def rotation_matrix_to_quat(R):
+    """Rotation matrix -> [w,x,y,z] quaternion (robust Shepperd-style
+    selection via the largest diagonal combination)."""
+    tr = jnp.trace(R)
+    qw = 0.5 * jnp.sqrt(jnp.maximum(1.0 + tr, 1e-12))
+    qx = (R[2, 1] - R[1, 2]) / (4 * qw)
+    qy = (R[0, 2] - R[2, 0]) / (4 * qw)
+    qz = (R[1, 0] - R[0, 1]) / (4 * qw)
+    q = jnp.stack([qw, qx, qy, qz])
+    return q / jnp.linalg.norm(q)
+
+
+def euler_zyx_to_rotation_matrix(angles):
+    """[psi (yaw), theta (pitch), phi (roll)] -> R = Rz(psi) Ry(theta) Rx(phi)."""
+    psi, theta, phi = angles[0], angles[1], angles[2]
+    cpsi, spsi = jnp.cos(psi), jnp.sin(psi)
+    cth, sth = jnp.cos(theta), jnp.sin(theta)
+    cphi, sphi = jnp.cos(phi), jnp.sin(phi)
+    Rz = jnp.array([[cpsi, -spsi, 0.0], [spsi, cpsi, 0.0], [0.0, 0.0, 1.0]])
+    Ry = jnp.array([[cth, 0.0, sth], [0.0, 1.0, 0.0], [-sth, 0.0, cth]])
+    Rx = jnp.array([[1.0, 0.0, 0.0], [0.0, cphi, -sphi], [0.0, sphi, cphi]])
+    return Rz @ Ry @ Rx
+
+
+def rotation_matrix_to_euler_zyx(R):
+    """Inverse of :func:`euler_zyx_to_rotation_matrix`."""
+    theta = -jnp.arcsin(jnp.clip(R[2, 0], -1.0, 1.0))
+    psi = jnp.arctan2(R[1, 0], R[0, 0])
+    phi = jnp.arctan2(R[2, 1], R[2, 2])
+    return jnp.stack([psi, theta, phi])
+
+
+def quat_to_mrp(q):
+    """Quaternion -> modified Rodrigues parameters with shadow-set switch
+    when qw < 0 (helper.cpp:70-93)."""
+    q = jnp.where(q[0] < 0, -q, q)
+    return q[1:4] / (1.0 + q[0])
+
+
+def mrp_to_quat(sigma):
+    """MRP -> quaternion [w,x,y,z]."""
+    s2 = sigma @ sigma
+    qw = (1.0 - s2) / (1.0 + s2)
+    qv = 2.0 * sigma / (1.0 + s2)
+    return jnp.concatenate([qw[None], qv])
+
+
+def mrp_to_rotation_matrix(sigma):
+    return quat_to_rotation_matrix(mrp_to_quat(sigma))

@@ -79,3 +79,32 @@ def test_boxqp_vmap():
     for i in range(B):
         ref = _reference_boxqp(np.asarray(Hs[i]), np.asarray(gs[i]), np.asarray(lo), np.asarray(hi))
         np.testing.assert_allclose(np.asarray(res.x[i]), ref, atol=1e-6)
+
+
+def test_enum_matches_newton():
+    # Exact enumeration and projected Newton agree on the unique optimum.
+    from cddp_tpu.ops.boxqp import boxqp_solve_enum
+
+    rng = np.random.default_rng(11)
+    for n in (1, 2, 3, 4):
+        for trial in range(5):
+            A = rng.normal(size=(n, n))
+            H = jnp.asarray(A @ A.T + n * np.eye(n))
+            g = jnp.asarray(rng.normal(size=n))
+            lo = -jnp.ones(n) * 0.7
+            hi = jnp.ones(n) * 0.7
+            r_enum = boxqp_solve_enum(H, g, lo, hi)
+            r_newton = boxqp_solve(H, g, lo, hi, jnp.zeros(n))
+            np.testing.assert_allclose(
+                np.asarray(r_enum.x), np.asarray(r_newton.x), atol=1e-6
+            )
+            assert bool(jnp.all(r_enum.free == r_newton.free)), (n, trial)
+
+
+def test_enum_not_pd():
+    from cddp_tpu.ops.boxqp import boxqp_solve_enum
+
+    H = jnp.array([[1.0, 0.0], [0.0, -1.0]])
+    g = jnp.array([0.5, 0.5])
+    res = boxqp_solve_enum(H, g, -jnp.ones(2), jnp.ones(2))
+    assert int(res.status) == BoxQPStatus.HESSIAN_NOT_PD

@@ -1,0 +1,81 @@
+"""MSIPDDP solver tests (mirror of tests/cddp_core/test_msipddp_solver.cpp:
+constrained swing-up, defect closure, segment gap-closing variants)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import cddp_tpu as ct
+from cddp_tpu.models import Pendulum, Unicycle
+from cddp_tpu.solvers import msipddp
+
+
+def _pendulum(N=100, dt=0.02, bound=20.0):
+    model = Pendulum(length=0.5, mass=1.0, damping=0.01)
+    goal = jnp.array([0.0, 0.0])
+    obj = ct.quadratic_objective(
+        jnp.zeros((2, 2)), 0.1 * jnp.eye(1), 100.0 * jnp.eye(2), goal, dt
+    )
+    prob = ct.problem(model, obj, jnp.array([jnp.pi, 0.0]), N, dt)
+    prob = prob.add_constraint(
+        "ControlConstraint",
+        ct.control_constraint(jnp.array([-bound]), jnp.array([bound])),
+    )
+    return prob, goal
+
+
+def test_pendulum_msipddp():
+    prob, goal = _pendulum()
+    opts = ct.CDDPOptions(max_iterations=400, tolerance=1e-4, acceptable_tolerance=1e-5)
+    sol = msipddp.solve(prob, opts)
+    err = float(jnp.linalg.norm(sol.state_trajectory[-1] - goal))
+    assert err < 0.3, (sol.status_message, err)
+    assert float(jnp.max(jnp.abs(sol.control_trajectory))) <= 20.0 + 1e-6
+    # Defects closed at the solution: x_{t+1} == f(x_t, u_t) within tolerance.
+    X, U = sol.state_trajectory, sol.control_trajectory
+    ts = jnp.arange(prob.horizon, dtype=X.dtype) * prob.timestep
+    F = jax.vmap(lambda x, u, t: prob.model.discrete_dynamics(x, u, t, prob.timestep))(
+        X[:-1], U, ts
+    )
+    assert float(jnp.max(jnp.abs(F - X[1:]))) < 1e-3
+
+
+@pytest.mark.parametrize("rollout_type", ["nonlinear", "hybrid"])
+def test_rollout_types(rollout_type):
+    prob, goal = _pendulum(N=60)
+    opts = ct.CDDPOptions(
+        max_iterations=300,
+        tolerance=1e-3,
+        acceptable_tolerance=1e-5,
+        msipddp=ct.MSIPDDPOptions(rollout_type=rollout_type, segment_length=10),
+    )
+    sol = msipddp.solve(prob, opts)
+    err = float(jnp.linalg.norm(sol.state_trajectory[-1] - goal))
+    assert err < 0.5, (sol.status_message, err)
+
+
+def test_unconstrained_msipddp():
+    dt, N = 0.03, 100
+    model = Unicycle()
+    goal = jnp.array([2.0, 2.0, jnp.pi / 2])
+    obj = ct.quadratic_objective(
+        jnp.zeros((3, 3)), 0.05 * jnp.eye(2), 100.0 * jnp.eye(3), goal, dt
+    )
+    prob = ct.problem(model, obj, jnp.zeros(3), N, dt)
+    opts = ct.CDDPOptions(max_iterations=300, tolerance=1e-4)
+    sol = msipddp.solve(prob, opts)
+    err = float(jnp.linalg.norm(sol.state_trajectory[-1] - goal))
+    assert err < 0.3, (sol.status_message, err)
+
+
+def test_warm_start_msipddp():
+    prob, goal = _pendulum(N=80)
+    opts = ct.CDDPOptions(max_iterations=300, tolerance=1e-4, acceptable_tolerance=1e-5)
+    cold, state = msipddp.solve(prob, opts, return_state=True)
+    warm_opts = opts.replace(warm_start=True)
+    warm = msipddp.solve(
+        prob, warm_opts, X0=cold.state_trajectory, U0=cold.control_trajectory,
+        state=state,
+    )
+    assert int(warm.iterations_completed) <= int(cold.iterations_completed) + 5
