@@ -1,0 +1,346 @@
+"""MPCC racing-line tracking — TPU-native rebuild of
+``examples/ipddp_mpcc_rc.py`` (AIRCoM-style kinematic MPCC).
+
+Components (reference line cites in docstrings):
+
+- :class:`Track` — jittable track representation with linear interpolation
+  by progress (python_portfolio_lib.py TrackData:62-130). Tracks load from
+  the same ``x,y,s,heading,curvature,v_ref`` CSV schema or are synthesized
+  by :func:`synthetic_track` (no bundled data needed).
+- :class:`KinematicBicycle7` — 7-state augmented kinematic bicycle with
+  control-history latch states d(v_prev)/dt = (v_w - v_prev)/dt, exact
+  under Euler (ipddp_mpcc_rc.py:98-187).
+- :class:`MpccObjective` — the 11-residual NONLINEAR_LS cost + smooth
+  one-sided boundary penalty (ipddp_mpcc_rc.py:333-436), with JAX AD
+  replacing the reference's finite-difference derivatives.
+- :func:`run_mpc` — closed-loop receding-horizon loop, cold-seeded per tick
+  (ipddp_mpcc_rc.py:649, rationale :42-47), jit-compiled once; and
+  :func:`batched_mpc_step` — the same tick vmapped over a fleet of cars
+  (the BASELINE.json "vmap-batched 1k instances" configuration).
+"""
+
+from __future__ import annotations
+
+import csv
+from dataclasses import dataclass
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+import cddp_tpu as ct
+from cddp_tpu.costs.objective import Objective
+from cddp_tpu.models.base import DynamicalSystem
+
+IDX_X, IDX_Y, IDX_PSI, IDX_THETA = 0, 1, 2, 3
+IDX_V_PREV, IDX_DELTA_PREV, IDX_V_THETA_PREV = 4, 5, 6
+
+
+def _wrap_angle(a):
+    return (a + jnp.pi) % (2.0 * jnp.pi) - jnp.pi
+
+
+class Track(struct.PyTreeNode):
+    """Closed track with arc-length-parameterized reference quantities.
+
+    Arrays are the node samples extended by one wrap-around point so
+    ``jnp.interp`` handles the closure (TrackData.__post_init__,
+    python_portfolio_lib.py:80-101). All fields are pytree leaves, so a
+    Track passes through jit/vmap (e.g. per-instance tracks in a fleet).
+    """
+
+    s_ext: jax.Array
+    x_ext: jax.Array
+    y_ext: jax.Array
+    heading_ext: jax.Array  # unwrapped
+    curvature_ext: jax.Array
+    v_ref_ext: jax.Array
+    width: jax.Array
+    length: jax.Array
+
+    def wrap_progress(self, progress):
+        return jnp.mod(progress, self.length)
+
+    def interpolate(self, progress):
+        """Reference point at progress: (x, y, heading, curvature, v_ref,
+        tangent, normal) — python_portfolio_lib.py:114-130."""
+        w = self.wrap_progress(progress)
+        x = jnp.interp(w, self.s_ext, self.x_ext)
+        y = jnp.interp(w, self.s_ext, self.y_ext)
+        heading = jnp.interp(w, self.s_ext, self.heading_ext)
+        curvature = jnp.interp(w, self.s_ext, self.curvature_ext)
+        v_ref = jnp.interp(w, self.s_ext, self.v_ref_ext)
+        tangent = jnp.stack([jnp.cos(heading), jnp.sin(heading)])
+        normal = jnp.stack([-jnp.sin(heading), jnp.cos(heading)])
+        return dict(
+            x=x, y=y, heading=heading, curvature=curvature, v_ref=v_ref,
+            tangent=tangent, normal=normal,
+        )
+
+
+def _track_from_xy(x, y, width=0.18):
+    """Build Track from centerline points — the _load_track_csv pipeline
+    (python_portfolio_lib.py:212-243): cumulative arc length, unwrapped
+    heading, curvature by gradient, curvature-limited speed profile."""
+    x = np.asarray(x, float)
+    y = np.asarray(y, float)
+    dx = np.roll(x, -1) - x
+    dy = np.roll(y, -1) - y
+    ds = np.hypot(dx, dy)
+    length = float(np.sum(ds))
+    s = np.concatenate([[0.0], np.cumsum(ds[:-1])])
+    heading = np.unwrap(np.arctan2(dy, dx))
+    curvature = np.gradient(heading, s, edge_order=2)
+    v_ref = np.clip(np.sqrt(1.35 / np.maximum(np.abs(curvature), 0.12)), 1.0, 2.2)
+    v_ref = np.minimum(v_ref, np.roll(v_ref, -1) + 0.18)
+    return Track(
+        s_ext=jnp.asarray(np.concatenate([s, [length]])),
+        x_ext=jnp.asarray(np.concatenate([x, [x[0]]])),
+        y_ext=jnp.asarray(np.concatenate([y, [y[0]]])),
+        heading_ext=jnp.asarray(
+            np.concatenate([heading, [heading[0] + 2.0 * np.pi]])
+        ),
+        curvature_ext=jnp.asarray(np.concatenate([curvature, [curvature[0]]])),
+        v_ref_ext=jnp.asarray(np.concatenate([v_ref, [v_ref[0]]])),
+        width=jnp.asarray(width),
+        length=jnp.asarray(length),
+    )
+
+
+def load_track_csv(path, width: float = 0.18, coordinate_scale: float = 1.0) -> Track:
+    """Load the reference CSV schema x,y,s,heading,curvature,v_ref."""
+    with Path(path).open() as fh:
+        rows = [{k: float(v) for k, v in r.items()} for r in csv.DictReader(fh)]
+    x = coordinate_scale * np.asarray([r["x"] for r in rows])
+    y = coordinate_scale * np.asarray([r["y"] for r in rows])
+    return _track_from_xy(x, y, width=width)
+
+
+def synthetic_track(n_points: int = 480, width: float = 0.18) -> Track:
+    """A smooth closed RC-scale course (rounded rectangle with a chicane) of
+    roughly the bundled track's size — used so the example needs no data file."""
+    t = np.linspace(0.0, 2 * np.pi, n_points, endpoint=False)
+    # Rounded-square base (superellipse) + a gentle chicane wobble.
+    a, b, p = 1.1, 0.8, 4.0
+    x = a * np.sign(np.cos(t)) * np.abs(np.cos(t)) ** (2 / p)
+    y = b * np.sign(np.sin(t)) * np.abs(np.sin(t)) ** (2 / p)
+    x = x + 0.08 * np.sin(3 * t)
+    y = y + 0.06 * np.sin(2 * t + 0.7)
+    return _track_from_xy(x, y, width=width)
+
+
+class KinematicBicycle7(DynamicalSystem):
+    """7-state augmented kinematic bicycle (ipddp_mpcc_rc.py:98-187).
+
+    State [x, y, psi, theta, v_prev, delta_prev, v_theta_prev], control
+    [v_w, delta, v_theta]. Latch derivative (u - latch)/dt makes
+    latch_next == u exactly under Euler with step dt — use "euler".
+    """
+
+    state_dim: int = struct.field(pytree_node=False, default=7)
+    control_dim: int = struct.field(pytree_node=False, default=3)
+
+    wheelbase: float = 0.062
+    dt: float = 0.05
+
+    def continuous_dynamics(self, x, u, t):
+        psi = x[IDX_PSI]
+        v_prev, delta_prev, v_theta_prev = x[4], x[5], x[6]
+        v_w, delta, v_theta = u[0], u[1], u[2]
+        inv_dt = 1.0 / self.dt
+        return jnp.stack(
+            [
+                v_w * jnp.cos(psi),
+                v_w * jnp.sin(psi),
+                v_w * jnp.tan(delta) / self.wheelbase,
+                v_theta,
+                (v_w - v_prev) * inv_dt,
+                (delta - delta_prev) * inv_dt,
+                (v_theta - v_theta_prev) * inv_dt,
+            ]
+        )
+
+
+@dataclass(frozen=True)
+class MpccConfig:
+    """ipddp_mpcc_rc.py:230-332 (weights and bounds, same values)."""
+
+    dt: float = 0.05
+    horizon: int = 20
+    wheelbase: float = 0.062
+    reference_speed: float = 1.0
+    speed_min: float = 0.1
+    speed_max: float = 2.2
+    delta_max: float = 0.60
+    v_theta_min: float = 0.0
+    v_theta_max: float = 2.2
+    w_contour: float = 200.0
+    w_lag: float = 100.0
+    w_speed: float = 5.0
+    w_control: float = 0.1
+    w_x: float = 0.0
+    w_y: float = 0.0
+    w_yaw: float = 0.0
+    w_speed_w: float = 10.0
+    w_dv: float = 300.0
+    w_ddelta: float = 1000.0
+    w_dv_theta: float = 100.0
+    w_boundary: float = 200.0
+    boundary_band: float = 0.85
+    w_terminal: float = 50.0
+    w_terminal_progress: float = 2.0
+    max_iterations: int = 100
+    tolerance: float = 1e-4
+    acceptable_tolerance: float = 5e-4
+    initial_regularization: float = 1e-4
+    line_search_iters: int = 12
+
+
+class MpccObjective(Objective):
+    """11-residual MPCC cost (ipddp_mpcc_rc.py:333-436). Reference
+    quantities are interpolated from theta (state[3]) so the time-varying
+    reference is a pure function of state. Derivatives come from JAX AD
+    (the reference NonlinearObjective uses finite differences)."""
+
+    track: Track = None
+    cfg: MpccConfig = struct.field(pytree_node=False, default=None)
+
+    def _tracking(self, x):
+        ref = self.track.interpolate(x[IDX_THETA])
+        dx = x[IDX_X] - ref["x"]
+        dy = x[IDX_Y] - ref["y"]
+        d = jnp.stack([dx, dy])
+        e_c = ref["normal"] @ d
+        e_l = ref["tangent"] @ d
+        e_yaw = _wrap_angle(x[IDX_PSI] - ref["heading"])
+        return e_c, e_l, e_yaw, ref["v_ref"], dx, dy
+
+    def running_cost(self, x, u, k):
+        cfg = self.cfg
+        e_c, e_l, e_yaw, v_ref_track, dx, dy = self._tracking(x)
+        v_prev, delta_prev, v_theta_prev = x[4], x[5], x[6]
+        v_w, delta, v_theta = u[0], u[1], u[2]
+        v_target = jnp.maximum(v_ref_track, cfg.reference_speed)
+        boundary = jnp.maximum(
+            0.0, jnp.abs(e_c) - cfg.boundary_band * self.track.width
+        )
+        return cfg.dt * (
+            cfg.w_contour * e_c**2
+            + cfg.w_lag * e_l**2
+            + cfg.w_speed * (v_theta - v_target) ** 2
+            + cfg.w_speed_w * (v_w - v_target) ** 2
+            + cfg.w_control * v_w**2
+            + cfg.w_control * delta**2
+            + cfg.w_x * dx**2
+            + cfg.w_y * dy**2
+            + cfg.w_yaw * e_yaw**2
+            + cfg.w_dv * (v_w - v_prev) ** 2
+            + cfg.w_ddelta * (delta - delta_prev) ** 2
+            + cfg.w_dv_theta * (v_theta - v_theta_prev) ** 2
+            + cfg.w_boundary * boundary**2
+        )
+
+    def terminal_cost(self, x):
+        cfg = self.cfg
+        e_c, e_l, _, _, _, _ = self._tracking(x)
+        return (
+            cfg.w_terminal * e_c**2
+            + cfg.w_terminal * e_l**2
+            - cfg.w_terminal_progress * x[IDX_THETA]
+        )
+
+
+def initial_state(track: Track, cfg: MpccConfig):
+    """Car on the centerline at s=0, latches at cruise
+    (ipddp_mpcc_rc.py:473-497)."""
+    ref = track.interpolate(track.s_ext[0])
+    cruise = float(np.clip(cfg.reference_speed, cfg.speed_min, cfg.speed_max))
+    v_theta = float(np.clip(cruise, cfg.v_theta_min, cfg.v_theta_max))
+    return jnp.stack(
+        [ref["x"], ref["y"], ref["heading"], track.s_ext[0],
+         jnp.asarray(cruise), jnp.asarray(0.0), jnp.asarray(v_theta)]
+    )
+
+
+def seed_controls(track: Track, cfg: MpccConfig, initial_progress):
+    """Cold-start control seed rolled along the reference at v_ref
+    (ipddp_mpcc_rc.py:500-521) — as a jittable scan."""
+
+    def step(progress, _):
+        ref = track.interpolate(progress)
+        v_target = jnp.clip(
+            jnp.maximum(ref["v_ref"], cfg.reference_speed),
+            cfg.speed_min,
+            cfg.speed_max,
+        )
+        steer = jnp.clip(
+            jnp.arctan(cfg.wheelbase * ref["curvature"]),
+            -cfg.delta_max,
+            cfg.delta_max,
+        )
+        v_theta = jnp.clip(v_target, cfg.v_theta_min, cfg.v_theta_max)
+        u = jnp.stack([v_target, steer, v_theta])
+        return progress + cfg.dt * v_theta, u
+
+    _, U = jax.lax.scan(step, initial_progress, None, length=cfg.horizon)
+    return U
+
+
+def build_problem(track: Track, cfg: MpccConfig, x0):
+    model = KinematicBicycle7(wheelbase=cfg.wheelbase, dt=cfg.dt)
+    objective = MpccObjective(track=track, cfg=cfg)
+    prob = ct.problem(model, objective, x0, cfg.horizon, cfg.dt)
+    lo = jnp.asarray([cfg.speed_min, -cfg.delta_max, cfg.v_theta_min])
+    hi = jnp.asarray([cfg.speed_max, cfg.delta_max, cfg.v_theta_max])
+    return prob.add_constraint("ControlConstraint", ct.control_constraint(lo, hi))
+
+
+def solver_options(cfg: MpccConfig) -> ct.CDDPOptions:
+    return ct.CDDPOptions(
+        max_iterations=cfg.max_iterations,
+        tolerance=cfg.tolerance,
+        acceptable_tolerance=cfg.acceptable_tolerance,
+        regularization=ct.RegularizationOptions(
+            initial_value=cfg.initial_regularization
+        ),
+        line_search=ct.LineSearchOptions(max_iterations=cfg.line_search_iters),
+        use_ilqr=True,
+    )
+
+
+def mpc_tick(track: Track, cfg: MpccConfig, x_current):
+    """One cold-seeded IPDDP MPC tick (run_ipddp_mpc inner body,
+    ipddp_mpcc_rc.py:629-661). Pure and jittable; vmap for fleets."""
+    from cddp_tpu.solvers import ipddp
+
+    prob = build_problem(track, cfg, x_current)
+    U0 = seed_controls(track, cfg, x_current[IDX_THETA])
+    sol = ipddp.solve(prob, solver_options(cfg), U0=U0)
+    return sol.control_trajectory[0], sol
+
+
+def run_mpc(track: Track, cfg: MpccConfig, n_ticks: int = 40):
+    """Closed-loop MPC; returns stacked states/controls/iterations."""
+    model = KinematicBicycle7(wheelbase=cfg.wheelbase, dt=cfg.dt)
+    tick = jax.jit(lambda x: mpc_tick(track, cfg, x))
+    x = initial_state(track, cfg)
+    xs, us, iters = [np.asarray(x)], [], []
+    for _ in range(n_ticks):
+        u, sol = tick(x)
+        x = model.discrete_dynamics(x, u, 0.0, cfg.dt)
+        xs.append(np.asarray(x))
+        us.append(np.asarray(u))
+        iters.append(int(sol.iterations_completed))
+    return np.stack(xs), np.stack(us), np.asarray(iters)
+
+
+def batched_mpc_step(track: Track, cfg: MpccConfig, x_batch):
+    """Fleet MPC tick: vmap of mpc_tick over (B, 7) states — the
+    BASELINE.json vmap-batched MPCC configuration."""
+    def one(x):
+        u, sol = mpc_tick(track, cfg, x)
+        return u, sol.final_objective, sol.iterations_completed
+
+    return jax.vmap(one)(x_batch)
