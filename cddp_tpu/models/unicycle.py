@@ -19,3 +19,28 @@ class Unicycle(DynamicalSystem):
         theta = x[2]
         v, omega = u[0], u[1]
         return jnp.stack([v * jnp.cos(theta), v * jnp.sin(theta), omega])
+
+    def state_jacobian(self, x, u, t):
+        # Analytic (unicycle.cpp:43-57) — fewer ops than jacfwd in hot loops.
+        theta, v = x[2], u[0]
+        z = jnp.zeros((), x.dtype)
+        return jnp.array(
+            [
+                [z, z, -v * jnp.sin(theta)],
+                [z, z, v * jnp.cos(theta)],
+                [z, z, z],
+            ]
+        )
+
+    def control_jacobian(self, x, u, t):
+        # Analytic (unicycle.cpp:59-66).
+        theta = x[2]
+        z = jnp.zeros((), x.dtype)
+        one = jnp.ones((), x.dtype)
+        return jnp.array(
+            [
+                [jnp.cos(theta), z],
+                [jnp.sin(theta), z],
+                [z, one],
+            ]
+        )

@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from cddp_tpu.options import BoxQPOptions
+from cddp_tpu.ops.linalg import is_pd, psd_solve
 
 
 class BoxQPStatus:
@@ -44,7 +45,7 @@ class BoxQPResult(NamedTuple):
     x: jax.Array  # (n,) solution
     status: jax.Array  # int32 BoxQPStatus
     free: jax.Array  # (n,) bool free-variable mask
-    chol_free: jax.Array  # (n, n) Cholesky factor of the masked free block
+    Hfree: jax.Array  # (n, n) identity-padded free-block Hessian
     iterations: jax.Array  # int32
     final_value: jax.Array
     final_grad_norm: jax.Array
@@ -57,16 +58,18 @@ def _masked_free_hessian(H, free):
     return H * jnp.outer(f, f) + jnp.eye(n, dtype=H.dtype) * (1.0 - f)
 
 
-def solve_masked_free(chol_free, rhs, free):
+def solve_masked_free(Hfree, rhs, free):
     """Solve the free-block system with clamped entries forced to zero.
 
-    ``rhs`` may be (n,) or (n, m); rows outside ``free`` are masked before the
-    triangular solves and zeroed after (mirrors Hfree.solve on the extracted
-    sub-block, boxqp.cpp:227-233 / clddp_solver.cpp:162-178).
+    ``Hfree`` is the identity-padded free-block Hessian; ``rhs`` may be (n,)
+    or (n, m). Rows outside ``free`` are masked before the solve and zeroed
+    after (mirrors Hfree.solve on the extracted sub-block,
+    boxqp.cpp:227-233 / clddp_solver.cpp:162-178). Uses the closed-form
+    small-n solve so it fuses inside scan bodies.
     """
     f = free.astype(rhs.dtype)
     rhs_masked = rhs * (f[:, None] if rhs.ndim == 2 else f)
-    sol = jax.scipy.linalg.cho_solve((chol_free, True), rhs_masked)
+    sol = psd_solve(Hfree, rhs_masked)
     return sol * (f[:, None] if rhs.ndim == 2 else f)
 
 
@@ -105,9 +108,9 @@ def boxqp_solve_enum(
     n = H.shape[0]
     dtype = H.dtype
 
-    # Global PD check (H PD <=> all principal submatrices PD).
-    chol_full = jnp.linalg.cholesky(_sym_part(H))
-    hess_not_pd = jnp.any(jnp.isnan(chol_full))
+    # Global PD check (H PD <=> all principal submatrices PD) — closed-form
+    # Sylvester test, no cholesky custom call.
+    hess_not_pd = ~is_pd(_sym_part(H))
 
     import numpy as np
 
@@ -121,13 +124,12 @@ def boxqp_solve_enum(
         free = cfg == 0
         x_clamped = jnp.where(cfg == 1, lower, jnp.where(cfg == 2, upper, 0.0))
         fmask = free.astype(dtype)
-        # Solve H_ff x_f = -(g_f + H_fc x_c) at full static shape.
+        # Solve H_ff x_f = -(g_f + H_fc x_c) at full static shape; the
+        # closed-form solve keeps the whole sweep one fused kernel.
         Hff = _masked_free_hessian(H, free)
-        chol = jnp.linalg.cholesky(Hff)
-        bad = jnp.any(jnp.isnan(chol))
-        chol_safe = jnp.where(bad, jnp.eye(n, dtype=dtype), chol)
+        bad = ~is_pd(Hff)
         rhs = -(g + H @ (x_clamped * (1.0 - fmask))) * fmask
-        x_f = jax.scipy.linalg.cho_solve((chol_safe, True), rhs) * fmask
+        x_f = psd_solve(Hff, rhs) * fmask
         x = x_f + x_clamped * (1.0 - fmask)
 
         grad = g + H @ x
@@ -137,9 +139,9 @@ def boxqp_solve_enum(
         ok_lo = jnp.where(cfg == 1, grad >= 0.0, True)
         ok_hi = jnp.where(cfg == 2, grad <= 0.0, True)
         valid = jnp.all(ok_free & ok_lo & ok_hi) & ~bad
-        return x, valid, free, chol_safe, grad
+        return x, valid, free, Hff, grad
 
-    xs, valids, frees, chols, grads = jax.vmap(try_config)(configs)
+    xs, valids, frees, Hffs, grads = jax.vmap(try_config)(configs)
     idx = jnp.argmax(valids)  # unique KKT point for strictly convex QP
     x = xs[idx]
     free = frees[idx]
@@ -154,7 +156,7 @@ def boxqp_solve_enum(
         x=x,
         status=status,
         free=free,
-        chol_free=chols[idx],
+        Hfree=Hffs[idx],
         iterations=jnp.asarray(1, jnp.int32),
         final_value=_objective(x, H, g),
         final_grad_norm=jnp.sqrt(jnp.sum((grads[idx] * fmask) ** 2)),
@@ -198,7 +200,7 @@ def boxqp_solve(
     class Carry(NamedTuple):
         x: jax.Array
         clamped: jax.Array  # bool (n,)
-        chol: jax.Array  # (n, n)
+        Hff: jax.Array  # (n, n) identity-padded free-block Hessian
         value: jax.Array
         old_value: jax.Array
         grad_norm: jax.Array
@@ -209,7 +211,7 @@ def boxqp_solve(
     init = Carry(
         x=x_init,
         clamped=jnp.zeros((n,), bool),
-        chol=jnp.eye(n, dtype=dtype),
+        Hff=jnp.eye(n, dtype=dtype),
         value=_objective(x_init, H, g),
         old_value=inf,
         grad_norm=jnp.asarray(0.0, dtype),
@@ -243,13 +245,10 @@ def boxqp_solve(
         need_factor = ((it == 0) | jnp.any(new_clamped != c.clamped)) & (
             ~rel_converged
         ) & (~all_clamped)
-        chol = jnp.where(
-            need_factor,
-            jnp.linalg.cholesky(_masked_free_hessian(H, free)),
-            c.chol,
-        )
-        hess_not_pd = need_factor & jnp.any(jnp.isnan(chol))
-        chol_safe = jnp.where(hess_not_pd, jnp.eye(n, dtype=dtype), chol)
+        Hff_new = _masked_free_hessian(H, free)
+        Hff = jnp.where(need_factor, Hff_new, c.Hff)
+        hess_not_pd = need_factor & ~is_pd(Hff_new)
+        Hff_safe = jnp.where(hess_not_pd, jnp.eye(n, dtype=dtype), Hff)
 
         # Free-gradient norm convergence (boxqp.cpp:114-125).
         fmask = free.astype(dtype)
@@ -259,7 +258,7 @@ def boxqp_solve(
         # Newton direction on the free set (boxqp.cpp:128-157):
         # grad_clamped = g + H[:, clamped] x[clamped].
         grad_clamped = g + H @ (c.x * new_clamped.astype(dtype))
-        newton_free = solve_masked_free(chol_safe, -grad_clamped, free)
+        newton_free = solve_masked_free(Hff_safe, -grad_clamped, free)
         search = (newton_free - c.x) * fmask
 
         sdotg = search @ grad
@@ -307,7 +306,7 @@ def boxqp_solve(
             x=jnp.where(advance, x_ls, c.x),
             # rel_converged breaks before committing the new clamped set.
             clamped=jnp.where(rel_converged, c.clamped, new_clamped),
-            chol=chol_safe,
+            Hff=Hff_safe,
             value=jnp.where(advance, v_ls, c.value),
             old_value=c.value,
             grad_norm=grad_norm,
@@ -321,7 +320,7 @@ def boxqp_solve(
         x=out.x,
         status=out.status,
         free=~out.clamped,
-        chol_free=out.chol,
+        Hfree=out.Hff,
         iterations=out.it,
         final_value=out.value,
         final_grad_norm=out.grad_norm,

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from cddp_tpu.options import CDDPOptions
 from cddp_tpu.ops.boxqp import BoxQPStatus, boxqp, solve_masked_free
+from cddp_tpu.ops import linalg
 from cddp_tpu.problem import Problem
 from cddp_tpu.solution import Solution, Status
 from cddp_tpu.solvers import base
@@ -66,13 +67,15 @@ def _backward_pass(
         Quu_reg = Quu + reg * eye_u
 
         if cc is None:
-            # PD check via Cholesky (reference: min eigenvalue > 0,
-            # clddp_solver.cpp:133-139) then explicit inverse (:143-145).
-            chol = jnp.linalg.cholesky(Quu_reg)
-            fail = jnp.any(jnp.isnan(chol))
-            chol_safe = jnp.where(fail, eye_u, chol)
-            k_t = -jax.scipy.linalg.cho_solve((chol_safe, True), Qu)
-            K_t = -jax.scipy.linalg.cho_solve((chol_safe, True), Qux)
+            # PD check (reference: min eigenvalue > 0, clddp_solver.cpp:133-139;
+            # here Sylvester minors) then the gain solve — closed-form for
+            # small nu so the whole step fuses (ops/linalg.py rationale).
+            kK, pd_ok = linalg.solve_and_check(
+                Quu_reg, jnp.concatenate([Qu[:, None], Qux], axis=1)
+            )
+            fail = ~pd_ok
+            k_t = -kK[:, 0]
+            K_t = -kK[:, 1:]
         else:
             # BoxQP feedforward with bounds shifted to the step frame
             # (clddp_solver.cpp:147-159), warm-started at the previous k.
@@ -85,7 +88,7 @@ def _backward_pass(
             k_t = qp.x
             # Feedback only on free rows: K_free = -Hfree \ Qux_free
             # (clddp_solver.cpp:162-178); clamped rows stay zero.
-            K_t = -solve_masked_free(qp.chol_free, Qux, qp.free)
+            K_t = -solve_masked_free(qp.Hfree, Qux, qp.free)
 
         dV_step = jnp.stack([Qu @ k_t, 0.5 * k_t @ Quu @ k_t])
         Vx_new = Qx + K_t.T @ Quu @ k_t + Qux.T @ k_t + K_t.T @ Qu

@@ -44,6 +44,7 @@ from cddp_tpu.problem import Problem
 from cddp_tpu.solution import Solution, Status
 from cddp_tpu.solvers import base
 from cddp_tpu.solvers import filter as flt
+from cddp_tpu.ops import linalg
 from cddp_tpu.models.base import rollout as open_loop_rollout
 
 # Constants mirroring ipddp_solver.cpp:34-37.
@@ -351,14 +352,14 @@ def _backward_condensed(problem, options, stk, tstk, X, U, Y, S, G, Y_T, S_T, mu
         )
 
         Quu_reg = _sym(Quu) + Gu_t.T @ (sigma[:, None] * Gu_t) + reg * eye_u
-        chol = jnp.linalg.cholesky(Quu_reg)
-        fail = jnp.any(jnp.isnan(chol))
-        chol_safe = jnp.where(fail, eye_u, chol)
-
         rhs_k = Qu + Gu_t.T @ s_inv_rhat
         rhs_K = Qux + Gu_t.T @ (sigma[:, None] * Gx_t)
-        k_u = -jax.scipy.linalg.cho_solve((chol_safe, True), rhs_k)
-        K_u = -jax.scipy.linalg.cho_solve((chol_safe, True), rhs_K)
+        kK, pd_ok = linalg.solve_and_check(
+            Quu_reg, jnp.concatenate([rhs_k[:, None], rhs_K], axis=1)
+        )
+        fail = ~pd_ok
+        k_u = -kK[:, 0]
+        K_u = -kK[:, 1:]
 
         k_y, K_y, k_s, K_s = _path_gains(
             y, s, rhat, sigma, primal_residual, Gx_t, Gu_t, k_u, K_u, mu
@@ -471,11 +472,12 @@ def _solve_sequential_lqr(Q, q, R, r, M, A, B):
         Qux = BtP @ A_t + M_t.T
         Qx = q_t + A_t.T @ p_next
         Qu = r_t + B_t.T @ p_next
-        chol = jnp.linalg.cholesky(Quu)
-        fail = jnp.any(jnp.isnan(chol))
-        chol_safe = jnp.where(fail, jnp.eye(Quu.shape[0], dtype=dtype), chol)
-        K_t = -jax.scipy.linalg.cho_solve((chol_safe, True), Qux)
-        k_t = -jax.scipy.linalg.cho_solve((chol_safe, True), Qu)
+        kK, pd_ok = linalg.solve_and_check(
+            Quu, jnp.concatenate([Qu[:, None], Qux], axis=1)
+        )
+        fail = ~pd_ok
+        k_t = -kK[:, 0]
+        K_t = -kK[:, 1:]
         P_t = _sym(Q_t + A_t.T @ P_next @ A_t + Qux.T @ K_t + K_t.T @ Qux + K_t.T @ Quu @ K_t)
         p_t = Qx + Qux.T @ k_t + K_t.T @ Qu + K_t.T @ Quu @ k_t
         bad = fail | ~(

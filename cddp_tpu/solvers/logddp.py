@@ -27,6 +27,7 @@ from cddp_tpu.options import CDDPOptions
 from cddp_tpu.problem import Problem
 from cddp_tpu.solution import Solution, Status
 from cddp_tpu.solvers import base
+from cddp_tpu.ops import linalg
 
 
 class _BP(NamedTuple):
@@ -109,15 +110,13 @@ def _backward_pass(problem, options, barrier, X, U, reg):
             Quu = Quu + jnp.einsum("i,ijk->jk", Vx, Fuu_t)
 
         Quu_reg = _sym(Quu + reg * eye_u)
-        chol = jnp.linalg.cholesky(Quu_reg)
-        fail = jnp.any(jnp.isnan(chol))
-        chol_safe = jnp.where(fail, eye_u, chol)
-        # Joint [k | K] solve (logddp_solver.cpp:544-558).
-        kK = -jax.scipy.linalg.cho_solve(
-            (chol_safe, True), jnp.concatenate([Qu[:, None], Qux], axis=1)
+        # Joint [k | K] solve (logddp_solver.cpp:544-558), fused closed-form.
+        kK, pd_ok = linalg.solve_and_check(
+            Quu_reg, jnp.concatenate([Qu[:, None], Qux], axis=1)
         )
-        k_t = kK[:, 0]
-        K_t = kK[:, 1:]
+        fail = ~pd_ok
+        k_t = -kK[:, 0]
+        K_t = -kK[:, 1:]
 
         dV_step = jnp.stack([Qu @ k_t, 0.5 * k_t @ Quu @ k_t])
         Vx_new = Qx + K_t.T @ Quu @ k_t + Qux.T @ k_t + K_t.T @ Qu

@@ -40,6 +40,7 @@ from cddp_tpu.problem import Problem
 from cddp_tpu.solution import Solution, Status
 from cddp_tpu.solvers import base
 from cddp_tpu.solvers import filter as flt
+from cddp_tpu.ops import linalg
 
 
 def _sym(M):
@@ -207,14 +208,14 @@ def _backward_pass(problem, options, stk, X, U, Y, S, G, F, Lambda, mu, reg):
         s_inv_rhat = rhat / s
 
         Quu_reg = _sym(Quu) + Gu_t.T @ (ys_inv[:, None] * Gu_t) + reg * eye_u
-        chol = jnp.linalg.cholesky(Quu_reg)
-        fail = jnp.any(jnp.isnan(chol))
-        chol_safe = jnp.where(fail, eye_u, chol)
-
         rhs_k = Qu + Gu_t.T @ s_inv_rhat
         rhs_K = Qux + Gu_t.T @ (ys_inv[:, None] * Gx_t)
-        k_u = -jax.scipy.linalg.cho_solve((chol_safe, True), rhs_k)
-        K_u = -jax.scipy.linalg.cho_solve((chol_safe, True), rhs_K)
+        kK, pd_ok = linalg.solve_and_check(
+            Quu_reg, jnp.concatenate([rhs_k[:, None], rhs_K], axis=1)
+        )
+        fail = ~pd_ok
+        k_u = -kK[:, 0]
+        K_u = -kK[:, 1:]
 
         temp = Gu_t @ k_u
         k_y = (rhat + y * temp) / s
