@@ -127,3 +127,84 @@ def kkt_scaling(norm_Vx, horizon, state_dim, options: CDDPOptions):
     s = max(s_max, |Vx|_1/(H*nx)) / s_max."""
     s_max = options.termination_scaling_max_factor
     return jnp.maximum(s_max, norm_Vx / (horizon * state_dim)) / s_max
+
+
+class HistoryArrays(NamedTuple):
+    """Fixed-size per-iteration records (History, cddp_core.hpp:77-102).
+    Arrays are (max_iterations + 1,); index 0 is the initial point and index
+    i the state after iteration i. Entries past iterations_completed keep
+    their init value (the reference uses growing vectors; fixed arrays are
+    the jit-able equivalent)."""
+
+    objective: jax.Array
+    merit_function: jax.Array
+    step_length_primal: jax.Array
+    step_length_dual: jax.Array
+    dual_infeasibility: jax.Array
+    primal_infeasibility: jax.Array
+    complementary_infeasibility: jax.Array
+    barrier_mu: jax.Array
+    regularization: jax.Array
+
+
+def history_init(max_iterations: int, dtype) -> HistoryArrays:
+    z = jnp.zeros((max_iterations + 1,), dtype)
+    return HistoryArrays(*([z] * 9))
+
+
+def history_record(
+    h: HistoryArrays, i, *, objective, merit, alpha_pr, alpha_du, inf_du,
+    inf_pr, inf_comp, barrier_mu, regularization,
+) -> HistoryArrays:
+    """Write one row (recordIterationHistory, cddp_solver_base.cpp:220-232;
+    IP solvers add barrier_mu, ipddp_solver.cpp:2084-2088)."""
+    return HistoryArrays(
+        objective=h.objective.at[i].set(objective),
+        merit_function=h.merit_function.at[i].set(merit),
+        step_length_primal=h.step_length_primal.at[i].set(alpha_pr),
+        step_length_dual=h.step_length_dual.at[i].set(alpha_du),
+        dual_infeasibility=h.dual_infeasibility.at[i].set(inf_du),
+        primal_infeasibility=h.primal_infeasibility.at[i].set(inf_pr),
+        complementary_infeasibility=h.complementary_infeasibility.at[i].set(inf_comp),
+        barrier_mu=h.barrier_mu.at[i].set(barrier_mu),
+        regularization=h.regularization.at[i].set(regularization),
+    )
+
+
+def history_to_solution(h: HistoryArrays):
+    from cddp_tpu.solution import IterationHistory
+
+    return IterationHistory(
+        objective=h.objective,
+        merit_function=h.merit_function,
+        step_length_primal=h.step_length_primal,
+        step_length_dual=h.step_length_dual,
+        dual_infeasibility=h.dual_infeasibility,
+        primal_infeasibility=h.primal_infeasibility,
+        complementary_infeasibility=h.complementary_infeasibility,
+        barrier_mu=h.barrier_mu,
+        regularization=h.regularization,
+    )
+
+
+def print_ip_iteration(it, cost, inf_pr, inf_du, inf_comp, mu, step_norm, reg,
+                       alpha_du, alpha_pr):
+    """Host-side iteration line matching detail::printInteriorPointIteration's
+    columns (interior_point_utils.cpp:27-77), via jax.debug.print."""
+    jax.debug.print(
+        "{it:4d}  {cost:12.4e}  {inf_pr:9.2e}  {inf_du:9.2e}  {inf_comp:9.2e}"
+        "  lg(mu)={lgmu:5.1f}  |d|={sn:8.2e}  lg(rg)={lgrg:5.1f}"
+        "  a_du={adu:6.4f}  a_pr={apr:6.4f}",
+        it=it, cost=cost, inf_pr=inf_pr, inf_du=inf_du, inf_comp=inf_comp,
+        lgmu=jnp.log10(jnp.maximum(mu, 1e-300)), sn=step_norm,
+        lgrg=jnp.log10(jnp.maximum(reg, 1e-300)), adu=alpha_du, apr=alpha_pr,
+    )
+
+
+def print_ddp_iteration(it, cost, inf_du, reg, alpha):
+    """CLDDP-style iteration line (clddp_solver.cpp:279-293)."""
+    jax.debug.print(
+        "{it:4d}  {cost:12.4e}  {inf_du:10.2e}  lg(rg)={lgrg:5.1f}  alpha={a:6.4f}",
+        it=it, cost=cost, inf_du=inf_du,
+        lgrg=jnp.log10(jnp.maximum(reg, 1e-300)), a=alpha,
+    )

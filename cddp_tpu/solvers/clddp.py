@@ -166,6 +166,7 @@ class _Carry(NamedTuple):
     it: jax.Array
     status: jax.Array
     done: jax.Array
+    hist: base.HistoryArrays
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -173,6 +174,17 @@ def _solve(problem: Problem, options: CDDPOptions, X0, U0, k0, K0):
     dtype = X0.dtype
     alphas = base.alphas_array(options, dtype)
     cost0 = base.compute_cost(problem, X0, U0)
+
+    record = options.return_iteration_info
+    hist0 = base.history_init(options.max_iterations if record else 0, dtype)
+    if record:
+        # Initial record (recordIterationHistory before the loop,
+        # cddp_solver_base.cpp:57-59).
+        hist0 = base.history_record(
+            hist0, 0, objective=cost0, merit=cost0, alpha_pr=1.0, alpha_du=1.0,
+            inf_du=jnp.inf, inf_pr=jnp.inf, inf_comp=jnp.inf, barrier_mu=0.0,
+            regularization=options.regularization.initial_value,
+        )
 
     init = _Carry(
         X=X0,
@@ -187,6 +199,7 @@ def _solve(problem: Problem, options: CDDPOptions, X0, U0, k0, K0):
         it=jnp.asarray(0, jnp.int32),
         status=jnp.asarray(Status.MAX_ITERATIONS_REACHED, jnp.int32),
         done=jnp.asarray(False),
+        hist=hist0,
     )
 
     def cond(c: _Carry):
@@ -222,7 +235,7 @@ def _solve(problem: Problem, options: CDDPOptions, X0, U0, k0, K0):
             X=c.X, U=c.U, k=bp.k, K=bp.K, cost=c.cost, merit=c.merit, reg=reg,
             inf_du=bp.inf_du, alpha_pr=c.alpha_pr, it=it,
             status=jnp.asarray(Status.REGULARIZATION_LIMIT_NOT_CONVERGED, jnp.int32),
-            done=jnp.asarray(True),
+            done=jnp.asarray(True), hist=c.hist,
         )
 
         def after_backward(_):
@@ -272,6 +285,25 @@ def _solve(problem: Problem, options: CDDPOptions, X0, U0, k0, K0):
             ).astype(jnp.int32)
             done = early | conv_opt | conv_acc | fp_limit
 
+            hist = c.hist
+            if record:
+                idx = jnp.minimum(it, options.max_iterations)
+                new_hist = base.history_record(
+                    hist, idx, objective=cost_new, merit=cost_new,
+                    alpha_pr=jnp.where(fp_ok, alpha_new, c.alpha_pr),
+                    alpha_du=1.0, inf_du=bp.inf_du, inf_pr=0.0, inf_comp=0.0,
+                    barrier_mu=0.0, regularization=reg_new,
+                )
+                take = fp_ok | early
+                hist = jax.tree.map(
+                    lambda a, b: jnp.where(take, a, b), new_hist, hist
+                )
+            if options.verbose:
+                base.print_ddp_iteration(
+                    it, cost_new, bp.inf_du, reg_new,
+                    jnp.where(fp_ok, alpha_new, c.alpha_pr),
+                )
+
             return _Carry(
                 X=X_new,
                 U=U_new,
@@ -285,6 +317,7 @@ def _solve(problem: Problem, options: CDDPOptions, X0, U0, k0, K0):
                 it=it,
                 status=status,
                 done=done,
+                hist=hist,
             )
 
         return jax.lax.cond(bp_limit, lambda _: fail_out, after_backward, None)
@@ -305,6 +338,7 @@ def _solve(problem: Problem, options: CDDPOptions, X0, U0, k0, K0):
         feedback_gains=out.K,
         feedforward_gains=out.k,
         inf_du=out.inf_du,
+        history=base.history_to_solution(out.hist) if record else None,
     )
 
 

@@ -138,3 +138,20 @@ def test_solver_registry():
     ct.register_solver("Fake", fake)
     ct.solve(prob, "Fake")
     assert called["yes"]
+
+
+def test_iteration_history():
+    prob, x0, _ = _pendulum_problem(horizon=100)
+    opts = ct.CDDPOptions(
+        max_iterations=50, tolerance=1e-3, return_iteration_info=True
+    )
+    X0 = jnp.tile(x0, (prob.horizon + 1, 1))
+    sol = clddp.solve(prob, opts, X0=X0)
+    assert sol.history is not None
+    n = int(sol.iterations_completed)
+    obj = np.asarray(sol.history.objective)
+    assert obj.shape == (51,)
+    # Initial record present and objective non-increasing over accepted iters
+    assert obj[0] > 0
+    assert obj[n] <= obj[0]
+    assert np.all(np.asarray(sol.history.regularization)[: n + 1] >= 0)

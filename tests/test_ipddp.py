@@ -165,3 +165,17 @@ def test_vmap_batched_ipddp():
     for i in range(3):
         ci, Xi = solve_one(x0s[i])
         np.testing.assert_allclose(float(bc[i]), float(ci), rtol=1e-9)
+
+
+def test_ipddp_history_and_mu_decay():
+    prob, goal = _pendulum_problem(N=80)
+    opts = ct.CDDPOptions(
+        max_iterations=200, tolerance=1e-4, acceptable_tolerance=1e-5,
+        return_iteration_info=True,
+    )
+    sol = ipddp.solve(prob, opts)
+    assert sol.history is not None
+    n = int(sol.iterations_completed)
+    mu = np.asarray(sol.history.barrier_mu)
+    assert mu[0] == 1.0  # mu_initial with constraints present
+    assert mu[n] < mu[0]  # barrier decayed over the solve
