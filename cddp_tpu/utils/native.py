@@ -1,0 +1,147 @@
+"""ctypes bridge to the native host runtime (native/cddp_host.cpp).
+
+The native library is the framework's C++ layer: an independent
+double-precision BoxQP and LQR Riccati oracle plus a std::thread batched
+BoxQP driver. It is OPTIONAL — built on demand with g++ (no pybind11) and
+every entry point degrades gracefully when the toolchain is absent.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
+_SRC = _NATIVE_DIR / "cddp_host.cpp"
+_SO = _NATIVE_DIR / "libcddp_host.so"
+
+_lib = None
+
+
+def build(force: bool = False) -> Path:
+    """Compile the native library if needed. Raises on failure."""
+    if _SO.exists() and not force:
+        if _SO.stat().st_mtime >= _SRC.stat().st_mtime:
+            return _SO
+    cmd = [
+        "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
+        str(_SRC), "-o", str(_SO),
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+    return _SO
+
+
+def available() -> bool:
+    try:
+        load()
+        return True
+    except Exception:
+        return False
+
+
+def load() -> ctypes.CDLL:
+    global _lib
+    if _lib is not None:
+        return _lib
+    build()
+    lib = ctypes.CDLL(str(_SO))
+    d = ctypes.POINTER(ctypes.c_double)
+    i = ctypes.POINTER(ctypes.c_int)
+    lib.cddp_boxqp_solve.restype = ctypes.c_int
+    lib.cddp_boxqp_solve.argtypes = [d, d, d, d, d, ctypes.c_int, d, i,
+                                     ctypes.c_int, ctypes.c_double,
+                                     ctypes.c_double, ctypes.c_double,
+                                     ctypes.c_double, ctypes.c_double]
+    lib.cddp_boxqp_solve_batch.restype = None
+    lib.cddp_boxqp_solve_batch.argtypes = [d, d, d, d, d, ctypes.c_int,
+                                           ctypes.c_int, d, i, ctypes.c_int,
+                                           ctypes.c_int, ctypes.c_double,
+                                           ctypes.c_double, ctypes.c_double,
+                                           ctypes.c_double, ctypes.c_double]
+    lib.cddp_lqr_backward.restype = ctypes.c_int
+    lib.cddp_lqr_backward.argtypes = [d, d, d, d, d, d, d, ctypes.c_int,
+                                      ctypes.c_int, ctypes.c_int, d, d]
+    _lib = lib
+    return lib
+
+
+def _cptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def boxqp_solve(H, g, lower, upper, x0=None, max_iterations=100,
+                min_gradient_norm=1e-8, min_relative_improvement=1e-8,
+                step_decrease_factor=0.6, min_step_size=1e-22,
+                armijo_constant=0.1):
+    """Native BoxQP. Returns (x, status, free_mask)."""
+    lib = load()
+    H = np.ascontiguousarray(H, dtype=np.float64)
+    g = np.ascontiguousarray(g, dtype=np.float64)
+    lower = np.ascontiguousarray(lower, dtype=np.float64)
+    upper = np.ascontiguousarray(upper, dtype=np.float64)
+    n = g.shape[0]
+    x0 = np.ascontiguousarray(
+        x0 if x0 is not None else np.zeros(n), dtype=np.float64
+    )
+    x = np.zeros(n)
+    free = np.zeros(n, dtype=np.int32)
+    status = lib.cddp_boxqp_solve(
+        _cptr(H), _cptr(g), _cptr(lower), _cptr(upper), _cptr(x0), n, _cptr(x),
+        free.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), max_iterations,
+        min_gradient_norm, min_relative_improvement, step_decrease_factor,
+        min_step_size, armijo_constant,
+    )
+    return x, int(status), free.astype(bool)
+
+
+def boxqp_solve_batch(Hs, gs, lowers, uppers, x0s=None, threads: int = 0,
+                      max_iterations=100):
+    """Threaded batched BoxQP (the host-runtime analogue of the reference's
+    std::async fan-out). Returns (xs, statuses)."""
+    import os
+
+    lib = load()
+    Hs = np.ascontiguousarray(Hs, dtype=np.float64)
+    gs = np.ascontiguousarray(gs, dtype=np.float64)
+    B, n = gs.shape
+    lowers = np.ascontiguousarray(np.broadcast_to(lowers, (B, n)), dtype=np.float64)
+    uppers = np.ascontiguousarray(np.broadcast_to(uppers, (B, n)), dtype=np.float64)
+    x0s = np.ascontiguousarray(
+        x0s if x0s is not None else np.zeros((B, n)), dtype=np.float64
+    )
+    xs = np.zeros((B, n))
+    statuses = np.zeros(B, dtype=np.int32)
+    threads = threads or (os.cpu_count() or 1)
+    lib.cddp_boxqp_solve_batch(
+        _cptr(Hs), _cptr(gs), _cptr(lowers), _cptr(uppers), _cptr(x0s), B, n,
+        _cptr(xs), statuses.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        threads, max_iterations, 1e-8, 1e-8, 0.6, 1e-22, 0.1,
+    )
+    return xs, statuses
+
+
+def lqr_backward(Q, q, R, r, M, A, B):
+    """Native LQR backward sweep. Returns (K, k); raises if Quu not PD."""
+    lib = load()
+    Q = np.ascontiguousarray(Q, dtype=np.float64)
+    q = np.ascontiguousarray(q, dtype=np.float64)
+    R = np.ascontiguousarray(R, dtype=np.float64)
+    r = np.ascontiguousarray(r, dtype=np.float64)
+    M = np.ascontiguousarray(M, dtype=np.float64)
+    A = np.ascontiguousarray(A, dtype=np.float64)
+    B = np.ascontiguousarray(B, dtype=np.float64)
+    N, m, _ = R.shape[0], R.shape[1], R.shape[2]
+    n = Q.shape[-1]
+    K = np.zeros((N, m, n))
+    k = np.zeros((N, m))
+    rc = lib.cddp_lqr_backward(
+        _cptr(Q), _cptr(q), _cptr(R), _cptr(r), _cptr(M), _cptr(A), _cptr(B),
+        N, n, m, _cptr(K), _cptr(k),
+    )
+    if rc != 0:
+        raise RuntimeError("native LQR backward: Quu not positive definite")
+    return K, k

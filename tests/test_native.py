@@ -1,0 +1,77 @@
+"""Native host-runtime tests: the C++ BoxQP/LQR oracles must agree with the
+JAX compute path (cross-language verification tier)."""
+
+import shutil
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    shutil.which("g++") is None, reason="no C++ toolchain"
+)
+
+from cddp_tpu.utils import native  # noqa: E402
+
+
+def test_build_and_load():
+    assert native.available()
+
+
+def test_native_boxqp_matches_jax_enum():
+    from cddp_tpu.ops.boxqp import boxqp_solve_enum
+
+    rng = np.random.default_rng(2)
+    for n in (1, 2, 3, 4):
+        for _ in range(5):
+            A = rng.normal(size=(n, n))
+            H = A @ A.T + n * np.eye(n)
+            g = rng.normal(size=n)
+            lo, hi = -0.6 * np.ones(n), 0.6 * np.ones(n)
+            x_native, status, free = native.boxqp_solve(H, g, lo, hi)
+            assert status in (4, 5), status
+            r = boxqp_solve_enum(
+                jnp.asarray(H), jnp.asarray(g), jnp.asarray(lo), jnp.asarray(hi)
+            )
+            np.testing.assert_allclose(x_native, np.asarray(r.x), atol=1e-6)
+
+
+def test_native_batch_threads():
+    rng = np.random.default_rng(3)
+    B, n = 64, 3
+    As = rng.normal(size=(B, n, n))
+    Hs = As @ As.transpose(0, 2, 1) + 3 * np.eye(n)
+    gs = rng.normal(size=(B, n))
+    lo, hi = -np.ones(n), np.ones(n)
+    xs1, st1 = native.boxqp_solve_batch(Hs, gs, lo, hi, threads=1)
+    xs4, st4 = native.boxqp_solve_batch(Hs, gs, lo, hi, threads=4)
+    np.testing.assert_array_equal(st1, st4)
+    np.testing.assert_allclose(xs1, xs4, rtol=0, atol=0)  # deterministic
+    # and correct
+    for b in range(0, B, 16):
+        x_ref, _, _ = native.boxqp_solve(Hs[b], gs[b], lo, hi)
+        np.testing.assert_allclose(xs1[b], x_ref)
+
+
+def test_native_lqr_matches_jax_scan():
+    from cddp_tpu.solvers.ipddp import _solve_sequential_lqr
+
+    rng = np.random.default_rng(4)
+    N, n, m = 12, 3, 2
+    Q = np.stack([np.eye(n) * (1 + 0.1 * i) for i in range(N + 1)])
+    q = rng.normal(size=(N + 1, n))
+    Rm = np.stack([np.eye(m) * 0.5 for _ in range(N)])
+    r = rng.normal(size=(N, m))
+    M = rng.normal(size=(N, n, m)) * 0.01
+    A = np.stack([np.eye(n) + 0.01 * rng.normal(size=(n, n)) for _ in range(N)])
+    B = rng.normal(size=(N, n, m)) * 0.1
+
+    K_n, k_n = native.lqr_backward(Q, q, Rm, r, M, A, B)
+    K_j, k_j, P_j, p_j, ok = _solve_sequential_lqr(
+        jnp.asarray(Q), jnp.asarray(q), jnp.asarray(Rm), jnp.asarray(r),
+        jnp.asarray(M), jnp.asarray(A), jnp.asarray(B),
+    )
+    assert bool(ok)
+    np.testing.assert_allclose(K_n, np.asarray(K_j), rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(k_n, np.asarray(k_j), rtol=1e-8, atol=1e-10)
