@@ -1,7 +1,7 @@
 """Dynamics model zoo — all 22 reference models (src/dynamics_model/,
 umbrella include cddp.hpp:41-58), as pure-JAX systems."""
 
-from cddp_tpu.models.base import DynamicalSystem, rollout
+from cddp_tpu.models.base import CustomSystem, DynamicalSystem, custom_system, rollout
 from cddp_tpu.models.pendulum import Pendulum
 from cddp_tpu.models.unicycle import Unicycle
 from cddp_tpu.models.bicycle import Bicycle

@@ -106,3 +106,38 @@ def rollout(model: DynamicalSystem, x0: jax.Array, U: jax.Array, dt) -> jax.Arra
 
     _, X_tail = jax.lax.scan(step, x0, (U, ts))
     return jnp.concatenate([x0[None], X_tail], axis=0)
+
+
+class CustomSystem(DynamicalSystem):
+    """User-defined dynamics from a plain callable.
+
+    The JAX answer to the reference's PyDynamicalSystem trampoline
+    (bind_dynamics.cpp:31-103): where pycddp lets Python subclasses override
+    the C++ virtuals (at GIL cost, bind_solver.cpp:16-22), here any traceable
+    ``f(x, u, t) -> xdot`` becomes a first-class system — jit/vmap/AD apply
+    to it like any built-in model, with zero callback overhead.
+
+    ``params`` is an optional pytree passed as ``f(x, u, t, params)`` so the
+    callable can be parameterized without retracing.
+    """
+
+    state_dim: int = struct.field(pytree_node=False, default=0)
+    control_dim: int = struct.field(pytree_node=False, default=0)
+    f: object = struct.field(pytree_node=False, default=None)
+    params: object = None
+
+    def continuous_dynamics(self, x, u, t):
+        if self.params is not None:
+            return self.f(x, u, t, self.params)
+        return self.f(x, u, t)
+
+
+def custom_system(f, state_dim: int, control_dim: int, params=None,
+                  integration_type: str = "euler") -> CustomSystem:
+    return CustomSystem(
+        state_dim=state_dim,
+        control_dim=control_dim,
+        f=f,
+        params=params,
+        integration_type=integration_type,
+    )

@@ -142,9 +142,22 @@ def boxqp_solve_enum(
         return x, valid, free, Hff, grad
 
     xs, valids, frees, Hffs, grads = jax.vmap(try_config)(configs)
-    idx = jnp.argmax(valids)  # unique KKT point for strictly convex QP
-    x = xs[idx]
-    free = frees[idx]
+    # Exactly one config satisfies KKT for a strictly convex QP, so selection
+    # is a masked sum over the config axis — pure elementwise+reduce, which
+    # (unlike argmax+gather) fuses into the surrounding scan body. Guard
+    # against degenerate ties (boundary-touching optima validate under
+    # multiple configs) by keeping only the first valid config.
+    first_valid = valids & (jnp.cumsum(valids) == 1)
+    w = first_valid.astype(dtype)
+    x = jnp.einsum("c,cn->n", w, xs)
+    free_f = jnp.einsum("c,cn->n", w, frees.astype(dtype))
+    free = free_f > 0.5
+    Hfree = jnp.einsum("c,cij->ij", w, Hffs)
+    grad_sel = jnp.einsum("c,cn->n", w, grads)
+    # If nothing validated (non-PD H), keep Hfree invertible.
+    none_valid = ~jnp.any(first_valid)
+    Hfree = jnp.where(none_valid, jnp.eye(n, dtype=dtype), Hfree)
+
     all_clamped = ~jnp.any(free)
     status = jnp.where(
         hess_not_pd,
@@ -156,10 +169,10 @@ def boxqp_solve_enum(
         x=x,
         status=status,
         free=free,
-        Hfree=Hffs[idx],
+        Hfree=Hfree,
         iterations=jnp.asarray(1, jnp.int32),
         final_value=_objective(x, H, g),
-        final_grad_norm=jnp.sqrt(jnp.sum((grads[idx] * fmask) ** 2)),
+        final_grad_norm=jnp.sqrt(jnp.sum((grad_sel * fmask) ** 2)),
     )
 
 

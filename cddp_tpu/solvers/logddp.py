@@ -198,6 +198,7 @@ class _Carry(NamedTuple):
     it: jax.Array
     status: jax.Array
     done: jax.Array
+    hist: base.HistoryArrays
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -213,6 +214,15 @@ def _solve(problem: Problem, options: CDDPOptions, X0, U0, k0, K0):
     barrier0 = RelaxedLogBarrier(barrier_coeff=mu0, relaxation_delta=delta)
     bc0, cv0 = _merit_and_violation(problem, barrier0, X, U0)
 
+    record = options.return_iteration_info
+    hist0 = base.history_init(options.max_iterations if record else 0, dtype)
+    if record:
+        hist0 = base.history_record(
+            hist0, 0, objective=cost0, merit=cost0 + bc0, alpha_pr=1.0,
+            alpha_du=1.0, inf_du=jnp.inf, inf_pr=cv0, inf_comp=0.0,
+            barrier_mu=mu0, regularization=options.regularization.initial_value,
+        )
+
     init = _Carry(
         X=X, U=U0, k=k0, K=K0, mu=mu0, cost=cost0, merit=cost0 + bc0, cv=cv0,
         reg=jnp.asarray(options.regularization.initial_value, dtype),
@@ -220,6 +230,7 @@ def _solve(problem: Problem, options: CDDPOptions, X0, U0, k0, K0):
         it=jnp.asarray(0, jnp.int32),
         status=jnp.asarray(Status.MAX_ITERATIONS_REACHED, jnp.int32),
         done=jnp.asarray(False),
+        hist=hist0,
     )
 
     def cond(c):
@@ -250,7 +261,7 @@ def _solve(problem: Problem, options: CDDPOptions, X0, U0, k0, K0):
         # Regularization exhaustion counts as CONVERGED for LogDDP
         # (logddp_solver.cpp:216-222).
         bp_fail = c._replace(
-            k=bp.k, K=bp.K, reg=reg, inf_du=bp.inf_du, it=it,
+            k=bp.k, K=bp.K, reg=reg, inf_du=bp.inf_du, it=it, hist=c.hist,
             status=jnp.asarray(Status.REGULARIZATION_LIMIT_CONVERGED, jnp.int32),
             done=jnp.asarray(True),
         )
@@ -314,11 +325,29 @@ def _solve(problem: Problem, options: CDDPOptions, X0, U0, k0, K0):
                 ),
             ).astype(jnp.int32)
 
+            hist = c.hist
+            if record:
+                idx = jnp.minimum(it, options.max_iterations)
+                new_hist = base.history_record(
+                    hist, idx, objective=cost_new, merit=merit_new,
+                    alpha_pr=jnp.where(fp_ok, alphas[i], c.alpha_pr),
+                    alpha_du=1.0, inf_du=bp.inf_du, inf_pr=cv_new,
+                    inf_comp=0.0, barrier_mu=mu_new, regularization=reg_new,
+                )
+                hist = jax.tree.map(
+                    lambda a, b: jnp.where(fp_ok, a, b), new_hist, hist
+                )
+            if options.verbose:
+                base.print_ddp_iteration(
+                    it, cost_new, bp.inf_du, reg_new,
+                    jnp.where(fp_ok, alphas[i], c.alpha_pr),
+                )
             return _Carry(
                 X=X_new, U=U_new, k=bp.k, K=bp.K, mu=mu_new, cost=cost_new,
                 merit=merit_new, cv=cv_new, reg=reg_new, inf_du=bp.inf_du,
                 alpha_pr=jnp.where(fp_ok, alphas[i], c.alpha_pr), it=it,
                 status=status, done=conv_opt | conv_acc | fp_limit,
+                hist=hist,
             )
 
         return jax.lax.cond(bp_limit, lambda _: bp_fail, after_backward, None)
@@ -340,6 +369,7 @@ def _solve(problem: Problem, options: CDDPOptions, X0, U0, k0, K0):
         barrier_mu=out.mu,
         inf_pr=out.cv,
         inf_du=out.inf_du,
+        history=base.history_to_solution(out.hist) if record else None,
     )
 
 

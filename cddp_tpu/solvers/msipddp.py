@@ -104,6 +104,7 @@ class _Carry(NamedTuple):
     it: jax.Array
     status: jax.Array
     done: jax.Array
+    hist: base.HistoryArrays
 
 
 def _scaled_inf_du(inf_du, Y, S, horizon, control_dim, has_path: bool):
@@ -559,6 +560,15 @@ def _solve(problem: Problem, options: CDDPOptions, X0, U0, warm):
     if warm is not None:
         bp0 = bp0._replace(k_u=warm.k_u, K_u=warm.K_u)
 
+    record = options.return_iteration_info
+    hist0 = base.history_init(options.max_iterations if record else 0, dtype)
+    if record:
+        hist0 = base.history_record(
+            hist0, 0, objective=cost0, merit=merit0, alpha_pr=1.0,
+            alpha_du=1.0, inf_du=0.0, inf_pr=inf_pr0, inf_comp=inf_comp0,
+            barrier_mu=mu0, regularization=options.regularization.initial_value,
+        )
+
     init = _Carry(
         X=X, U=U, Y=Y, S=S, G=G, F=F, Lambda=Lambda, bp=bp0, mu=mu0,
         filt=filt0, cost=cost0, merit=merit0,
@@ -568,6 +578,7 @@ def _solve(problem: Problem, options: CDDPOptions, X0, U0, warm):
         alpha_du=jnp.asarray(1.0, dtype), it=jnp.asarray(0, jnp.int32),
         status=jnp.asarray(Status.MAX_ITERATIONS_REACHED, jnp.int32),
         done=jnp.asarray(False),
+        hist=hist0,
     )
 
     def cond(c):
@@ -653,7 +664,22 @@ def _solve(problem: Problem, options: CDDPOptions, X0, U0, warm):
                     jnp.where(conv_acc, Status.ACCEPTABLE_SOLUTION_FOUND, ci.status),
                 ).astype(jnp.int32)
                 done = conv_opt | conv_acc
-                c2 = c2._replace(status=status, done=done)
+                hist = c2.hist
+                if record:
+                    idx = jnp.minimum(it, options.max_iterations)
+                    hist = base.history_record(
+                        hist, idx, objective=c2.cost, merit=c2.merit,
+                        alpha_pr=c2.alpha_pr, alpha_du=c2.alpha_du,
+                        inf_du=c2.inf_du, inf_pr=c2.inf_pr,
+                        inf_comp=c2.inf_comp, barrier_mu=c2.mu,
+                        regularization=c2.reg,
+                    )
+                if options.verbose:
+                    base.print_ip_iteration(
+                        it, c2.cost, c2.inf_pr, c2.inf_du, c2.inf_comp, c2.mu,
+                        c2.step_norm, c2.reg, c2.alpha_du, c2.alpha_pr,
+                    )
+                c2 = c2._replace(status=status, done=done, hist=hist)
                 # postIterationUpdate only when not converged.
                 return jax.lax.cond(
                     done,
@@ -716,6 +742,7 @@ def _solve(problem: Problem, options: CDDPOptions, X0, U0, warm):
         inf_pr=out.inf_pr,
         inf_du=out.inf_du,
         inf_comp=out.inf_comp,
+        history=base.history_to_solution(out.hist) if record else None,
     )
     return sol, state
 

@@ -136,3 +136,26 @@ def test_quadratic_objective_validation():
             jnp.eye(2), jnp.eye(1), jnp.eye(2), jnp.ones(2), 0.1,
             reference_states=jnp.zeros((3, 2)),
         )
+
+
+def test_custom_system():
+    # Python-defined dynamics through the solver (the reference's
+    # python/tests/test_custom_dynamics.py:76 scenario, GIL-free here).
+    from cddp_tpu.models import custom_system
+    import cddp_tpu as ct
+    from cddp_tpu.solvers import clddp
+
+    def double_integrator(x, u, t, params):
+        return jnp.stack([x[1], u[0] / params["mass"]])
+
+    model = custom_system(double_integrator, 2, 1, params={"mass": 2.0})
+    dt, N = 0.05, 60
+    obj = quadratic_objective(jnp.eye(2) * 0.0, 0.01 * jnp.eye(1),
+                              10.0 * jnp.eye(2), jnp.zeros(2), dt)
+    prob = ct.problem(model, obj, jnp.array([1.0, 0.0]), N, dt)
+    X0 = jnp.tile(prob.x0, (N + 1, 1))
+    sol = clddp.solve(prob, ct.CDDPOptions(max_iterations=100, tolerance=1e-5), X0=X0)
+    assert float(jnp.linalg.norm(sol.state_trajectory[-1])) < 0.1
+    # AD works through the user callable
+    Fx, Fu = model.jacobians(jnp.array([0.5, -0.1]), jnp.array([0.2]), 0.0)
+    np.testing.assert_allclose(Fu, jnp.array([[0.0], [0.5]]), atol=1e-12)
