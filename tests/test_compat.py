@@ -1,0 +1,71 @@
+"""pycddp-style compat layer tests (mirror of python/tests API patterns:
+builder workflow, error surfaces, warm-start across solve() calls)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import cddp_tpu as ct
+from cddp_tpu.compat import CDDP
+from cddp_tpu.models import Pendulum
+
+
+def _build(horizon=80, dt=0.02):
+    solver = CDDP(jnp.array([jnp.pi, 0.0]), jnp.zeros(2), horizon, dt,
+                  ct.CDDPOptions(max_iterations=200, tolerance=1e-4,
+                                 acceptable_tolerance=1e-5))
+    solver.set_dynamical_system(Pendulum(length=0.5, damping=0.01))
+    solver.set_objective(
+        ct.quadratic_objective(jnp.zeros((2, 2)), 0.1 * jnp.eye(1),
+                               100.0 * jnp.eye(2), jnp.zeros(2), dt))
+    solver.add_path_constraint(
+        "ControlConstraint", ct.control_constraint([-20.0], [20.0]))
+    return solver
+
+
+def test_builder_workflow_and_timing():
+    solver = _build()
+    assert solver.get_state_dim() == 2 and solver.get_control_dim() == 1
+    sol = solver.solve("IPDDP")
+    assert sol.status_message in ("OptimalSolutionFound", "AcceptableSolutionFound")
+    assert sol.solve_time_ms > 0.0
+    err = float(jnp.linalg.norm(sol.state_trajectory[-1]))
+    assert err < 0.3
+
+
+def test_missing_system_raises():
+    solver = CDDP(jnp.zeros(2), jnp.zeros(2), 10, 0.1)
+    with pytest.raises(RuntimeError, match="Dynamical system"):
+        solver.solve("CLDDP")
+    solver.set_dynamical_system(Pendulum())
+    with pytest.raises(RuntimeError, match="Objective"):
+        solver.solve("CLDDP")
+
+
+def test_warm_start_across_solves():
+    solver = _build()
+    cold = solver.solve("IPDDP")
+    solver.set_options(solver.options.replace(warm_start=True))
+    solver.set_initial_trajectory(cold.state_trajectory, cold.control_trajectory)
+    warm = solver.solve("IPDDP")
+    assert int(warm.iterations_completed) <= int(cold.iterations_completed) + 5
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from cddp_tpu.utils.checkpoint import load_state, save_state
+    from cddp_tpu.solvers import ipddp
+
+    solver = _build(horizon=40)
+    prob = ct.problem(
+        solver._system, solver._objective, solver.initial_state, 40, 0.02,
+        constraints=solver._constraints,
+    )
+    sol, state = ipddp.solve(prob, solver.options, return_state=True)
+    p = tmp_path / "ckpt"
+    save_state(p, state)
+    state2 = load_state(p, state)
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(state2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+import jax  # noqa: E402
