@@ -242,20 +242,63 @@ def _solve(problem: Problem, options: CDDPOptions, X0, U0, k0, K0):
             # Early convergence on inf_du (clddp_solver.cpp:206-213).
             early = bp.inf_du < options.tolerance
 
-            # Multi-alpha forward pass, one vmapped rollout per alpha
-            # (the TPU analogue of cddp_solver_base.cpp:248-317).
-            success_v, J_v, X_v, U_v = jax.vmap(
-                lambda a: _forward_pass(
-                    problem, options, c.X, c.U, bp.k, bp.K, bp.dV, c.cost, a
-                )
-            )(alphas)
-            sel = base.select_forward_result(success_v, J_v, options.enable_parallel)
-            J_new = J_v[sel.index]
-            alpha_new = alphas[sel.index]
-            fp_ok = sel.success & ~early
+            if options.enable_parallel:
+                # Parallel mode: all alphas at once, best merit wins
+                # (cddp_solver_base.cpp:264-314) — one vmapped rollout per
+                # alpha.
+                success_v, J_v, X_v, U_v = jax.vmap(
+                    lambda a: _forward_pass(
+                        problem, options, c.X, c.U, bp.k, bp.K, bp.dV, c.cost, a
+                    )
+                )(alphas)
+                sel = base.select_forward_result(success_v, J_v, True)
+                any_success = sel.success
+                J_new = J_v[sel.index]
+                alpha_new = alphas[sel.index]
+                X_sel = X_v[sel.index]
+                U_sel = U_v[sel.index]
+            else:
+                # Sequential mode: walk the ladder until the first success
+                # (cddp_solver_base.cpp:256-263). As a lax.while_loop this
+                # evaluates only as many rollouts as the worst batch element
+                # needs (usually 1-2), not the full ladder.
+                def ls_cond(s):
+                    i, found, *_ = s
+                    return (~found) & (i < alphas.shape[0])
 
-            X_new = jnp.where(fp_ok, X_v[sel.index], c.X)
-            U_new = jnp.where(fp_ok, U_v[sel.index], c.U)
+                def ls_body(s):
+                    i, found, J0, X0s, U0s, a0 = s
+                    ok, J, Xn, Un = _forward_pass(
+                        problem, options, c.X, c.U, bp.k, bp.K, bp.dV, c.cost,
+                        alphas[i],
+                    )
+                    return (
+                        i + 1,
+                        ok,
+                        jnp.where(ok, J, J0),
+                        jnp.where(ok, Xn, X0s),
+                        jnp.where(ok, Un, U0s),
+                        jnp.where(ok, alphas[i], a0),
+                    )
+
+                _, any_success, J_new, X_sel, U_sel, alpha_new = (
+                    jax.lax.while_loop(
+                        ls_cond,
+                        ls_body,
+                        (
+                            jnp.asarray(0, jnp.int32),
+                            jnp.asarray(False),
+                            jnp.asarray(jnp.inf, dtype),
+                            c.X,
+                            c.U,
+                            jnp.asarray(1.0, dtype),
+                        ),
+                    )
+                )
+            fp_ok = any_success & ~early
+
+            X_new = jnp.where(fp_ok, X_sel, c.X)
+            U_new = jnp.where(fp_ok, U_sel, c.U)
             cost_new = jnp.where(fp_ok, J_new, c.cost)
             dJ = c.cost - J_new
 
