@@ -1172,17 +1172,42 @@ def _solve(problem: Problem, options: CDDPOptions, X0, U0, warm: Optional[IPDDPS
                 c1.S, c1.Y, c1.bp.dS, c1.bp.dY, c1.S_T, c1.Y_T, c1.bp.dS_T,
                 c1.bp.dY_T, c1.mu, options,
             )
-            fp = jax.vmap(
-                lambda a: _forward_pass(
-                    problem, options, stk, tstk, c1, a, a_pr_max, a_du_max,
-                    has_path, has_ti, has_te,
-                )
-            )(alphas)
-            sel = base.select_forward_result(
-                fp["success"], fp["merit"], options.enable_parallel
+            run_fp = lambda a: _forward_pass(
+                problem, options, stk, tstk, c1, a, a_pr_max, a_du_max,
+                has_path, has_ti, has_te,
             )
-            take = lambda arr: jax.tree.map(lambda v: v[sel.index], arr)
-            fp_ok = sel.success & ~early
+            if options.enable_parallel:
+                fp_v = jax.vmap(run_fp)(alphas)
+                sel = base.select_forward_result(
+                    fp_v["success"], fp_v["merit"], True
+                )
+                fp = jax.tree.map(lambda v: v[sel.index], fp_v)
+                any_success = sel.success
+            else:
+                # Sequential first-success ladder walk as a while_loop
+                # (cddp_solver_base.cpp:256-263): evaluates only the rollouts
+                # actually needed.
+                fp0 = run_fp(alphas[0])
+
+                def ls_cond(st):
+                    i, found, _ = st
+                    return (~found) & (i < alphas.shape[0])
+
+                def ls_body(st):
+                    i, found, best = st
+                    fpi = run_fp(alphas[i])
+                    tk = fpi["success"]
+                    best = jax.tree.map(
+                        lambda a, b: jnp.where(tk, a, b), fpi, best
+                    )
+                    return i + 1, tk, best
+
+                _, any_success, fp = jax.lax.while_loop(
+                    ls_cond, ls_body,
+                    (jnp.asarray(1, jnp.int32), fp0["success"], fp0),
+                )
+            take = lambda arr: fp
+            fp_ok = any_success & ~early
 
             def commit(ci: _Carry) -> _Carry:
                 r = take(fp)

@@ -267,24 +267,47 @@ def _solve(problem: Problem, options: CDDPOptions, X0, U0, k0, K0):
         )
 
         def after_backward(_):
-            succ_v, cost_v, merit_v, cv_v, X_v, U_v = jax.vmap(
-                lambda a: _forward_pass(
-                    problem, options, barrier, c.X, c.U, bp.k, bp.K, bp.dV,
-                    c.merit, c.cv, a,
+            run_fp = lambda a: _forward_pass(
+                problem, options, barrier, c.X, c.U, bp.k, bp.K, bp.dV,
+                c.merit, c.cv, a,
+            )
+            if options.enable_parallel:
+                succ_v, cost_v, merit_v, cv_v, X_v, U_v = jax.vmap(run_fp)(alphas)
+                sel = base.select_forward_result(succ_v, merit_v, True)
+                fp_ok = sel.success
+                i = sel.index
+                a_sel = alphas[i]
+                cost_s, merit_s, cv_s, X_s, U_s = (
+                    cost_v[i], merit_v[i], cv_v[i], X_v[i], U_v[i]
                 )
-            )(alphas)
-            sel = base.select_forward_result(succ_v, merit_v, options.enable_parallel)
-            fp_ok = sel.success
-            i = sel.index
+            else:
+                fp0 = run_fp(alphas[0])
 
-            dJ = c.cost - cost_v[i]
-            dL = c.merit - merit_v[i]
+                def ls_cond(st):
+                    i, found, _ = st
+                    return (~found) & (i < alphas.shape[0])
 
-            X_new = jnp.where(fp_ok, X_v[i], c.X)
-            U_new = jnp.where(fp_ok, U_v[i], c.U)
-            cost_new = jnp.where(fp_ok, cost_v[i], c.cost)
-            merit_new = jnp.where(fp_ok, merit_v[i], c.merit)
-            cv_new = jnp.where(fp_ok, cv_v[i], c.cv)
+                def ls_body(st):
+                    i, found, best = st
+                    fpi = run_fp(alphas[i]) + (alphas[i],)
+                    tk = fpi[0]
+                    best = jax.tree.map(lambda a, b: jnp.where(tk, a, b), fpi, best)
+                    return i + 1, tk, best
+
+                _, fp_ok, best = jax.lax.while_loop(
+                    ls_cond, ls_body,
+                    (jnp.asarray(1, jnp.int32), fp0[0], fp0 + (alphas[0],)),
+                )
+                _, cost_s, merit_s, cv_s, X_s, U_s, a_sel = best
+
+            dJ = c.cost - cost_s
+            dL = c.merit - merit_s
+
+            X_new = jnp.where(fp_ok, X_s, c.X)
+            U_new = jnp.where(fp_ok, U_s, c.U)
+            cost_new = jnp.where(fp_ok, cost_s, c.cost)
+            merit_new = jnp.where(fp_ok, merit_s, c.merit)
+            cv_new = jnp.where(fp_ok, cv_s, c.cv)
 
             reg_new = jnp.where(
                 fp_ok,
@@ -330,7 +353,7 @@ def _solve(problem: Problem, options: CDDPOptions, X0, U0, k0, K0):
                 idx = jnp.minimum(it, options.max_iterations)
                 new_hist = base.history_record(
                     hist, idx, objective=cost_new, merit=merit_new,
-                    alpha_pr=jnp.where(fp_ok, alphas[i], c.alpha_pr),
+                    alpha_pr=jnp.where(fp_ok, a_sel, c.alpha_pr),
                     alpha_du=1.0, inf_du=bp.inf_du, inf_pr=cv_new,
                     inf_comp=0.0, barrier_mu=mu_new, regularization=reg_new,
                 )
@@ -340,12 +363,12 @@ def _solve(problem: Problem, options: CDDPOptions, X0, U0, k0, K0):
             if options.verbose:
                 base.print_ddp_iteration(
                     it, cost_new, bp.inf_du, reg_new,
-                    jnp.where(fp_ok, alphas[i], c.alpha_pr),
+                    jnp.where(fp_ok, a_sel, c.alpha_pr),
                 )
             return _Carry(
                 X=X_new, U=U_new, k=bp.k, K=bp.K, mu=mu_new, cost=cost_new,
                 merit=merit_new, cv=cv_new, reg=reg_new, inf_du=bp.inf_du,
-                alpha_pr=jnp.where(fp_ok, alphas[i], c.alpha_pr), it=it,
+                alpha_pr=jnp.where(fp_ok, a_sel, c.alpha_pr), it=it,
                 status=status, done=conv_opt | conv_acc | fp_limit,
                 hist=hist,
             )

@@ -620,14 +620,34 @@ def _solve(problem: Problem, options: CDDPOptions, X0, U0, warm):
         )
 
         def after_backward(c1: _Carry) -> _Carry:
-            fp = jax.vmap(
-                lambda a: _forward_pass(problem, options, stk, c1, a, alphas, has_path)
-            )(alphas)
-            sel = base.select_forward_result(
-                fp["success"], fp["merit"], options.enable_parallel
+            run_fp = lambda a: _forward_pass(
+                problem, options, stk, c1, a, alphas, has_path
             )
-            take = lambda tree: jax.tree.map(lambda v: v[sel.index], tree)
-            fp_ok = sel.success
+            if options.enable_parallel:
+                fp_v = jax.vmap(run_fp)(alphas)
+                sel = base.select_forward_result(fp_v["success"], fp_v["merit"], True)
+                fp = jax.tree.map(lambda v: v[sel.index], fp_v)
+                any_success = sel.success
+            else:
+                fp0 = run_fp(alphas[0])
+
+                def ls_cond(st):
+                    i, found, _ = st
+                    return (~found) & (i < alphas.shape[0])
+
+                def ls_body(st):
+                    i, found, best = st
+                    fpi = run_fp(alphas[i])
+                    tk = fpi["success"]
+                    best = jax.tree.map(lambda a, b: jnp.where(tk, a, b), fpi, best)
+                    return i + 1, tk, best
+
+                _, any_success, fp = jax.lax.while_loop(
+                    ls_cond, ls_body,
+                    (jnp.asarray(1, jnp.int32), fp0["success"], fp0),
+                )
+            take = lambda tree: fp
+            fp_ok = any_success
 
             def commit(ci: _Carry) -> _Carry:
                 r = take(fp)
