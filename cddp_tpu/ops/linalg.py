@@ -57,31 +57,51 @@ def det_small(H: jax.Array) -> jax.Array:
     raise ValueError(f"det_small supports n<=4, got {n}")
 
 
-def _minor(H, rows, cols):
-    sub = H[..., rows, :][..., :, cols]
-    return det_small(sub)
+def _det_idx(H, rows, cols):
+    """Determinant of the submatrix H[rows, cols] via fully unrolled Leibniz
+    expansion with STATIC scalar indices — static slices only (fancy index
+    arrays lower to XLA gathers, which break fusion inside scan bodies)."""
+    from itertools import permutations
+
+    n = len(rows)
+    if n == 0:
+        return jnp.ones(H.shape[:-2], H.dtype)
+    total = None
+    for perm in permutations(range(n)):
+        # permutation parity
+        inv = sum(
+            1
+            for a in range(n)
+            for b in range(a + 1, n)
+            if perm[a] > perm[b]
+        )
+        term = H[..., rows[0], cols[perm[0]]]
+        for a in range(1, n):
+            term = term * H[..., rows[a], cols[perm[a]]]
+        term = -term if inv % 2 else term
+        total = term if total is None else total + term
+    return total
 
 
 def inv_small(H: jax.Array) -> jax.Array:
-    """Closed-form inverse for trailing (n, n), static n <= 4 (adjugate)."""
-    import numpy as np
-
+    """Closed-form inverse for trailing (n, n), static n <= 4 (adjugate),
+    built from static scalar element reads so XLA fuses it entirely."""
     n = H.shape[-1]
     det = det_small(H)
     if n == 1:
         return 1.0 / H
     rows = list(range(n))
-    cof_cols = []
+    adj_rows = []
     for j in range(n):
-        col_entries = []
+        row_entries = []
         for i in range(n):
-            rs = np.asarray([r for r in rows if r != i])
-            cs = np.asarray([c for c in rows if c != j])
+            rs = tuple(r for r in rows if r != i)
+            cs = tuple(c for c in rows if c != j)
             sign = (-1.0) ** (i + j)
-            col_entries.append(sign * _minor(H, rs, cs))
-        cof_cols.append(jnp.stack(col_entries, axis=-1))
-    # adj[j, i] = cofactor(i, j): build adjugate rows directly.
-    adj = jnp.stack(cof_cols, axis=-2)
+            row_entries.append(sign * _det_idx(H, rs, cs))
+        adj_rows.append(jnp.stack(row_entries, axis=-1))
+    # adj[j, i] = cofactor(i, j)
+    adj = jnp.stack(adj_rows, axis=-2)
     return adj / det[..., None, None]
 
 
@@ -101,16 +121,14 @@ def psd_solve(H: jax.Array, B: jax.Array) -> jax.Array:
 def is_pd(H: jax.Array) -> jax.Array:
     """Positive-definiteness test. n <= 4: Sylvester leading principal
     minors; larger: cholesky-NaN check."""
-    import numpy as np
-
     n = H.shape[-1]
     if n == 0:
         return jnp.asarray(True)
     if n <= _SMALL_N:
         ok = H[..., 0, 0] > 0
         for k in range(2, n + 1):
-            idx = np.arange(k)
-            ok = ok & (det_small(H[..., idx, :][..., :, idx]) > 0)
+            idx = tuple(range(k))
+            ok = ok & (_det_idx(H, idx, idx) > 0)
         return ok & jnp.all(jnp.isfinite(H), axis=(-2, -1))
     chol = jnp.linalg.cholesky(H)
     return ~jnp.any(jnp.isnan(chol), axis=(-2, -1))
