@@ -1,0 +1,348 @@
+"""Pallas-fused control-limited Riccati backward pass.
+
+SURVEY.md §7 step 9: fuse the per-step backward block (Q-expansion +
+regularization + exact box-QP gain solve) into ONE TPU kernel. The XLA
+version runs the time recursion as a ``lax.scan`` whose body compiles into
+several fusions per step; this kernel runs the whole recursion inside one
+``pallas_call`` with the batch axis on the vector lanes, so every small-
+matrix operation is an elementwise op over a (TILE_B,) vector held in VMEM.
+
+Layout: all stagewise tensors are transposed host-side to batch-last
+(shape (N, nx, nx, B) etc.), the grid tiles the batch, and matrices live as
+Python lists of (TILE_B,) vectors inside the kernel — matrix algebra is
+unrolled at trace time over the static (nx, nu) indices. The box-QP is the
+same exact 3^nu active-set enumeration as :func:`cddp_tpu.ops.boxqp.
+boxqp_solve_enum`, unrolled per config.
+
+This mirrors clddp_solver.cpp:96-203 exactly (same Q-expansions, dV, V
+updates, Qu_err/norm_Vx bookkeeping); parity with the lax.scan
+implementation is asserted in tests.
+"""
+
+from __future__ import annotations
+
+import functools
+from itertools import permutations, product
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_TILE_B = 256
+
+
+# --- unrolled small-matrix algebra over lists of lane vectors --------------
+
+
+def _matmul(A, B, n, k, m):
+    """(n,k) @ (k,m), entries are vectors."""
+    return [
+        [sum(A[i][l] * B[l][j] for l in range(k)) for j in range(m)]
+        for i in range(n)
+    ]
+
+
+def _matvec(A, x, n, k):
+    return [sum(A[i][l] * x[l] for l in range(k)) for i in range(n)]
+
+
+def _transpose(A, n, m):
+    return [[A[i][j] for i in range(n)] for j in range(m)]
+
+
+def _det(A, idx_r, idx_c):
+    n = len(idx_r)
+    if n == 0:
+        return 1.0
+    total = None
+    for perm in permutations(range(n)):
+        inv = sum(
+            1 for a in range(n) for b in range(a + 1, n) if perm[a] > perm[b]
+        )
+        term = A[idx_r[0]][idx_c[perm[0]]]
+        for a in range(1, n):
+            term = term * A[idx_r[a]][idx_c[perm[a]]]
+        total = (total - term) if (total is not None and inv % 2) else (
+            (total + term) if total is not None else (-term if inv % 2 else term)
+        )
+    return total
+
+
+def _inv(A, n):
+    """Adjugate inverse of an (n, n) list-matrix of vectors."""
+    det = _det(A, tuple(range(n)), tuple(range(n)))
+    inv_det = 1.0 / det
+    rows = list(range(n))
+    out = [[None] * n for _ in range(n)]
+    for j in range(n):
+        for i in range(n):
+            rs = tuple(r for r in rows if r != i)
+            cs = tuple(c for c in rows if c != j)
+            sign = (-1.0) ** (i + j)
+            out[j][i] = sign * _det(A, rs, cs) * inv_det
+    return out, det
+
+
+def _leading_minors_pd(A, n):
+    ok = A[0][0] > 0
+    for k in range(2, n + 1):
+        ok = ok & (_det(A, tuple(range(k)), tuple(range(k))) > 0)
+    return ok
+
+
+def make_backward_kernel(nx: int, nu: int, N: int, tile_b: int = DEFAULT_TILE_B):
+    """Build the fused backward-pass pallas_call for static (nx, nu, N).
+
+    Inputs (batch-last): A (N,nx,nx,B), Bm (N,nx,nu,B), lx (N,nx,B),
+    lu (N,nu,B), lxx (N,nx,nx,B), luu (N,nu,nu,B), lux (N,nu,nx,B),
+    lb/ub (N,nu,B) (bounds already shifted by -u), VxT (nx,B), VxxT (nx,nx,B),
+    reg (1,B).
+
+    Outputs: k (N,nu,B), K (N,nu,nx,B), dV (2,B), stats (3,B) =
+    [Qu_err, norm_Vx_accum (excl. terminal), ok].
+    """
+    configs = list(product(range(3), repeat=nu))  # 0 free, 1 lower, 2 upper
+
+    def kernel(A_ref, B_ref, lx_ref, lu_ref, lxx_ref, luu_ref, lux_ref,
+               lb_ref, ub_ref, VxT_ref, VxxT_ref, reg_ref,
+               k_ref, K_ref, dV_ref, stats_ref):
+        reg = reg_ref[0, :]
+        zeros = jnp.zeros_like(reg)
+
+        Vx0 = [VxT_ref[i, :] for i in range(nx)]
+        Vxx0 = [[VxxT_ref[i, j, :] for j in range(nx)] for i in range(nx)]
+
+        def flatten(Vx, Vxx, dV, qerr, nvx, ok):
+            return (*Vx, *(Vxx[i][j] for i in range(nx) for j in range(nx)),
+                    dV[0], dV[1], qerr, nvx, ok)
+
+        def unflatten(c):
+            Vx = list(c[:nx])
+            Vxx = [[c[nx + i * nx + j] for j in range(nx)] for i in range(nx)]
+            o = nx + nx * nx
+            return Vx, Vxx, [c[o], c[o + 1]], c[o + 2], c[o + 3], c[o + 4]
+
+        def step(tt, carry):
+            t = N - 1 - tt
+            Vx, Vxx, dV, qerr, nvx, ok = unflatten(carry)
+
+            A = [[A_ref[t, i, j, :] for j in range(nx)] for i in range(nx)]
+            Bm = [[B_ref[t, i, j, :] for j in range(nu)] for i in range(nx)]
+            lx = [lx_ref[t, i, :] for i in range(nx)]
+            lu = [lu_ref[t, i, :] for i in range(nu)]
+            lxx = [[lxx_ref[t, i, j, :] for j in range(nx)] for i in range(nx)]
+            luu = [[luu_ref[t, i, j, :] for j in range(nu)] for i in range(nu)]
+            lux = [[lux_ref[t, i, j, :] for j in range(nx)] for i in range(nu)]
+            lb = [lb_ref[t, i, :] for i in range(nu)]
+            ub = [ub_ref[t, i, :] for i in range(nu)]
+
+            At = _transpose(A, nx, nx)
+            Bt = _transpose(Bm, nx, nu)
+
+            Qx = [lx[i] + v for i, v in enumerate(_matvec(At, Vx, nx, nx))]
+            Qu = [lu[i] + v for i, v in enumerate(_matvec(Bt, Vx, nu, nx))]
+            VA = _matmul(Vxx, A, nx, nx, nx)
+            Qxx = [[lxx[i][j] + v for j, v in enumerate(row)]
+                   for i, row in enumerate(_matmul(At, VA, nx, nx, nx))]
+            Qux = [[lux[i][j] + v for j, v in enumerate(row)]
+                   for i, row in enumerate(_matmul(Bt, VA, nu, nx, nx))]
+            VB = _matmul(Vxx, Bm, nx, nx, nu)
+            Quu = [[luu[i][j] + v for j, v in enumerate(row)]
+                   for i, row in enumerate(_matmul(Bt, VB, nu, nx, nu))]
+
+            Quu_reg = [[Quu[i][j] + (reg if i == j else zeros)
+                        for j in range(nu)] for i in range(nu)]
+
+            # --- exact enum BoxQP (boxqp_solve_enum, unrolled) -------------
+            pd_all = _leading_minors_pd(Quu_reg, nu)
+            k_sel = [zeros] * nu
+            Hinv_free_sel = [[zeros] * nu for _ in range(nu)]
+            taken = zeros > 1.0  # all-false
+
+            for cfg in configs:
+                free_idx = [i for i in range(nu) if cfg[i] == 0]
+                x_cfg = [
+                    zeros if cfg[i] == 0 else (lb[i] if cfg[i] == 1 else ub[i])
+                    for i in range(nu)
+                ]
+                if free_idx:
+                    # Solve free block: Hff xf = -(Qu_f + H_fc x_c)
+                    Hff = [[Quu_reg[a][b] for b in free_idx] for a in free_idx]
+                    rhs = [
+                        -(Qu[a] + sum(Quu_reg[a][b] * x_cfg[b]
+                                      for b in range(nu) if cfg[b] != 0))
+                        for a in free_idx
+                    ]
+                    nf = len(free_idx)
+                    Hinv, det = _inv(Hff, nf)
+                    pd = _leading_minors_pd(Hff, nf)
+                    xf = _matvec(Hinv, rhs, nf, nf)
+                    x_full = list(x_cfg)
+                    for a, fi in enumerate(free_idx):
+                        x_full[fi] = xf[a]
+                else:
+                    pd = zeros == zeros  # true
+                    x_full = x_cfg
+
+                grad = [Qu[i] + sum(Quu_reg[i][j] * x_full[j] for j in range(nu))
+                        for i in range(nu)]
+                valid = pd
+                for i in range(nu):
+                    if cfg[i] == 0:
+                        valid = valid & (x_full[i] >= lb[i]) & (x_full[i] <= ub[i])
+                    elif cfg[i] == 1:
+                        valid = valid & (grad[i] >= 0.0)
+                    else:
+                        valid = valid & (grad[i] <= 0.0)
+                take = valid & (~taken)
+                taken = taken | valid
+                for i in range(nu):
+                    k_sel[i] = jnp.where(take, x_full[i], k_sel[i])
+                if free_idx:
+                    for a, fi in enumerate(free_idx):
+                        for b, fj in enumerate(free_idx):
+                            Hinv_free_sel[fi][fj] = jnp.where(
+                                take, Hinv[a][b], Hinv_free_sel[fi][fj]
+                            )
+
+            fail = (~pd_all) | (~taken)
+            ok = ok & ~fail
+
+            # K = -Hfree^-1 Qux on free rows (zero on clamped rows/cols mix)
+            K_t = [
+                [
+                    -sum(Hinv_free_sel[i][l] * Qux[l][j] for l in range(nu))
+                    for j in range(nx)
+                ]
+                for i in range(nu)
+            ]
+
+            # dV += [Qu.k, 0.5 k'Quu k]
+            dv0 = sum(Qu[i] * k_sel[i] for i in range(nu))
+            dv1 = 0.5 * sum(
+                k_sel[i] * Quu[i][j] * k_sel[j]
+                for i in range(nu) for j in range(nu)
+            )
+
+            # V updates (clddp_solver.cpp:186-193)
+            Quu_k = _matvec(Quu, k_sel, nu, nu)
+            Kt = _transpose(K_t, nu, nx)
+            Vx_new = [
+                Qx[i]
+                + sum(Kt[i][l] * Quu_k[l] for l in range(nu))
+                + sum(Qux[l][i] * k_sel[l] for l in range(nu))
+                + sum(Kt[i][l] * Qu[l] for l in range(nu))
+                for i in range(nx)
+            ]
+            QuuK = _matmul(Quu, K_t, nu, nu, nx)
+            KtQuuK = _matmul(Kt, QuuK, nx, nu, nx)
+            QuxtK = _matmul(_transpose(Qux, nu, nx), K_t, nx, nu, nx)
+            Vxx_new = [
+                [
+                    Qxx[i][j] + KtQuuK[i][j] + QuxtK[i][j] + QuxtK[j][i]
+                    for j in range(nx)
+                ]
+                for i in range(nx)
+            ]
+            Vxx_new = [
+                [0.5 * (Vxx_new[i][j] + Vxx_new[j][i]) for j in range(nx)]
+                for i in range(nx)
+            ]
+
+            for i in range(nu):
+                k_ref[t, i, :] = k_sel[i]
+                for j in range(nx):
+                    K_ref[t, i, j, :] = K_t[i][j]
+
+            qerr_new = qerr
+            for i in range(nu):
+                qerr_new = jnp.maximum(qerr_new, jnp.abs(Qu[i]))
+            nvx_new = nvx + sum(jnp.abs(Vx_new[i]) for i in range(nx))
+
+            return flatten(Vx_new, Vxx_new, [dV[0] + dv0, dV[1] + dv1],
+                           qerr_new, nvx_new, ok)
+
+        init = flatten(Vx0, Vxx0, [zeros, zeros], zeros, zeros,
+                       zeros == zeros)
+        out = jax.lax.fori_loop(0, N, step, init)
+        _, _, dV, qerr, nvx, ok = unflatten(out)
+        dV_ref[0, :] = dV[0]
+        dV_ref[1, :] = dV[1]
+        stats_ref[0, :] = qerr
+        stats_ref[1, :] = nvx
+        stats_ref[2, :] = jnp.where(ok, jnp.ones_like(qerr), jnp.zeros_like(qerr))
+
+    def call(A, Bm, lx, lu, lxx, luu, lux, lb, ub, VxT, VxxT, reg,
+             interpret=False):
+        Btot = A.shape[-1]
+        assert Btot % tile_b == 0, (Btot, tile_b)
+        grid = (Btot // tile_b,)
+        dtype = A.dtype
+
+        def bspec(*dims):
+            # block covers all leading dims, tiles the trailing batch dim
+            blk = tuple(dims) + (tile_b,)
+            ndim = len(dims)
+            return pl.BlockSpec(
+                blk, lambda g, _nd=ndim: (0,) * _nd + (g,),
+                memory_space=pltpu.VMEM,
+            )
+
+        in_specs = [
+            bspec(N, nx, nx), bspec(N, nx, nu), bspec(N, nx), bspec(N, nu),
+            bspec(N, nx, nx), bspec(N, nu, nu), bspec(N, nu, nx),
+            bspec(N, nu), bspec(N, nu), bspec(nx), bspec(nx, nx), bspec(1),
+        ]
+        out_specs = (bspec(N, nu), bspec(N, nu, nx), bspec(2), bspec(3))
+        out_shape = (
+            jax.ShapeDtypeStruct((N, nu, Btot), dtype),
+            jax.ShapeDtypeStruct((N, nu, nx, Btot), dtype),
+            jax.ShapeDtypeStruct((2, Btot), dtype),
+            jax.ShapeDtypeStruct((3, Btot), dtype),
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(A, Bm, lx, lu, lxx, luu, lux, lb, ub, VxT, VxxT, reg)
+
+    return call
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_b", "interpret")
+)
+def clddp_backward_fused(A, Bm, lx, lu, lxx, luu, lux, lb, ub, VxT, VxxT, reg,
+                         tile_b: int = DEFAULT_TILE_B, interpret: bool = False):
+    """Batched fused backward pass.
+
+    Batch-FIRST inputs (B, N, ...) as produced by vmapped precompute; this
+    wrapper transposes to the kernel's batch-last layout, pads the batch to a
+    tile multiple and trims the outputs.
+
+    Returns (k (B,N,nu), K (B,N,nu,nx), dV (B,2), Qu_err (B,), norm_Vx_acc
+    (B,), ok (B,)).
+    """
+    B0, N = A.shape[0], A.shape[1]
+    nx, nu = A.shape[2], Bm.shape[3]
+    pad = (-B0) % tile_b
+    def prep(x):
+        if pad:
+            x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, 0)], 0)
+        # (B, ...) -> (..., B)
+        return jnp.moveaxis(x, 0, -1)
+
+    args = [prep(v) for v in (A, Bm, lx, lu, lxx, luu, lux, lb, ub, VxT, VxxT)]
+    regv = prep(reg[:, None])  # (B,) -> (1, B)
+    call = make_backward_kernel(nx, nu, N, tile_b)
+    k, K, dV, stats = call(*args, regv, interpret=interpret)
+    unprep = lambda x: jnp.moveaxis(x, -1, 0)[:B0]
+    k = unprep(k)
+    K = unprep(K)
+    dV = unprep(dV)
+    stats = unprep(stats)
+    return k, K, dV, stats[:, 0], stats[:, 1], stats[:, 2] > 0.5
