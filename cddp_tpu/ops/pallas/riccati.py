@@ -7,10 +7,11 @@ several fusions per step; this kernel runs the whole recursion inside one
 ``pallas_call`` with the batch axis on the vector lanes, so every small-
 matrix operation is an elementwise op over a (TILE_B,) vector held in VMEM.
 
-Layout: all stagewise tensors are transposed host-side to batch-last
-(shape (N, nx, nx, B) etc.), the grid tiles the batch, and matrices live as
-Python lists of (TILE_B,) vectors inside the kernel — matrix algebra is
-unrolled at trace time over the static (nx, nu) indices. The box-QP is the
+Layout: all stagewise tensors are transposed host-side to batch-last and the
+batch axis is folded to native (sublane, lane) = (TILE_B/128, 128) tiles
+(Mosaic requires >=2-D values for vector loop carries); matrices live as
+Python lists of (TILE_B/128, 128) tiles inside the kernel — matrix algebra
+is unrolled at trace time over the static (nx, nu) indices. The box-QP is the
 same exact 3^nu active-set enumeration as :func:`cddp_tpu.ops.boxqp.
 boxqp_solve_enum`, unrolled per config.
 
@@ -29,7 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_TILE_B = 256
+DEFAULT_TILE_B = 1024
 
 
 # --- unrolled small-matrix algebra over lists of lane vectors --------------
@@ -107,11 +108,11 @@ def make_backward_kernel(nx: int, nu: int, N: int, tile_b: int = DEFAULT_TILE_B)
     def kernel(A_ref, B_ref, lx_ref, lu_ref, lxx_ref, luu_ref, lux_ref,
                lb_ref, ub_ref, VxT_ref, VxxT_ref, reg_ref,
                k_ref, K_ref, dV_ref, stats_ref):
-        reg = reg_ref[0, :]
+        reg = reg_ref[0]
         zeros = jnp.zeros_like(reg)
 
-        Vx0 = [VxT_ref[i, :] for i in range(nx)]
-        Vxx0 = [[VxxT_ref[i, j, :] for j in range(nx)] for i in range(nx)]
+        Vx0 = [VxT_ref[i] for i in range(nx)]
+        Vxx0 = [[VxxT_ref[i, j] for j in range(nx)] for i in range(nx)]
 
         def flatten(Vx, Vxx, dV, qerr, nvx, ok):
             return (*Vx, *(Vxx[i][j] for i in range(nx) for j in range(nx)),
@@ -127,15 +128,15 @@ def make_backward_kernel(nx: int, nu: int, N: int, tile_b: int = DEFAULT_TILE_B)
             t = N - 1 - tt
             Vx, Vxx, dV, qerr, nvx, ok = unflatten(carry)
 
-            A = [[A_ref[t, i, j, :] for j in range(nx)] for i in range(nx)]
-            Bm = [[B_ref[t, i, j, :] for j in range(nu)] for i in range(nx)]
-            lx = [lx_ref[t, i, :] for i in range(nx)]
-            lu = [lu_ref[t, i, :] for i in range(nu)]
-            lxx = [[lxx_ref[t, i, j, :] for j in range(nx)] for i in range(nx)]
-            luu = [[luu_ref[t, i, j, :] for j in range(nu)] for i in range(nu)]
-            lux = [[lux_ref[t, i, j, :] for j in range(nx)] for i in range(nu)]
-            lb = [lb_ref[t, i, :] for i in range(nu)]
-            ub = [ub_ref[t, i, :] for i in range(nu)]
+            A = [[A_ref[t, i, j] for j in range(nx)] for i in range(nx)]
+            Bm = [[B_ref[t, i, j] for j in range(nu)] for i in range(nx)]
+            lx = [lx_ref[t, i] for i in range(nx)]
+            lu = [lu_ref[t, i] for i in range(nu)]
+            lxx = [[lxx_ref[t, i, j] for j in range(nx)] for i in range(nx)]
+            luu = [[luu_ref[t, i, j] for j in range(nu)] for i in range(nu)]
+            lux = [[lux_ref[t, i, j] for j in range(nx)] for i in range(nu)]
+            lb = [lb_ref[t, i] for i in range(nu)]
+            ub = [ub_ref[t, i] for i in range(nu)]
 
             At = _transpose(A, nx, nx)
             Bt = _transpose(Bm, nx, nu)
@@ -251,9 +252,9 @@ def make_backward_kernel(nx: int, nu: int, N: int, tile_b: int = DEFAULT_TILE_B)
             ]
 
             for i in range(nu):
-                k_ref[t, i, :] = k_sel[i]
+                k_ref[t, i] = k_sel[i]
                 for j in range(nx):
-                    K_ref[t, i, j, :] = K_t[i][j]
+                    K_ref[t, i, j] = K_t[i][j]
 
             qerr_new = qerr
             for i in range(nu):
@@ -267,11 +268,15 @@ def make_backward_kernel(nx: int, nu: int, N: int, tile_b: int = DEFAULT_TILE_B)
                        zeros == zeros)
         out = jax.lax.fori_loop(0, N, step, init)
         _, _, dV, qerr, nvx, ok = unflatten(out)
-        dV_ref[0, :] = dV[0]
-        dV_ref[1, :] = dV[1]
-        stats_ref[0, :] = qerr
-        stats_ref[1, :] = nvx
-        stats_ref[2, :] = jnp.where(ok, jnp.ones_like(qerr), jnp.zeros_like(qerr))
+        dV_ref[0] = dV[0]
+        dV_ref[1] = dV[1]
+        stats_ref[0] = qerr
+        stats_ref[1] = nvx
+        stats_ref[2] = jnp.where(ok, jnp.ones_like(qerr), jnp.zeros_like(qerr))
+
+    # Mosaic requires the (sublane, lane) block dims divisible by (8, 128).
+    assert tile_b % 1024 == 0, tile_b
+    tbs = tile_b // 128  # sublane rows per tile
 
     def call(A, Bm, lx, lu, lxx, luu, lux, lb, ub, VxT, VxxT, reg,
              interpret=False):
@@ -279,13 +284,17 @@ def make_backward_kernel(nx: int, nu: int, N: int, tile_b: int = DEFAULT_TILE_B)
         assert Btot % tile_b == 0, (Btot, tile_b)
         grid = (Btot // tile_b,)
         dtype = A.dtype
+        rows = Btot // 128
+
+        def fold(x):
+            return x.reshape(*x.shape[:-1], rows, 128)
 
         def bspec(*dims):
-            # block covers all leading dims, tiles the trailing batch dim
-            blk = tuple(dims) + (tile_b,)
+            # block covers all leading dims, tiles the folded batch rows
+            blk = tuple(dims) + (tbs, 128)
             ndim = len(dims)
             return pl.BlockSpec(
-                blk, lambda g, _nd=ndim: (0,) * _nd + (g,),
+                blk, lambda g, _nd=ndim: (0,) * _nd + (g, 0),
                 memory_space=pltpu.VMEM,
             )
 
@@ -296,19 +305,22 @@ def make_backward_kernel(nx: int, nu: int, N: int, tile_b: int = DEFAULT_TILE_B)
         ]
         out_specs = (bspec(N, nu), bspec(N, nu, nx), bspec(2), bspec(3))
         out_shape = (
-            jax.ShapeDtypeStruct((N, nu, Btot), dtype),
-            jax.ShapeDtypeStruct((N, nu, nx, Btot), dtype),
-            jax.ShapeDtypeStruct((2, Btot), dtype),
-            jax.ShapeDtypeStruct((3, Btot), dtype),
+            jax.ShapeDtypeStruct((N, nu, rows, 128), dtype),
+            jax.ShapeDtypeStruct((N, nu, nx, rows, 128), dtype),
+            jax.ShapeDtypeStruct((2, rows, 128), dtype),
+            jax.ShapeDtypeStruct((3, rows, 128), dtype),
         )
-        return pl.pallas_call(
+        args = [fold(v) for v in (A, Bm, lx, lu, lxx, luu, lux, lb, ub, VxT,
+                                  VxxT, reg)]
+        outs = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=out_shape,
             interpret=interpret,
-        )(A, Bm, lx, lu, lxx, luu, lux, lb, ub, VxT, VxxT, reg)
+        )(*args)
+        return tuple(o.reshape(*o.shape[:-2], Btot) for o in outs)
 
     return call
 

@@ -179,3 +179,16 @@ def test_ipddp_history_and_mu_decay():
     mu = np.asarray(sol.history.barrier_mu)
     assert mu[0] == 1.0  # mu_initial with constraints present
     assert mu[n] < mu[0]  # barrier decayed over the solve
+
+
+def test_full_ddp_second_order():
+    # use_ilqr=False exercises the second-order dynamics terms
+    # (ipddp_solver.cpp:1397-1409). Pendulum has nonzero Fxx.
+    prob, goal = _pendulum_problem(N=80)
+    opts = ct.CDDPOptions(
+        max_iterations=300, tolerance=1e-4, acceptable_tolerance=1e-5,
+        use_ilqr=False,
+    )
+    sol = ipddp.solve(prob, opts)
+    err = float(jnp.linalg.norm(sol.state_trajectory[-1] - goal))
+    assert err < 0.3, (sol.status_message, err)

@@ -59,7 +59,7 @@ def test_fused_matches_scan(dtype, rtol, atol):
 
     args = jax.vmap(prep_one)(X, U)
     k_f, K_f, dV_f, qerr_f, nvx_f, ok_f = clddp_backward_fused(
-        *args, reg, tile_b=8, interpret=True
+        *args, reg, tile_b=1024, interpret=True
     )
 
     np.testing.assert_allclose(np.asarray(k_f), np.asarray(k_r), rtol=rtol, atol=atol)
