@@ -17,7 +17,15 @@ boxqp_solve_enum`, unrolled per config.
 
 This mirrors clddp_solver.cpp:96-203 exactly (same Q-expansions, dV, V
 updates, Qu_err/norm_Vx bookkeeping); parity with the lax.scan
-implementation is asserted in tests.
+implementation is asserted in tests (1e-9 in f64, interpreter mode).
+
+STATUS: experimental. Numerically verified in interpreter mode; in this
+development environment the Mosaic TPU compile runs through a remote
+compile helper that does not complete for this kernel (tracked in
+STATUS.md), so the solvers default to the XLA scan path, which already
+exceeds the performance target. On a standard TPU runtime, call
+:func:`clddp_backward_fused` directly or benchmark with
+``bench.py``-style drivers.
 """
 
 from __future__ import annotations
