@@ -125,6 +125,10 @@ class IPDDPOptions:
     jacobian_regularization_value: float = 1e-8
     jacobian_regularization_exponent: float = 0.25
     barrier: BarrierOptions = field(default_factory=BarrierOptions)
+    # JAX-only: engine for the terminal-equality reduced-LQR sweeps.
+    # "sequential" = reverse lax.scan (O(N) depth); "parallel" =
+    # associative-scan Riccati (O(log N) depth; ops/parallel_riccati.py).
+    lqr_backend: str = "sequential"
 
 
 @dataclass(frozen=True)

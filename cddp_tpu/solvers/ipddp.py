@@ -573,7 +573,14 @@ def _backward_terminal_eq(
 
     def run_variant(dq_T):
         qv = q_full.at[N].add(dq_T)
-        K, k, P, p, ok = _solve_sequential_lqr(Q_full, qv, Rs, rs, Ms, A, B)
+        if options.ipddp.lqr_backend == "parallel":
+            from cddp_tpu.ops.parallel_riccati import parallel_lqr_backward
+
+            K, k, S, v = parallel_lqr_backward(Q_full, qv, Rs, rs, Ms, A, B)
+            P, p = S, -v
+            ok = jnp.all(jnp.isfinite(k)) & jnp.all(jnp.isfinite(P))
+        else:
+            K, k, P, p, ok = _solve_sequential_lqr(Q_full, qv, Rs, rs, Ms, A, B)
         dX, _ = _rollout_linear(A, B, K, k, jnp.zeros((nx,), dtype))
         return K, k, P, p, dX[-1], ok
 

@@ -1,0 +1,65 @@
+"""Parallel (associative-scan) LQR backward vs the sequential scan."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cddp_tpu.ops.parallel_riccati import parallel_lqr_backward
+from cddp_tpu.solvers.ipddp import _solve_sequential_lqr
+
+
+@pytest.mark.parametrize("seed,N,n,m", [(0, 16, 3, 2), (1, 64, 4, 3), (2, 7, 2, 1)])
+def test_parallel_matches_sequential(seed, N, n, m):
+    rng = np.random.default_rng(seed)
+    Q = np.stack([np.eye(n) * (0.5 + 0.1 * (i % 5)) for i in range(N + 1)])
+    q = rng.normal(size=(N + 1, n))
+    R = np.stack([np.eye(m) * (0.4 + 0.05 * (i % 3)) for i in range(N)])
+    r = rng.normal(size=(N, m))
+    M = rng.normal(size=(N, n, m)) * 0.02
+    A = np.stack([np.eye(n) + 0.02 * rng.normal(size=(n, n)) for _ in range(N)])
+    B = rng.normal(size=(N, n, m)) * 0.1
+
+    args = [jnp.asarray(v) for v in (Q, q, R, r, M, A, B)]
+    K_s, k_s, P_s, p_s, ok = _solve_sequential_lqr(*args)
+    assert bool(ok)
+    K_p, k_p, S_p, v_p = parallel_lqr_backward(*args)
+
+    np.testing.assert_allclose(np.asarray(K_p), np.asarray(K_s), rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(k_p), np.asarray(k_s), rtol=1e-8, atol=1e-9)
+    # Value function: S == P, v == -p
+    np.testing.assert_allclose(np.asarray(S_p), np.asarray(P_s), rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(v_p), -np.asarray(p_s), rtol=1e-8, atol=1e-9)
+
+
+def test_ipddp_terminal_eq_parallel_backend():
+    # Full IPDDP terminal-equality solve with the associative-scan LQR engine
+    # matches the sequential engine's solution.
+    import cddp_tpu as ct
+    from cddp_tpu.models import Pendulum
+    from cddp_tpu.solvers import ipddp
+
+    dt, N = 0.02, 80
+    model = Pendulum(length=0.5, damping=0.01)
+    goal = jnp.zeros(2)
+    obj = ct.quadratic_objective(jnp.zeros((2, 2)), 0.1 * jnp.eye(1),
+                                 100.0 * jnp.eye(2), goal, dt)
+    prob = ct.problem(model, obj, jnp.array([jnp.pi, 0.0]), N, dt)
+    prob = prob.add_constraint("ControlConstraint",
+                               ct.control_constraint([-20.0], [20.0]))
+    prob = prob.add_terminal_constraint(
+        "TerminalEqualityConstraint", ct.terminal_equality_constraint(goal))
+
+    base_opts = dict(max_iterations=300, tolerance=1e-4, acceptable_tolerance=1e-5)
+    sol_seq = ipddp.solve(prob, ct.CDDPOptions(**base_opts))
+    sol_par = ipddp.solve(
+        prob,
+        ct.CDDPOptions(**base_opts, ipddp=ct.IPDDPOptions(lqr_backend="parallel")),
+    )
+    r_seq = float(jnp.linalg.norm(sol_seq.state_trajectory[-1] - goal))
+    r_par = float(jnp.linalg.norm(sol_par.state_trajectory[-1] - goal))
+    assert r_par < 1e-2, (sol_par.status_message, r_par)
+    np.testing.assert_allclose(
+        float(sol_par.final_objective), float(sol_seq.final_objective),
+        rtol=1e-4,
+    )
