@@ -33,8 +33,12 @@ def main():
         "ControlConstraint",
         ct.control_constraint(jnp.zeros(nu, dtype), jnp.full((nu,), 5.0, dtype)),
     )
+    # f32-appropriate tolerances (1e-6 KKT is below f32 resolution; the
+    # parity anchors run the 1e-6 configuration in f64 on CPU).
     opts = ct.CDDPOptions(
         max_iterations=120,
+        tolerance=1e-4,
+        acceptable_tolerance=1e-4,
         line_search=ct.LineSearchOptions(max_iterations=15),
         regularization=ct.RegularizationOptions(initial_value=1e-4),
     )

@@ -69,6 +69,7 @@ def make_mpc_controller(
     solver: str = "CLDDP",
     options: CDDPOptions = CDDPOptions(),
     reference_fn: Optional[Callable] = None,
+    warm_start_solver_state: bool = False,
 ):
     """Build (init_fn, step_fn) for warm-started receding-horizon MPC.
 
@@ -77,26 +78,53 @@ def make_mpc_controller(
     ``reference_fn(tick) -> (N, nx)`` is given, the objective's reference
     trajectory is rebuilt each tick (the MPCC pattern of
     examples/ipddp_mpcc_rc.py:629-649).
+
+    ``warm_start_solver_state=True`` (IPDDP/MSIPDDP) threads the solver's
+    dual/slack/gain state pytree between ticks — the interior-point
+    warm-start path of ipddp_solver.cpp:652-817. The reference's MPCC demo
+    deliberately cold-seeds (ipddp_mpcc_rc.py:42-47); default matches.
     """
     from cddp_tpu.solvers import get_solver
 
     solve_fn = get_solver(solver)
     N, nu, nx = problem.horizon, problem.control_dim, problem.state_dim
+    stateful = warm_start_solver_state and solver in ("IPDDP", "MSIPDDP")
+    if stateful:
+        options = options.replace(warm_start=True)
 
-    def init_fn(x0) -> MPCState:
+    def _initial_solver_state(x0):
+        # One throwaway cold solve (1 iteration) yields a correctly-shaped
+        # solver-state pytree to carry.
+        p = problem.replace(x0=jnp.asarray(x0))
+        _, st = solve_fn(p, options.replace(warm_start=False, max_iterations=1),
+                         return_state=True)
+        return st
+
+    def init_fn(x0):
         dtype = jnp.asarray(x0).dtype
-        return MPCState(
+        mpc = MPCState(
             U_plan=jnp.zeros((N, nu), dtype),
             X_plan=jnp.broadcast_to(jnp.asarray(x0), (N + 1, nx)).astype(dtype),
         )
+        if stateful:
+            return (mpc, _initial_solver_state(x0))
+        return mpc
 
-    def step_fn(state: MPCState, x_current, tick=0):
+    def step_fn(state, x_current, tick=0):
+        if stateful:
+            mpc, sstate = state
+        else:
+            mpc, sstate = state, None
         p = problem.replace(x0=x_current)
         if reference_fn is not None:
             refs = reference_fn(tick)
             p = p.replace(objective=p.objective.replace(reference_states=refs))
-        X0 = state.X_plan.at[0].set(x_current)
-        sol = solve_fn(p, options, X0=X0, U0=state.U_plan)
+        X0 = mpc.X_plan.at[0].set(x_current)
+        if stateful:
+            sol, new_sstate = solve_fn(p, options, X0=X0, U0=mpc.U_plan,
+                                       state=sstate, return_state=True)
+        else:
+            sol = solve_fn(p, options, X0=X0, U0=mpc.U_plan)
         U = sol.control_trajectory
         X = sol.state_trajectory
         u_apply = U[0]
@@ -108,6 +136,9 @@ def make_mpc_controller(
             iterations=sol.iterations_completed,
             status=sol.status_code,
         )
-        return u_apply, MPCState(U_plan=U_next, X_plan=X_next), info
+        new_mpc = MPCState(U_plan=U_next, X_plan=X_next)
+        if stateful:
+            return u_apply, (new_mpc, new_sstate), info
+        return u_apply, new_mpc, info
 
     return init_fn, step_fn

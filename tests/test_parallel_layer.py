@@ -95,3 +95,25 @@ def test_solver_error_surfaces():
     )
     with pytest.raises(NotImplementedError):
         s.solve("CLDDP")
+
+
+def test_warm_start_mpc_controller():
+    # IPDDP MPC with solver-state threading between ticks.
+    prob = _prob(N=15)
+    init_fn, step_fn = make_mpc_controller(
+        prob, "IPDDP",
+        ct.CDDPOptions(max_iterations=20, tolerance=1e-3,
+                       acceptable_tolerance=1e-4),
+        warm_start_solver_state=True,
+    )
+    x = jnp.array([0.1, -0.1, 0.2])
+    state = init_fn(x)
+    step = jax.jit(step_fn)
+    iters = []
+    for _ in range(6):
+        u, state, info = step(state, x)
+        x = prob.model.discrete_dynamics(x, u, 0.0, prob.timestep)
+        iters.append(int(info["iterations"]))
+    assert bool(jnp.all(jnp.isfinite(x)))
+    # Warm-started later ticks should need no more iterations than the first.
+    assert min(iters[1:]) <= iters[0]
