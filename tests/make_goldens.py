@@ -1,0 +1,83 @@
+"""Generate golden-solution fixtures (f64, CPU) for regression tests.
+
+BASELINE.md calls for golden trajectories; the C++ reference cannot be built
+offline (FetchContent needs network), so these goldens freeze OUR validated
+f64 solutions — any future refactor that shifts the numerics beyond 1e-9
+relative will fail tests/test_goldens.py.
+
+Run: JAX_PLATFORMS=cpu python tests/make_goldens.py
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+import cddp_tpu as ct
+from cddp_tpu.models import Pendulum, Unicycle
+
+OUT = Path(__file__).resolve().parent / "goldens"
+
+
+def configs():
+    dt, N = 0.02, 100
+    pend = ct.problem(
+        Pendulum(length=0.5, damping=0.01),
+        ct.quadratic_objective(jnp.zeros((2, 2)), 0.1 * jnp.eye(1),
+                               100.0 * jnp.eye(2), jnp.zeros(2), dt),
+        jnp.array([jnp.pi, 0.0]), N, dt,
+    ).add_constraint("ControlConstraint", ct.control_constraint([-20.0], [20.0]))
+
+    uni = ct.problem(
+        Unicycle(),
+        ct.quadratic_objective(jnp.zeros((3, 3)), 0.05 * jnp.eye(2),
+                               100.0 * jnp.eye(3),
+                               jnp.array([2.0, 2.0, jnp.pi / 2]), 0.03),
+        jnp.zeros(3), 100, 0.03,
+    ).add_constraint(
+        "ControlConstraint",
+        ct.control_constraint(jnp.array([-2.0, -jnp.pi]), jnp.array([2.0, jnp.pi])),
+    ).add_constraint("BallConstraint", ct.ball_constraint(0.4, jnp.array([1.0, 1.0])))
+
+    opts_ipddp = ct.CDDPOptions(max_iterations=300, tolerance=1e-4,
+                                acceptable_tolerance=1e-5)
+    opts_clddp = ct.CDDPOptions(max_iterations=100, tolerance=1e-3,
+                                acceptable_tolerance=1e-4)
+    return {
+        "pendulum_ipddp": (pend, "IPDDP", opts_ipddp, {}),
+        "pendulum_clddp": (
+            pend, "CLDDP", opts_clddp,
+            {"X0": jnp.tile(pend.x0, (N + 1, 1))},
+        ),
+        "unicycle_obstacle_ipddp": (
+            uni, "IPDDP", opts_ipddp,
+            {"U0": jnp.tile(jnp.array([0.5, 0.0]), (100, 1))},
+        ),
+    }
+
+
+def main():
+    OUT.mkdir(exist_ok=True)
+    for name, (prob, solver, opts, kw) in configs().items():
+        sol = ct.solve(prob, solver, opts, **kw)
+        np.savez(
+            OUT / f"{name}.npz",
+            X=np.asarray(sol.state_trajectory),
+            U=np.asarray(sol.control_trajectory),
+            cost=np.asarray(sol.final_objective),
+            iterations=np.asarray(sol.iterations_completed),
+            status=np.asarray(sol.status_code),
+        )
+        print(f"{name}: {sol.status_message} cost={float(sol.final_objective):.12f}")
+
+
+if __name__ == "__main__":
+    main()
