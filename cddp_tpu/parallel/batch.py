@@ -15,7 +15,6 @@ controllers is just another vmap axis.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, NamedTuple, Optional
 
 import jax

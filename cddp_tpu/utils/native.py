@@ -11,8 +11,6 @@ from __future__ import annotations
 import ctypes
 import subprocess
 from pathlib import Path
-from typing import Optional
-
 import numpy as np
 
 _NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"

@@ -57,6 +57,8 @@ def configs():
             pend, "CLDDP", opts_clddp,
             {"X0": jnp.tile(pend.x0, (N + 1, 1))},
         ),
+        "pendulum_logddp": (pend, "LogDDP", opts_ipddp, {}),
+        "pendulum_msipddp": (pend, "MSIPDDP", opts_ipddp, {}),
         "unicycle_obstacle_ipddp": (
             uni, "IPDDP", opts_ipddp,
             {"U0": jnp.tile(jnp.array([0.5, 0.0]), (100, 1))},
