@@ -113,6 +113,7 @@ class _BP(NamedTuple):
     inf_comp: jax.Array
     step_norm: jax.Array
     ok: jax.Array
+    state_stationarity: jax.Array
 
 
 class _Carry(NamedTuple):
@@ -150,6 +151,19 @@ class _Carry(NamedTuple):
 # ---------------------------------------------------------------------------
 # shared evaluations
 # ---------------------------------------------------------------------------
+
+
+def _state_stationarity(stk: PathStacker, Gx, Y):
+    """Optional state-stationarity term for the scaled dual infeasibility
+    (computeScaledDualInfeasibility, ipddp_solver.cpp:2726-2776): per
+    constraint block and stage, ||G_x' y||_inf, maxed over all."""
+    if not stk or Gx.shape[1] == 0:
+        return jnp.zeros(())
+    out = jnp.zeros(())
+    for name, off, d in zip(stk.names, stk.offsets, stk.dims):
+        blk = jnp.einsum("tmn,tm->tn", Gx[:, off : off + d, :], Y[:, off : off + d])
+        out = jnp.maximum(out, jnp.max(jnp.abs(blk)))
+    return out
 
 
 def _eval_path(problem, stk: PathStacker, X, U):
@@ -453,6 +467,7 @@ def _backward_condensed(problem, options, stk, tstk, X, U, Y, S, G, Y_T, S_T, mu
         inf_comp=inf_comp,
         step_norm=step_norm,
         ok=ok,
+        state_stationarity=_state_stationarity(stk, Gx, Y),
     )
 
 
@@ -700,6 +715,7 @@ def _backward_terminal_eq(
         inf_comp=inf_comp,
         step_norm=step_norm,
         ok=ok,
+        state_stationarity=_state_stationarity(stk, Gx, Y),
     )
 
 
@@ -1083,6 +1099,7 @@ def _solve(problem: Problem, options: CDDPOptions, X0, U0, warm: Optional[IPDDPS
         inf_comp=inf_comp0,
         step_norm=jnp.zeros((), dtype),
         ok=jnp.asarray(True),
+        state_stationarity=jnp.zeros((), dtype),
     )
 
     if warm is not None and options.warm_start:
@@ -1148,8 +1165,13 @@ def _solve(problem: Problem, options: CDDPOptions, X0, U0, warm: Optional[IPDDPS
             bp_cond, bp_body, (bp_i, reg1, bp_i.ok | lim0, lim0)
         )
 
+        inf_du_eff = (
+            jnp.maximum(bp.inf_du, bp.state_stationarity)
+            if options.ipddp.check_state_stationarity
+            else bp.inf_du
+        )
         c1 = c._replace(
-            bp=bp, reg=reg, inf_pr=bp.inf_pr, inf_du=bp.inf_du,
+            bp=bp, reg=reg, inf_pr=bp.inf_pr, inf_du=inf_du_eff,
             inf_comp=bp.inf_comp, step_norm=bp.step_norm, it=it,
         )
 

@@ -192,3 +192,20 @@ def test_full_ddp_second_order():
     sol = ipddp.solve(prob, opts)
     err = float(jnp.linalg.norm(sol.state_trajectory[-1] - goal))
     assert err < 0.3, (sol.status_message, err)
+
+
+def test_check_state_stationarity_option():
+    # The optional state-stationarity term (ipddp_solver.cpp:2726-2776)
+    # folds ||G_x' y||_inf into the dual infeasibility; the solve still
+    # converges to the same trajectory.
+    prob, goal = _pendulum_problem(N=60)
+    base_kwargs = dict(max_iterations=200, tolerance=1e-4, acceptable_tolerance=1e-5)
+    sol_off = ipddp.solve(prob, ct.CDDPOptions(**base_kwargs))
+    sol_on = ipddp.solve(
+        prob,
+        ct.CDDPOptions(**base_kwargs,
+                       ipddp=ct.IPDDPOptions(check_state_stationarity=True)),
+    )
+    np.testing.assert_allclose(
+        float(sol_on.final_objective), float(sol_off.final_objective), rtol=1e-3
+    )

@@ -83,3 +83,30 @@ def test_logddp_dispatch():
     prob = ct.problem(model, obj, jnp.array([0.5, 0.0]), N, dt)
     sol = ct.solve(prob, "LogDDP", ct.CDDPOptions(max_iterations=20))
     assert sol.solver_name == "LogDDP"
+
+
+def test_logddp_ball_obstacle():
+    # LogDDP with a state-space ball constraint through the relaxed barrier.
+    dt, N = 0.03, 100
+    model = Unicycle()
+    goal = jnp.array([2.0, 2.0, jnp.pi / 2])
+    obj = ct.quadratic_objective(
+        jnp.zeros((3, 3)), 0.05 * jnp.eye(2), 100.0 * jnp.eye(3), goal, dt
+    )
+    prob = ct.problem(model, obj, jnp.zeros(3), N, dt)
+    prob = prob.add_constraint(
+        "ControlConstraint",
+        ct.control_constraint(jnp.array([-2.0, -jnp.pi]), jnp.array([2.0, jnp.pi])),
+    )
+    prob = prob.add_constraint(
+        "BallConstraint", ct.ball_constraint(0.4, jnp.array([1.0, 1.0]))
+    )
+    opts = ct.CDDPOptions(max_iterations=400, tolerance=1e-4,
+                          acceptable_tolerance=1e-6)
+    U0 = jnp.tile(jnp.array([0.5, 0.0]), (N, 1))
+    sol = logddp.solve(prob, opts, U0=U0)
+    err = float(jnp.linalg.norm(sol.state_trajectory[-1] - goal))
+    assert err < 0.5, (sol.status_message, err)
+    d = jnp.linalg.norm(sol.state_trajectory[:, :2] - jnp.array([1.0, 1.0]), axis=1)
+    # Relaxed barrier: small incursions allowed; most of the margin held.
+    assert float(d.min()) > 0.4 - 0.1, float(d.min())

@@ -79,3 +79,28 @@ def test_warm_start_msipddp():
         state=state,
     )
     assert int(warm.iterations_completed) <= int(cold.iterations_completed) + 5
+
+
+def test_msipddp_ball_obstacle():
+    dt, N = 0.03, 100
+    model = Unicycle()
+    goal = jnp.array([2.0, 2.0, jnp.pi / 2])
+    obj = ct.quadratic_objective(
+        jnp.zeros((3, 3)), 0.05 * jnp.eye(2), 100.0 * jnp.eye(3), goal, dt
+    )
+    prob = ct.problem(model, obj, jnp.zeros(3), N, dt)
+    prob = prob.add_constraint(
+        "ControlConstraint",
+        ct.control_constraint(jnp.array([-2.0, -jnp.pi]), jnp.array([2.0, jnp.pi])),
+    )
+    prob = prob.add_constraint(
+        "BallConstraint", ct.ball_constraint(0.4, jnp.array([1.0, 1.0]))
+    )
+    opts = ct.CDDPOptions(max_iterations=400, tolerance=1e-4,
+                          acceptable_tolerance=1e-5)
+    U0 = jnp.tile(jnp.array([0.5, 0.0]), (N, 1))
+    sol = msipddp.solve(prob, opts, U0=U0)
+    err = float(jnp.linalg.norm(sol.state_trajectory[-1] - goal))
+    assert err < 0.5, (sol.status_message, err)
+    d = jnp.linalg.norm(sol.state_trajectory[:, :2] - jnp.array([1.0, 1.0]), axis=1)
+    assert float(d.min()) > 0.4 - 0.05, float(d.min())
