@@ -336,6 +336,15 @@ def run_mpc(track: Track, cfg: MpccConfig, n_ticks: int = 40):
     return np.stack(xs), np.stack(us), np.asarray(iters)
 
 
+def batched_mpcc_step_costs(track: Track, cfg: MpccConfig, x_batch):
+    """Fleet tick returning (u, cost, iterations) arrays (bench helper)."""
+    def one(x):
+        u, sol = mpc_tick(track, cfg, x)
+        return u, sol.final_objective, sol.iterations_completed
+
+    return jax.vmap(one)(x_batch)
+
+
 def batched_mpc_step(track: Track, cfg: MpccConfig, x_batch):
     """Fleet MPC tick: vmap of mpc_tick over (B, 7) states — the
     BASELINE.json vmap-batched MPCC configuration."""
