@@ -118,7 +118,14 @@ class CDDP:
                                 return_state=True, **kw)
             self._solver_states[solver_type] = new_state
         else:
+            # CLDDP/LogDDP preserve control gains across solves when warm
+            # starting (clddp_solver.cpp:35-66).
+            if self.options.warm_start and state is not None:
+                kw["gains"] = state
             sol = fn(prob, self.options, **kw)
+            self._solver_states[solver_type] = (
+                sol.feedforward_gains, sol.feedback_gains,
+            )
         sol = jax.block_until_ready(sol)
         elapsed_ms = (time.perf_counter() - t0) * 1000.0
         return sol.replace(solve_time_ms=elapsed_ms)

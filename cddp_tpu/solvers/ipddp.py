@@ -999,8 +999,9 @@ def _init_dual_slack(G, mu, options):
     return Y, S
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def _solve(problem: Problem, options: CDDPOptions, X0, U0, warm: Optional[IPDDPSolverState]):
+@functools.partial(jax.jit, static_argnums=(1, 5))
+def _solve(problem: Problem, options: CDDPOptions, X0, U0,
+           warm: Optional[IPDDPSolverState], trajectory_warm: bool = False):
     stk = PathStacker(problem)
     tstk = TerminalStacker(problem)
     has_path = bool(stk)
@@ -1019,6 +1020,29 @@ def _solve(problem: Problem, options: CDDPOptions, X0, U0, warm: Optional[IPDDPS
     mu0 = jnp.asarray(_cold_mu(problem, options, has_any), dtype)
 
     G = _eval_path(problem, stk, X, U)
+    if trajectory_warm and warm is None:
+        # Warm start with provided trajectory but no solver state
+        # (ipddp_solver.cpp:737-808): mu tiered by the max constraint
+        # violation of the provided trajectory.
+        if not has_any:
+            mu0 = jnp.asarray(
+                max(options.tolerance / 10.0, options.ipddp.barrier.mu_min_value),
+                dtype,
+            )
+        else:
+            viol = _maxabs(jnp.maximum(G, 0.0)) if has_path else jnp.zeros((), dtype)
+            if has_ti:
+                viol = jnp.maximum(viol, _maxabs(jnp.maximum(tstk.ineq_evaluate(X[-1]), 0.0)))
+            mu0 = jnp.where(
+                viol <= options.tolerance,
+                max(options.tolerance, options.ipddp.barrier.mu_min_value),
+                jnp.where(
+                    viol <= 0.1,
+                    max(options.tolerance * 10.0,
+                        options.ipddp.barrier.mu_initial * 0.01),
+                    options.ipddp.barrier.mu_initial * 0.1,
+                ),
+            ).astype(dtype)
     if has_path:
         Y, S = _init_dual_slack(G, mu0, options)
     else:
@@ -1429,7 +1453,8 @@ def solve(
     returns the :class:`IPDDPSolverState` checkpoint pytree."""
     X, U = problem.initial_trajectories(X0, U0)
     warm = state if options.warm_start else None
-    sol, new_state = _solve(problem, options, X, U, warm)
+    trajectory_warm = bool(options.warm_start and state is None and U0 is not None)
+    sol, new_state = _solve(problem, options, X, U, warm, trajectory_warm)
     if return_state:
         return sol, new_state
     return sol
