@@ -155,3 +155,50 @@ def test_iteration_history():
     assert obj[0] > 0
     assert obj[n] <= obj[0]
     assert np.all(np.asarray(sol.history.regularization)[: n + 1] >= 0)
+
+
+def test_lti_exact_lqr_one_iteration():
+    # Unconstrained CLDDP on a discrete LTI system with quadratic cost IS
+    # finite-horizon LQR: the first backward pass yields the optimal gains
+    # and the forward pass lands on the optimum (dJ ~ 0 at iteration 2).
+    from cddp_tpu.models import lti_system
+
+    dt, N = 0.1, 30
+    model = lti_system(dt)  # fixed default 4x2 system
+    obj = ct.quadratic_objective(
+        0.5 * jnp.eye(4), 0.1 * jnp.eye(2), 5.0 * jnp.eye(4), jnp.zeros(4), dt
+    )
+    x0 = jnp.array([1.0, -1.0, 0.5, 0.2])
+    prob = ct.problem(model, obj, x0, N, dt)
+    opts = ct.CDDPOptions(max_iterations=10, tolerance=1e-8,
+                          acceptable_tolerance=1e-12)
+    X0 = jnp.tile(x0, (N + 1, 1))
+    sol = clddp.solve(prob, opts, X0=X0)
+    assert sol.status_message == "OptimalSolutionFound"
+    assert int(sol.iterations_completed) <= 5, int(sol.iterations_completed)
+
+    # Cross-check the gains against the native C++ LQR oracle when available.
+    import shutil
+
+    if shutil.which("g++"):
+        from cddp_tpu.utils import native
+        from cddp_tpu.solvers import base
+
+        A, B = base.discrete_jacobians(prob, sol.state_trajectory,
+                                       sol.control_trajectory)
+        lx, lu, lxx, luu, lux = base.running_cost_derivatives(
+            prob, sol.state_trajectory, sol.control_trajectory
+        )
+        # LQR data in the sequential-solver convention: note CLDDP's gains
+        # come from the same recursion with Q=lxx etc.
+        Qs = np.concatenate([np.asarray(lxx),
+                             np.asarray(obj.terminal_cost_hessian(sol.state_trajectory[-1]))[None]])
+        qs = np.concatenate([np.asarray(lx),
+                             np.asarray(obj.terminal_cost_gradient(sol.state_trajectory[-1]))[None]])
+        K_n, k_n = native.lqr_backward(
+            Qs, qs, np.asarray(luu), np.asarray(lu),
+            np.asarray(lux).transpose(0, 2, 1), np.asarray(A), np.asarray(B),
+        )
+        np.testing.assert_allclose(
+            np.asarray(sol.feedback_gains), K_n, rtol=1e-6, atol=1e-8
+        )
