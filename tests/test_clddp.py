@@ -202,3 +202,19 @@ def test_lti_exact_lqr_one_iteration():
         np.testing.assert_allclose(
             np.asarray(sol.feedback_gains), K_n, rtol=1e-6, atol=1e-8
         )
+
+
+def test_enable_parallel_best_merit():
+    # Parallel mode evaluates all alphas and picks best merit
+    # (cddp_solver_base.cpp:264-314); result quality matches sequential.
+    prob, x0, goal = _pendulum_problem(horizon=150)
+    X0 = jnp.tile(x0, (prob.horizon + 1, 1))
+    seq = clddp.solve(prob, ct.CDDPOptions(max_iterations=100, tolerance=1e-3), X0=X0)
+    par = clddp.solve(
+        prob,
+        ct.CDDPOptions(max_iterations=100, tolerance=1e-3, enable_parallel=True),
+        X0=X0,
+    )
+    e_s = float(jnp.linalg.norm(seq.state_trajectory[-1] - goal))
+    e_p = float(jnp.linalg.norm(par.state_trajectory[-1] - goal))
+    assert e_p < 0.3 and e_s < 0.3

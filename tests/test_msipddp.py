@@ -104,3 +104,16 @@ def test_msipddp_ball_obstacle():
     assert err < 0.5, (sol.status_message, err)
     d = jnp.linalg.norm(sol.state_trajectory[:, :2] - jnp.array([1.0, 1.0]), axis=1)
     assert float(d.min()) > 0.4 - 0.05, float(d.min())
+
+
+def test_msipddp_full_ddp():
+    # use_ilqr=False exercises costate-weighted dynamics Hessians and
+    # y-weighted constraint Hessians (msipddp_solver.cpp:1297-1317).
+    prob, goal = _pendulum(N=60)
+    opts = ct.CDDPOptions(
+        max_iterations=300, tolerance=1e-3, acceptable_tolerance=1e-5,
+        use_ilqr=False,
+    )
+    sol = msipddp.solve(prob, opts)
+    err = float(jnp.linalg.norm(sol.state_trajectory[-1] - goal))
+    assert err < 0.5, (sol.status_message, err)
