@@ -180,6 +180,12 @@ class CDDPOptions:
     # True -> best merit among successes (parallel parity).
     enable_parallel: bool = False
     num_threads: int = 1
+    # JAX-only: backward-pass engine for CLDDP with a ControlConstraint.
+    # "auto" uses the fused Pallas Riccati+BoxQP kernel for batched (vmapped)
+    # solves on TPU float32 and the lax.scan elsewhere; "scan" forces the
+    # scan everywhere. Both produce the same math (the kernel unrolls the
+    # identical enum BoxQP step); see ops/pallas/riccati.py.
+    backward_engine: str = "auto"
     return_iteration_info: bool = False
     warm_start: bool = False
     termination_scaling_max_factor: float = 100.0

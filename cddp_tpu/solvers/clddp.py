@@ -55,6 +55,28 @@ def _backward_pass(
     Vxx = problem.objective.terminal_cost_hessian(X[-1])
     eye_u = jnp.eye(nu, dtype=dtype)
 
+    # Fused-engine path: the whole box-constrained Riccati recursion as one
+    # custom_vmap op — a Pallas TPU kernel for vmapped batches, the scan below
+    # otherwise. Only when the BoxQP resolves to the exact enum method, so
+    # both engines run identical math (the enum ignores warm starts).
+    enum_eligible = options.box_qp.method == "enum" or (
+        options.box_qp.method == "auto" and nu <= options.box_qp.enum_max_dim
+    )
+    if cc is not None and enum_eligible and options.backward_engine != "scan":
+        from cddp_tpu.ops.pallas.riccati import riccati_boxqp_backward
+
+        lb = jnp.broadcast_to(cc.lower, (N, nu)) - U
+        ub = jnp.broadcast_to(cc.upper, (N, nu)) - U
+        ks, Ks, dV, Qu_err, nvx, ok = riccati_boxqp_backward(
+            A, B, lx, lu, lxx, luu, lux, lb, ub, Vx, Vxx,
+            jnp.asarray(reg, dtype),
+        )
+        norm_Vx = nvx + jnp.sum(jnp.abs(Vx))
+        scaling = base.kkt_scaling(norm_Vx, N, nx, options)
+        return BackwardPassResult(
+            k=ks, K=Ks, dV=dV, inf_du=Qu_err / scaling, ok=ok
+        )
+
     def step(carry, inp):
         Vx, Vxx, dV, norm_Vx, Qu_err, ok = carry
         A_t, B_t, lx_t, lu_t, lxx_t, luu_t, lux_t, u_t, k_p = inp

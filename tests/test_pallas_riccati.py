@@ -37,7 +37,7 @@ def _setup(B=8, N=12, dtype=jnp.float32):
 ])
 def test_fused_matches_scan(dtype, rtol, atol):
     prob, cc, X, U = _setup(dtype=dtype)
-    opts = ct.CDDPOptions()
+    opts = ct.CDDPOptions(backward_engine="scan")
     reg = jnp.full((X.shape[0],), 1e-6, X.dtype)
 
     # Reference: vmapped scan implementation
@@ -73,4 +73,43 @@ def test_fused_matches_scan(dtype, rtol, atol):
     scaling = base.kkt_scaling(nvx_f + VxT_l1, prob.horizon, 3, opts)
     np.testing.assert_allclose(
         np.asarray(qerr_f / scaling), np.asarray(inf_r), rtol=max(rtol, 1e-5), atol=atol
+    )
+
+def test_backward_engine_dispatch_parity():
+    """backward_engine="auto" (custom_vmap op) must match "scan" exactly —
+    unbatched (primal impl) and under vmap (CPU fallback rule) — and the full
+    vmapped solve must agree between engines."""
+    prob, cc, X, U = _setup(dtype=jnp.float64)
+    auto = ct.CDDPOptions()
+    scan = auto.replace(backward_engine="scan")
+    reg = jnp.full((X.shape[0],), 1e-6, X.dtype)
+
+    def bp(opts, Xi, Ui, regi):
+        r = clddp._backward_pass(prob, opts, Xi, Ui, jnp.zeros_like(Ui), regi)
+        return r.k, r.K, r.dV, r.inf_du, r.ok
+
+    # unbatched
+    a1 = bp(auto, X[0], U[0], reg[0])
+    s1 = bp(scan, X[0], U[0], reg[0])
+    for x, y in zip(a1, s1):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-12)
+
+    # vmapped (exercises the custom batching rule's scan fallback on CPU)
+    aB = jax.vmap(lambda Xi, Ui, ri: bp(auto, Xi, Ui, ri))(X, U, reg)
+    sB = jax.vmap(lambda Xi, Ui, ri: bp(scan, Xi, Ui, ri))(X, U, reg)
+    for x, y in zip(aB, sB):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-12)
+
+    # end-to-end batched solve (backward retry while_loop + line search on top)
+    x0s = jnp.stack([X[i, 0] for i in range(4)])
+    opts10 = auto.replace(max_iterations=10)
+    from cddp_tpu.parallel.batch import batched_solve
+    sol_a = batched_solve(prob, x0s, "CLDDP", opts10)
+    sol_s = batched_solve(prob, x0s, "CLDDP", opts10.replace(backward_engine="scan"))
+    np.testing.assert_allclose(
+        np.asarray(sol_a.final_objective), np.asarray(sol_s.final_objective), rtol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(sol_a.control_trajectory),
+        np.asarray(sol_s.control_trajectory), rtol=1e-8, atol=1e-10,
     )
