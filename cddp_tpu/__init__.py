@@ -28,6 +28,7 @@ from cddp_tpu.costs.objective import (
     NonlinearObjective,
     Objective,
     QuadraticObjective,
+    ResidualObjective,
     quadratic_objective,
 )
 from cddp_tpu.constraints.path import (

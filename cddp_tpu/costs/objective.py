@@ -59,6 +59,75 @@ class Objective(struct.PyTreeNode):
         return jax.hessian(self.terminal_cost)(x)
 
 
+class ResidualObjective(Objective):
+    """Nonlinear least-squares objective with Gauss-Newton derivatives —
+    the acados-style NONLINEAR_LS pattern the reference's MPCC example
+    (ipddp_mpcc_rc.py:333-436) is built on.
+
+    ``cost = sum(running_residuals(x, u, k)**2) + running_cost_extra`` per
+    step (weights belong inside the residuals as sqrt-scales), and likewise
+    at the terminal. Derivatives use the Gauss-Newton approximation:
+    gradient ``2 J^T r`` (exact), Hessian ``2 J^T J`` (drops the second-
+    derivative term), with AD only on the (typically linear) ``extra``.
+    This is both cheaper than a full AD Hessian — one jacfwd of the
+    residual vector instead of second derivatives through every
+    nonlinearity (track Fourier bases, trig, ...) — and PSD by
+    construction, which the DDP backward pass rewards.
+    """
+
+    def running_residuals(self, x, u, k) -> jax.Array:
+        raise NotImplementedError
+
+    def terminal_residuals(self, x) -> jax.Array:
+        return jnp.zeros((0,), x.dtype)
+
+    def running_cost_extra(self, x, u, k) -> jax.Array:
+        return jnp.zeros((), x.dtype)
+
+    def terminal_cost_extra(self, x) -> jax.Array:
+        return jnp.zeros((), x.dtype)
+
+    def running_cost(self, x, u, k):
+        r = self.running_residuals(x, u, k)
+        return jnp.sum(r * r) + self.running_cost_extra(x, u, k)
+
+    def terminal_cost(self, x):
+        r = self.terminal_residuals(x)
+        return jnp.sum(r * r) + self.terminal_cost_extra(x)
+
+    def _jacobians(self, x, u, k):
+        r = self.running_residuals(x, u, k)
+        Jx = jax.jacfwd(lambda xx: self.running_residuals(xx, u, k))(x)
+        Ju = jax.jacfwd(lambda uu: self.running_residuals(x, uu, k))(u)
+        return r, Jx, Ju
+
+    def running_cost_gradients(self, x, u, k):
+        r, Jx, Ju = self._jacobians(x, u, k)
+        ex = jax.grad(lambda xx: self.running_cost_extra(xx, u, k))(x)
+        eu = jax.grad(lambda uu: self.running_cost_extra(x, uu, k))(u)
+        return 2.0 * (Jx.T @ r) + ex, 2.0 * (Ju.T @ r) + eu
+
+    def running_cost_hessians(self, x, u, k):
+        _, Jx, Ju = self._jacobians(x, u, k)
+        exx = jax.hessian(lambda xx: self.running_cost_extra(xx, u, k))(x)
+        euu = jax.hessian(lambda uu: self.running_cost_extra(x, uu, k))(u)
+        lxx = 2.0 * (Jx.T @ Jx) + exx
+        luu = 2.0 * (Ju.T @ Ju) + euu
+        lux = 2.0 * (Ju.T @ Jx)
+        return lxx, luu, lux
+
+    def terminal_cost_gradient(self, x):
+        r = self.terminal_residuals(x)
+        J = jax.jacfwd(self.terminal_residuals)(x)
+        e = jax.grad(self.terminal_cost_extra)(x)
+        return 2.0 * (J.T @ r) + e
+
+    def terminal_cost_hessian(self, x):
+        J = jax.jacfwd(self.terminal_residuals)(x)
+        e = jax.hessian(self.terminal_cost_extra)(x)
+        return 2.0 * (J.T @ J) + e
+
+
 class QuadraticObjective(Objective):
     """cost_k = (x - xref_k)' Q (x - xref_k) + u' R u, scaled semantics of
     objective.cpp:30-124.

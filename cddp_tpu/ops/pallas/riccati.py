@@ -113,42 +113,51 @@ def make_backward_kernel(nx: int, nu: int, N: int, tile_b: int = DEFAULT_TILE_B)
     [Qu_err, norm_Vx_accum (excl. terminal), ok].
     """
     configs = list(product(range(3), repeat=nu))  # 0 free, 1 lower, 2 upper
+    n_carry = nx + nx * nx + 5  # Vx, Vxx, dV0, dV1, qerr, nvx, ok
 
+    # The grid is (batch_tile, time) with time marked ARBITRARY (sequential):
+    # each grid step streams ONE timestep's blocks from HBM while the value-
+    # function carry persists in a VMEM scratch, so VMEM use is flat in the
+    # horizon (an all-resident layout OOMs scoped VMEM beyond N~25 at
+    # tile_b=1024).
     def kernel(A_ref, B_ref, lx_ref, lu_ref, lxx_ref, luu_ref, lux_ref,
                lb_ref, ub_ref, VxT_ref, VxxT_ref, reg_ref,
-               k_ref, K_ref, dV_ref, stats_ref):
+               k_ref, K_ref, dV_ref, stats_ref, carry_ref):
+        tt = pl.program_id(1)
         reg = reg_ref[0]
         zeros = jnp.zeros_like(reg)
 
-        Vx0 = [VxT_ref[i] for i in range(nx)]
-        Vxx0 = [[VxxT_ref[i, j] for j in range(nx)] for i in range(nx)]
+        @pl.when(tt == 0)
+        def _init():
+            for i in range(nx):
+                carry_ref[i] = VxT_ref[i]
+            for i in range(nx):
+                for j in range(nx):
+                    carry_ref[nx + i * nx + j] = VxxT_ref[i, j]
+            for c in range(4):  # dV0, dV1, qerr, nvx
+                carry_ref[nx + nx * nx + c] = zeros
+            # NOTE: the carry is all-float — boolean (i1) vector carries fail
+            # to legalize in Mosaic's scf.for lowering, so `ok` travels as a
+            # {0,1} float mask.
+            carry_ref[nx + nx * nx + 4] = zeros + 1.0  # ok
 
-        def flatten(Vx, Vxx, dV, qerr, nvx, ok):
-            return (*Vx, *(Vxx[i][j] for i in range(nx) for j in range(nx)),
-                    dV[0], dV[1], qerr, nvx, ok)
-
-        def unflatten(c):
-            Vx = list(c[:nx])
-            Vxx = [[c[nx + i * nx + j] for j in range(nx)] for i in range(nx)]
+        if True:  # keep the step body's indentation stable
+            Vx = [carry_ref[i] for i in range(nx)]
+            Vxx = [[carry_ref[nx + i * nx + j] for j in range(nx)]
+                   for i in range(nx)]
             o = nx + nx * nx
-            return Vx, Vxx, [c[o], c[o + 1]], c[o + 2], c[o + 3], c[o + 4]
+            dV = [carry_ref[o], carry_ref[o + 1]]
+            qerr, nvx, ok = carry_ref[o + 2], carry_ref[o + 3], carry_ref[o + 4]
 
-        def step(tt, carry):
-            t = N - 1 - tt
-            # NOTE: the loop carry is all-float — boolean (i1) vector carries
-            # fail to legalize in Mosaic's scf.for lowering, so `ok` travels
-            # as a {0,1} float mask.
-            Vx, Vxx, dV, qerr, nvx, ok = unflatten(carry)
-
-            A = [[A_ref[t, i, j] for j in range(nx)] for i in range(nx)]
-            Bm = [[B_ref[t, i, j] for j in range(nu)] for i in range(nx)]
-            lx = [lx_ref[t, i] for i in range(nx)]
-            lu = [lu_ref[t, i] for i in range(nu)]
-            lxx = [[lxx_ref[t, i, j] for j in range(nx)] for i in range(nx)]
-            luu = [[luu_ref[t, i, j] for j in range(nu)] for i in range(nu)]
-            lux = [[lux_ref[t, i, j] for j in range(nx)] for i in range(nu)]
-            lb = [lb_ref[t, i] for i in range(nu)]
-            ub = [ub_ref[t, i] for i in range(nu)]
+            A = [[A_ref[0, i, j] for j in range(nx)] for i in range(nx)]
+            Bm = [[B_ref[0, i, j] for j in range(nu)] for i in range(nx)]
+            lx = [lx_ref[0, i] for i in range(nx)]
+            lu = [lu_ref[0, i] for i in range(nu)]
+            lxx = [[lxx_ref[0, i, j] for j in range(nx)] for i in range(nx)]
+            luu = [[luu_ref[0, i, j] for j in range(nu)] for i in range(nu)]
+            lux = [[lux_ref[0, i, j] for j in range(nx)] for i in range(nu)]
+            lb = [lb_ref[0, i] for i in range(nu)]
+            ub = [ub_ref[0, i] for i in range(nu)]
 
             At = _transpose(A, nx, nx)
             Bt = _transpose(Bm, nx, nu)
@@ -264,27 +273,31 @@ def make_backward_kernel(nx: int, nu: int, N: int, tile_b: int = DEFAULT_TILE_B)
             ]
 
             for i in range(nu):
-                k_ref[t, i] = k_sel[i]
+                k_ref[0, i] = k_sel[i]
                 for j in range(nx):
-                    K_ref[t, i, j] = K_t[i][j]
+                    K_ref[0, i, j] = K_t[i][j]
 
             qerr_new = qerr
             for i in range(nu):
                 qerr_new = jnp.maximum(qerr_new, jnp.abs(Qu[i]))
             nvx_new = nvx + sum(jnp.abs(Vx_new[i]) for i in range(nx))
 
-            return flatten(Vx_new, Vxx_new, [dV[0] + dv0, dV[1] + dv1],
-                           qerr_new, nvx_new, ok)
+            for i in range(nx):
+                carry_ref[i] = Vx_new[i]
+            for i in range(nx):
+                for j in range(nx):
+                    carry_ref[nx + i * nx + j] = Vxx_new[i][j]
+            carry_ref[o] = dV[0] + dv0
+            carry_ref[o + 1] = dV[1] + dv1
+            carry_ref[o + 2] = qerr_new
+            carry_ref[o + 3] = nvx_new
+            carry_ref[o + 4] = ok
 
-        init = flatten(Vx0, Vxx0, [zeros, zeros], zeros, zeros,
-                       zeros + 1.0)
-        out = jax.lax.fori_loop(0, N, step, init)
-        _, _, dV, qerr, nvx, ok = unflatten(out)
-        dV_ref[0] = dV[0]
-        dV_ref[1] = dV[1]
-        stats_ref[0] = qerr
-        stats_ref[1] = nvx
-        stats_ref[2] = ok
+            dV_ref[0] = dV[0] + dv0
+            dV_ref[1] = dV[1] + dv1
+            stats_ref[0] = qerr_new
+            stats_ref[1] = nvx_new
+            stats_ref[2] = ok
 
     # Mosaic requires the (sublane, lane) block dims divisible by (8, 128).
     assert tile_b % 1024 == 0, tile_b
@@ -294,28 +307,39 @@ def make_backward_kernel(nx: int, nu: int, N: int, tile_b: int = DEFAULT_TILE_B)
              interpret=False):
         Btot = A.shape[-1]
         assert Btot % tile_b == 0, (Btot, tile_b)
-        grid = (Btot // tile_b,)
+        grid = (Btot // tile_b, N)
         dtype = A.dtype
         rows = Btot // 128
 
         def fold(x):
             return x.reshape(*x.shape[:-1], rows, 128)
 
-        def bspec(*dims):
-            # block covers all leading dims, tiles the folded batch rows
-            blk = tuple(dims) + (tbs, 128)
-            ndim = len(dims)
+        def stage_spec(*dims):
+            # one timestep per grid step, walked in reverse time
+            blk = (1,) + tuple(dims) + (tbs, 128)
+            nd = len(dims)
             return pl.BlockSpec(
-                blk, lambda g, _nd=ndim: (0,) * _nd + (g, 0),
+                blk,
+                lambda b, t, _nd=nd: (N - 1 - t,) + (0,) * _nd + (b, 0),
+                memory_space=pltpu.VMEM,
+            )
+
+        def const_spec(*dims):
+            blk = tuple(dims) + (tbs, 128)
+            nd = len(dims)
+            return pl.BlockSpec(
+                blk, lambda b, t, _nd=nd: (0,) * _nd + (b, 0),
                 memory_space=pltpu.VMEM,
             )
 
         in_specs = [
-            bspec(N, nx, nx), bspec(N, nx, nu), bspec(N, nx), bspec(N, nu),
-            bspec(N, nx, nx), bspec(N, nu, nu), bspec(N, nu, nx),
-            bspec(N, nu), bspec(N, nu), bspec(nx), bspec(nx, nx), bspec(1),
+            stage_spec(nx, nx), stage_spec(nx, nu), stage_spec(nx),
+            stage_spec(nu), stage_spec(nx, nx), stage_spec(nu, nu),
+            stage_spec(nu, nx), stage_spec(nu), stage_spec(nu),
+            const_spec(nx), const_spec(nx, nx), const_spec(1),
         ]
-        out_specs = (bspec(N, nu), bspec(N, nu, nx), bspec(2), bspec(3))
+        out_specs = (stage_spec(nu), stage_spec(nu, nx), const_spec(2),
+                     const_spec(3))
         out_shape = (
             jax.ShapeDtypeStruct((N, nu, rows, 128), dtype),
             jax.ShapeDtypeStruct((N, nu, nx, rows, 128), dtype),
@@ -330,6 +354,10 @@ def make_backward_kernel(nx: int, nu: int, N: int, tile_b: int = DEFAULT_TILE_B)
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=out_shape,
+            scratch_shapes=[pltpu.VMEM((n_carry, tbs, 128), dtype)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=(pltpu.PARALLEL, pltpu.ARBITRARY)
+            ),
             interpret=interpret,
         )(*args)
         return tuple(o.reshape(*o.shape[:-2], Btot) for o in outs)

@@ -180,11 +180,14 @@ class CDDPOptions:
     # True -> best merit among successes (parallel parity).
     enable_parallel: bool = False
     num_threads: int = 1
-    # JAX-only: backward-pass engine for CLDDP with a ControlConstraint.
+    # JAX-only: backward-pass engine. For CLDDP with a ControlConstraint,
     # "auto" uses the fused Pallas Riccati+BoxQP kernel for batched (vmapped)
-    # solves on TPU float32 and the lax.scan elsewhere; "scan" forces the
-    # scan everywhere. Both produce the same math (the kernel unrolls the
-    # identical enum BoxQP step); see ops/pallas/riccati.py.
+    # solves on TPU float32 (17x end-to-end) and the lax.scan elsewhere;
+    # "scan" forces the scan everywhere. "fused" additionally opts IPDDP's
+    # condensed backward into its Pallas kernel (off by default: that
+    # backward is <1% of an IPDDP iteration at realistic shapes, and the
+    # custom-call boundary costs more than the kernel saves). All engines
+    # run identical math; see ops/pallas/riccati.py and ipddp_riccati.py.
     backward_engine: str = "auto"
     return_iteration_info: bool = False
     warm_start: bool = False

@@ -318,6 +318,129 @@ def _rollout_linear(A, B, K, k, dx0, d=None):
     return dX, dU
 
 
+def _condensed_step_math(stage, Vx, Vxx, mu, reg, eye_u, second=None):
+    """One condensed Riccati step (ipddp_solver.cpp:1380-1509), shared
+    between the lax.scan driver and the fused-kernel parity path. Returns
+    (k_u, K_u, k_y, K_y, k_s, K_s, Vx_new, Vxx_new, dV_step, Qu_c,
+    primal_residual, comp_residual, fail)."""
+    A_t, B_t, lx_t, lu_t, lxx_t, luu_t, lux_t, y, s, g, Gx_t, Gu_t = stage
+
+    Qx = lx_t + Gx_t.T @ y + A_t.T @ Vx
+    Qu = lu_t + Gu_t.T @ y + B_t.T @ Vx
+    Qxx = lxx_t + A_t.T @ Vxx @ A_t
+    Qux = lux_t + B_t.T @ Vxx @ A_t
+    Quu = luu_t + B_t.T @ Vxx @ B_t
+    if second is not None:
+        # Full-DDP second-order dynamics terms (ipddp_solver.cpp:1397-1409).
+        Fxx_t, Fuu_t, Fux_t = second
+        Qxx = Qxx + jnp.einsum("i,ijk->jk", Vx, Fxx_t)
+        Qux = Qux + jnp.einsum("i,ijk->jk", Vx, Fux_t)
+        Quu = Quu + jnp.einsum("i,ijk->jk", Vx, Fuu_t)
+
+    sigma, primal_residual, comp_residual, rhat, s_inv_rhat = _condense_path(
+        y, s, g, Gx_t, Gu_t, mu
+    )
+
+    Quu_reg = _sym(Quu) + Gu_t.T @ (sigma[:, None] * Gu_t) + reg * eye_u
+    rhs_k = Qu + Gu_t.T @ s_inv_rhat
+    rhs_K = Qux + Gu_t.T @ (sigma[:, None] * Gx_t)
+    kK, pd_ok = linalg.solve_and_check(
+        Quu_reg, jnp.concatenate([rhs_k[:, None], rhs_K], axis=1)
+    )
+    fail = ~pd_ok
+    k_u = -kK[:, 0]
+    K_u = -kK[:, 1:]
+
+    k_y, K_y, k_s, K_s = _path_gains(
+        y, s, rhat, sigma, primal_residual, Gx_t, Gu_t, k_u, K_u, mu
+    )
+
+    # Condensed expansions folded back (ipddp_solver.cpp:1488-1509).
+    Qu_c = rhs_k
+    Qx_c = Qx + Gx_t.T @ s_inv_rhat
+    Qxx_c = Qxx + Gx_t.T @ (sigma[:, None] * Gx_t)
+    Qux_c = rhs_K
+    Quu_c = Quu + Gu_t.T @ (sigma[:, None] * Gu_t)
+
+    dV_step = jnp.stack([k_u @ Qu_c, 0.5 * k_u @ Quu_c @ k_u])
+    Vx_new = Qx_c + K_u.T @ Qu_c + Qux_c.T @ k_u + K_u.T @ Quu_c @ k_u
+    Vxx_new = _sym(Qxx_c + K_u.T @ Qux_c + Qux_c.T @ K_u + K_u.T @ Quu_c @ K_u)
+    return (k_u, K_u, k_y, K_y, k_s, K_s, Vx_new, Vxx_new, dV_step, Qu_c,
+            primal_residual, comp_residual, fail)
+
+
+def _condensed_scan_single(A, B, lx, lu, lxx, luu, lux, Y, S, G, Gx, Gu,
+                           V_x, V_xx, mu, reg):
+    """Single-instance condensed backward recursion (iLQR) in the fused
+    kernel's output layout: (k_u, K_u, k_y, K_y, k_s, K_s, Vx_seq, Vxx_seq,
+    stats (7,) = [dV0, dV1, inf_du, inf_pr, inf_comp, step_norm, ok]) with
+    all-float stats so the scan and kernel paths are interchangeable."""
+    nu = B.shape[-1]
+    dtype = A.dtype
+    eye_u = jnp.eye(nu, dtype=dtype)
+
+    def step(carry, inp):
+        Vx, Vxx, dV, inf_du, inf_pr, inf_comp, step_norm, ok = carry
+        (k_u, K_u, k_y, K_y, k_s, K_s, Vx_new, Vxx_new, dV_step, Qu_c,
+         pr, comp, fail) = _condensed_step_math(inp, Vx, Vxx, mu, reg, eye_u)
+        carry_new = (
+            Vx_new,
+            Vxx_new,
+            dV + dV_step,
+            jnp.maximum(inf_du, _maxabs(Qu_c)),
+            jnp.maximum(inf_pr, _maxabs(pr)),
+            jnp.maximum(inf_comp, _maxabs(comp)),
+            jnp.maximum(step_norm, _maxabs(k_u)),
+            ok * jnp.where(fail, 0.0, 1.0).astype(dtype),
+        )
+        return carry_new, (k_u, K_u, k_y, K_y, k_s, K_s, Vx_new, Vxx_new)
+
+    zero = jnp.zeros((), dtype)
+    init = (V_x, V_xx, jnp.zeros((2,), dtype), zero, zero, zero, zero,
+            zero + 1.0)
+    (_, _, dV, inf_du, inf_pr, inf_comp, step_norm, ok), outs = jax.lax.scan(
+        step, init, (A, B, lx, lu, lxx, luu, lux, Y, S, G, Gx, Gu),
+        reverse=True,
+    )
+    stats = jnp.concatenate(
+        [dV, jnp.stack([inf_du, inf_pr, inf_comp, step_norm, ok])]
+    )
+    return outs + (stats,)
+
+
+@jax.custom_batching.custom_vmap
+def condensed_backward_op(A, B, lx, lu, lxx, luu, lux, Y, S, G, Gx, Gu,
+                          V_x, V_xx, mu, reg):
+    """IPDDP condensed backward with a batch-aware implementation: the
+    reference-parity lax.scan unbatched, the fused Pallas kernel
+    (:func:`cddp_tpu.ops.pallas.ipddp_riccati.ipddp_backward_fused`) for
+    vmapped TPU float32 batches."""
+    return _condensed_scan_single(A, B, lx, lu, lxx, luu, lux, Y, S, G,
+                                  Gx, Gu, V_x, V_xx, mu, reg)
+
+
+@condensed_backward_op.def_vmap
+def _condensed_backward_vmap_rule(axis_size, in_batched, *args):
+    args = [
+        x if b else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+        for x, b in zip(args, in_batched)
+    ]
+    A, B = args[0], args[1]
+    use_kernel = (
+        A.dtype == jnp.float32
+        and jax.default_backend() in ("tpu", "axon")
+        and B.shape[-1] <= 4
+        and args[7].shape[-1] > 0  # m > 0
+    )
+    if use_kernel:
+        from cddp_tpu.ops.pallas.ipddp_riccati import ipddp_backward_fused
+
+        out = ipddp_backward_fused(*args)
+    else:
+        out = jax.vmap(_condensed_scan_single)(*args)
+    return tuple(out), (True,) * 9
+
+
 def _backward_condensed(problem, options, stk, tstk, X, U, Y, S, G, Y_T, S_T, mu, reg):
     """Path-constraint condensed Riccati recursion — the
     ipddp_solver.cpp:1355-1568 regime (also covers the unconstrained regime
@@ -346,50 +469,16 @@ def _backward_condensed(problem, options, stk, tstk, X, U, Y, S, G, Y_T, S_T, mu
     def step(carry, inp):
         Vx, Vxx, dV, inf_du, inf_pr, inf_comp, step_norm, ok = carry
         if options.use_ilqr:
-            A_t, B_t, lx_t, lu_t, lxx_t, luu_t, lux_t, y, s, g, Gx_t, Gu_t = inp
+            stage = inp
+            second = None
         else:
-            (A_t, B_t, lx_t, lu_t, lxx_t, luu_t, lux_t, y, s, g, Gx_t, Gu_t,
-             Fxx_t, Fuu_t, Fux_t) = inp
+            stage = inp[:12]
+            second = inp[12:]
 
-        Qx = lx_t + Gx_t.T @ y + A_t.T @ Vx
-        Qu = lu_t + Gu_t.T @ y + B_t.T @ Vx
-        Qxx = lxx_t + A_t.T @ Vxx @ A_t
-        Qux = lux_t + B_t.T @ Vxx @ A_t
-        Quu = luu_t + B_t.T @ Vxx @ B_t
-        if not options.use_ilqr:
-            # Full-DDP second-order dynamics terms (ipddp_solver.cpp:1397-1409).
-            Qxx = Qxx + jnp.einsum("i,ijk->jk", Vx, Fxx_t)
-            Qux = Qux + jnp.einsum("i,ijk->jk", Vx, Fux_t)
-            Quu = Quu + jnp.einsum("i,ijk->jk", Vx, Fuu_t)
-
-        sigma, primal_residual, comp_residual, rhat, s_inv_rhat = _condense_path(
-            y, s, g, Gx_t, Gu_t, mu
+        (k_u, K_u, k_y, K_y, k_s, K_s, Vx_new, Vxx_new, dV_step, Qu_c,
+         primal_residual, comp_residual, fail) = _condensed_step_math(
+            stage, Vx, Vxx, mu, reg, eye_u, second
         )
-
-        Quu_reg = _sym(Quu) + Gu_t.T @ (sigma[:, None] * Gu_t) + reg * eye_u
-        rhs_k = Qu + Gu_t.T @ s_inv_rhat
-        rhs_K = Qux + Gu_t.T @ (sigma[:, None] * Gx_t)
-        kK, pd_ok = linalg.solve_and_check(
-            Quu_reg, jnp.concatenate([rhs_k[:, None], rhs_K], axis=1)
-        )
-        fail = ~pd_ok
-        k_u = -kK[:, 0]
-        K_u = -kK[:, 1:]
-
-        k_y, K_y, k_s, K_s = _path_gains(
-            y, s, rhat, sigma, primal_residual, Gx_t, Gu_t, k_u, K_u, mu
-        )
-
-        # Condensed expansions folded back (ipddp_solver.cpp:1488-1509).
-        Qu_c = rhs_k
-        Qx_c = Qx + Gx_t.T @ s_inv_rhat
-        Qxx_c = Qxx + Gx_t.T @ (sigma[:, None] * Gx_t)
-        Qux_c = rhs_K
-        Quu_c = Quu + Gu_t.T @ (sigma[:, None] * Gu_t)
-
-        dV_step = jnp.stack([k_u @ Qu_c, 0.5 * k_u @ Quu_c @ k_u])
-        Vx_new = Qx_c + K_u.T @ Qu_c + Qux_c.T @ k_u + K_u.T @ Quu_c @ k_u
-        Vxx_new = _sym(Qxx_c + K_u.T @ Qux_c + Qux_c.T @ K_u + K_u.T @ Quu_c @ K_u)
 
         carry_new = (
             Vx_new,
@@ -414,13 +503,37 @@ def _backward_condensed(problem, options, stk, tstk, X, U, Y, S, G, Y_T, S_T, mu
         jnp.zeros((), dtype),
         jnp.asarray(True),
     )
-    inputs = (A, B, lx, lu, lxx, luu, lux, Y, S, G, Gx, Gu)
-    if not options.use_ilqr:
-        inputs = inputs + (Fxx, Fuu, Fux)
-    (Vx0, Vxx0, dV, inf_du, inf_pr, inf_comp, step_norm, ok), outs = jax.lax.scan(
-        step, init, inputs, reverse=True
+    # Opt-in only ("fused"), unlike CLDDP's auto dispatch: the IPDDP condensed
+    # backward is a single closed-form solve per step (no 3^nu enum), so the
+    # scan already costs <1% of an iteration at realistic shapes (73us vs
+    # ~31ms/iter for the MPCC fleet at B=1024) and the custom-call boundary
+    # measurably outweighs the kernel's isolated 1.2x win.
+    use_op = (
+        options.use_ilqr
+        and m > 0
+        and nu <= 4  # kernel's unrolled adjugate solve limit
+        and options.backward_engine == "fused"
     )
-    k_u, K_u, k_y, K_y, k_s, K_s, klam_head, Klam_head = outs
+    if use_op:
+        (k_u, K_u, k_y, K_y, k_s, K_s, klam_head, Klam_head,
+         stats) = condensed_backward_op(
+            A, B, lx, lu, lxx, luu, lux, Y, S, G, Gx, Gu, V_x, V_xx,
+            jnp.asarray(mu, dtype), jnp.asarray(reg, dtype),
+        )
+        dV = stats[:2]
+        inf_du = stats[2]
+        inf_pr = jnp.maximum(stats[3], inf_pr_T)
+        inf_comp = jnp.maximum(stats[4], inf_comp_T)
+        step_norm = stats[5]
+        ok = stats[6] > 0.5
+    else:
+        inputs = (A, B, lx, lu, lxx, luu, lux, Y, S, G, Gx, Gu)
+        if not options.use_ilqr:
+            inputs = inputs + (Fxx, Fuu, Fux)
+        (Vx0, Vxx0, dV, inf_du, inf_pr, inf_comp, step_norm, ok), outs = (
+            jax.lax.scan(step, init, inputs, reverse=True)
+        )
+        k_u, K_u, k_y, K_y, k_s, K_s, klam_head, Klam_head = outs
 
     # Costate gains: k_lambda[t] = V_x after step t; [N] = terminal fold.
     k_lambda = jnp.concatenate([klam_head, V_x[None]], axis=0)

@@ -11,8 +11,9 @@ Components (reference line cites in docstrings):
   control-history latch states d(v_prev)/dt = (v_w - v_prev)/dt, exact
   under Euler (ipddp_mpcc_rc.py:98-187).
 - :class:`MpccObjective` — the 11-residual NONLINEAR_LS cost + smooth
-  one-sided boundary penalty (ipddp_mpcc_rc.py:333-436), with JAX AD
-  replacing the reference's finite-difference derivatives.
+  one-sided boundary penalty (ipddp_mpcc_rc.py:333-436), as a
+  ResidualObjective: exact Gauss-Newton derivatives (2 J^T J) instead of
+  the reference's finite differences.
 - :func:`run_mpc` — closed-loop receding-horizon loop, cold-seeded per tick
   (ipddp_mpcc_rc.py:649, rationale :42-47), jit-compiled once; and
   :func:`batched_mpc_step` — the same tick vmapped over a fleet of cars
@@ -59,19 +60,37 @@ class Track(struct.PyTreeNode):
     v_ref_ext: jax.Array
     width: jax.Array
     length: jax.Array
+    # Truncated Fourier fit of the periodic reference fields: coefficient
+    # matrix (2K+1, 8) for [x, y, heading_residual, curvature, v_ref, 0,0,0]
+    # against the basis [1, cos(k theta), sin(k theta)], theta = 2 pi s / L.
+    # heading(s) = 2 pi s / L + residual(s) (one net turn per closed lap).
+    # interpolate() is then pure math (cos/sin + one tiny matmul) with ZERO
+    # gathers: jnp.interp's searchsorted costs ~4.6 ms per field sweep over
+    # a (1024, 21) fleet on v5e and a uniform-grid row gather is no better
+    # (TPU gathers serialize); the Fourier evaluation is ~microseconds and
+    # MXU/VPU-friendly.
+    fourier: jax.Array
 
     def wrap_progress(self, progress):
         return jnp.mod(progress, self.length)
 
     def interpolate(self, progress):
         """Reference point at progress: (x, y, heading, curvature, v_ref,
-        tangent, normal) — python_portfolio_lib.py:114-130."""
+        tangent, normal) — python_portfolio_lib.py:114-130. Evaluates the
+        Fourier fit (see ``fourier``): gather-free, so it fuses into the
+        surrounding cost/rollout computation."""
         w = self.wrap_progress(progress)
-        x = jnp.interp(w, self.s_ext, self.x_ext)
-        y = jnp.interp(w, self.s_ext, self.y_ext)
-        heading = jnp.interp(w, self.s_ext, self.heading_ext)
-        curvature = jnp.interp(w, self.s_ext, self.curvature_ext)
-        v_ref = jnp.interp(w, self.s_ext, self.v_ref_ext)
+        K = (self.fourier.shape[0] - 1) // 2
+        theta = (2.0 * jnp.pi) * (w / self.length)
+        k = jnp.arange(1, K + 1, dtype=theta.dtype)
+        ang = theta[..., None] * k
+        basis = jnp.concatenate(
+            [jnp.ones_like(theta)[..., None], jnp.cos(ang), jnp.sin(ang)],
+            axis=-1,
+        )
+        vals = basis @ self.fourier.astype(theta.dtype)
+        x, y, h_res, curvature, v_ref = (vals[..., i] for i in range(5))
+        heading = theta + h_res
         tangent = jnp.stack([jnp.cos(heading), jnp.sin(heading)])
         normal = jnp.stack([-jnp.sin(heading), jnp.cos(heading)])
         return dict(
@@ -95,6 +114,28 @@ def _track_from_xy(x, y, width=0.18):
     curvature = np.gradient(heading, s, edge_order=2)
     v_ref = np.clip(np.sqrt(1.35 / np.maximum(np.abs(curvature), 0.12)), 1.0, 2.2)
     v_ref = np.minimum(v_ref, np.roll(v_ref, -1) + 0.18)
+
+    # Fourier fit of the periodic reference fields (gather-free lookup; see
+    # Track.fourier). Resample uniformly, rFFT, keep K harmonics.
+    n_grid = 2048
+    K = 64
+    s_ext_np = np.concatenate([s, [length]])
+    s_grid = np.linspace(0.0, length, n_grid, endpoint=False)
+    heading_resid = heading - 2.0 * np.pi * s / length  # periodic part
+    fields = [
+        np.interp(s_grid, s_ext_np, np.concatenate([c, [c0]]))
+        for c, c0 in (
+            (x, x[0]), (y, y[0]), (heading_resid, heading_resid[0]),
+            (curvature, curvature[0]), (v_ref, v_ref[0]),
+        )
+    ]
+    fourier = np.zeros((2 * K + 1, 8))
+    for col, f in enumerate(fields):
+        F = np.fft.rfft(f) / n_grid
+        fourier[0, col] = F[0].real
+        fourier[1:K + 1, col] = 2.0 * F[1:K + 1].real  # cos coefficients
+        fourier[K + 1:, col] = -2.0 * F[1:K + 1].imag  # sin coefficients
+
     return Track(
         s_ext=jnp.asarray(np.concatenate([s, [length]])),
         x_ext=jnp.asarray(np.concatenate([x, [x[0]]])),
@@ -106,6 +147,7 @@ def _track_from_xy(x, y, width=0.18):
         v_ref_ext=jnp.asarray(np.concatenate([v_ref, [v_ref[0]]])),
         width=jnp.asarray(width),
         length=jnp.asarray(length),
+        fourier=jnp.asarray(fourier),
     )
 
 
@@ -198,11 +240,13 @@ class MpccConfig:
     line_search_iters: int = 12
 
 
-class MpccObjective(Objective):
-    """11-residual MPCC cost (ipddp_mpcc_rc.py:333-436). Reference
-    quantities are interpolated from theta (state[3]) so the time-varying
-    reference is a pure function of state. Derivatives come from JAX AD
-    (the reference NonlinearObjective uses finite differences)."""
+class MpccObjective(ct.ResidualObjective):
+    """11-residual MPCC cost (ipddp_mpcc_rc.py:333-436) as a NONLINEAR_LS
+    :class:`cddp_tpu.ResidualObjective`: reference quantities interpolate
+    from theta (state[3]) so the time-varying reference is a pure function
+    of state; derivatives are Gauss-Newton (2 J^T J) like the reference's
+    least-squares formulation — no second derivatives through the track's
+    Fourier basis."""
 
     track: Track = None
     cfg: MpccConfig = struct.field(pytree_node=False, default=None)
@@ -217,7 +261,7 @@ class MpccObjective(Objective):
         e_yaw = _wrap_angle(x[IDX_PSI] - ref["heading"])
         return e_c, e_l, e_yaw, ref["v_ref"], dx, dy
 
-    def running_cost(self, x, u, k):
+    def running_residuals(self, x, u, k):
         cfg = self.cfg
         e_c, e_l, e_yaw, v_ref_track, dx, dy = self._tracking(x)
         v_prev, delta_prev, v_theta_prev = x[4], x[5], x[6]
@@ -226,30 +270,31 @@ class MpccObjective(Objective):
         boundary = jnp.maximum(
             0.0, jnp.abs(e_c) - cfg.boundary_band * self.track.width
         )
-        return cfg.dt * (
-            cfg.w_contour * e_c**2
-            + cfg.w_lag * e_l**2
-            + cfg.w_speed * (v_theta - v_target) ** 2
-            + cfg.w_speed_w * (v_w - v_target) ** 2
-            + cfg.w_control * v_w**2
-            + cfg.w_control * delta**2
-            + cfg.w_x * dx**2
-            + cfg.w_y * dy**2
-            + cfg.w_yaw * e_yaw**2
-            + cfg.w_dv * (v_w - v_prev) ** 2
-            + cfg.w_ddelta * (delta - delta_prev) ** 2
-            + cfg.w_dv_theta * (v_theta - v_theta_prev) ** 2
-            + cfg.w_boundary * boundary**2
-        )
+        sq = lambda w: (cfg.dt * w) ** 0.5
+        return jnp.stack([
+            sq(cfg.w_contour) * e_c,
+            sq(cfg.w_lag) * e_l,
+            sq(cfg.w_speed) * (v_theta - v_target),
+            sq(cfg.w_speed_w) * (v_w - v_target),
+            sq(cfg.w_control) * v_w,
+            sq(cfg.w_control) * delta,
+            sq(cfg.w_x) * dx,
+            sq(cfg.w_y) * dy,
+            sq(cfg.w_yaw) * e_yaw,
+            sq(cfg.w_dv) * (v_w - v_prev),
+            sq(cfg.w_ddelta) * (delta - delta_prev),
+            sq(cfg.w_dv_theta) * (v_theta - v_theta_prev),
+            sq(cfg.w_boundary) * boundary,
+        ])
 
-    def terminal_cost(self, x):
+    def terminal_residuals(self, x):
         cfg = self.cfg
         e_c, e_l, _, _, _, _ = self._tracking(x)
-        return (
-            cfg.w_terminal * e_c**2
-            + cfg.w_terminal * e_l**2
-            - cfg.w_terminal_progress * x[IDX_THETA]
-        )
+        w = cfg.w_terminal ** 0.5
+        return jnp.stack([w * e_c, w * e_l])
+
+    def terminal_cost_extra(self, x):
+        return -self.cfg.w_terminal_progress * x[IDX_THETA]
 
 
 def initial_state(track: Track, cfg: MpccConfig):
