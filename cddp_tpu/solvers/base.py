@@ -208,3 +208,35 @@ def print_ddp_iteration(it, cost, inf_du, reg, alpha):
         it=it, cost=cost, inf_du=inf_du,
         lgrg=jnp.log10(jnp.maximum(reg, 1e-300)), a=alpha,
     )
+
+
+_BANNER = r"""
+ +---------------------------------------------------+
+ |   cddp-tpu  --  constrained DDP, TPU-native        |
+ |   CLDDP / LogDDP / IPDDP / MSIPDDP on JAX/Pallas   |
+ +---------------------------------------------------+
+"""
+
+
+def announce(solver_name: str, options: CDDPOptions) -> None:
+    """Host-side solver banner + options dump, gated exactly like the
+    reference (printSolverInfo cddp_core.cpp:351-428 behind
+    print_solver_header, printOptions cddp_core.cpp:461-575 behind
+    print_solver_options). Called once per solve() entry, outside jit."""
+    if options.print_solver_header:
+        print(_BANNER)
+        print(f" solver: {solver_name}")
+    if options.print_solver_options:
+        import dataclasses
+
+        def dump(obj, indent="  "):
+            for f in dataclasses.fields(obj):
+                v = getattr(obj, f.name)
+                if dataclasses.is_dataclass(v):
+                    print(f"{indent}{f.name}:")
+                    dump(v, indent + "  ")
+                else:
+                    print(f"{indent}{f.name} = {v!r}")
+
+        print(" options:")
+        dump(options)

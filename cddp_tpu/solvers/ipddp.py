@@ -1564,6 +1564,7 @@ def solve(
     """Solve with IPDDP. Pass ``state`` from a previous solve (with
     ``options.warm_start=True``) to warm start; ``return_state=True`` also
     returns the :class:`IPDDPSolverState` checkpoint pytree."""
+    base.announce("IPDDP", options)
     X, U = problem.initial_trajectories(X0, U0)
     warm = state if options.warm_start else None
     trajectory_warm = bool(options.warm_start and state is None and U0 is not None)

@@ -407,6 +407,7 @@ def solve(
     linearly x0 -> objective reference and re-rolls (logddp_solver.cpp:140-151);
     the state sequence is always re-rolled from the controls so the
     linearization point stays dynamically consistent."""
+    base.announce("LogDDP", options)
     nx, nu, N = problem.state_dim, problem.control_dim, problem.horizon
     if U0 is None:
         U0 = jnp.zeros((N, nu), problem.x0.dtype)

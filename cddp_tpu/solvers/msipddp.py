@@ -778,6 +778,7 @@ def solve(
     """Solve with MSIPDDP. Cold start without a state guess interpolates X
     from x0 to the objective reference (msipddp_solver.cpp:192-215) then
     re-rolls it dynamically consistent."""
+    base.announce("MSIPDDP", options)
     nx, nu, N = problem.state_dim, problem.control_dim, problem.horizon
     dtype = problem.x0.dtype
     if X0 is None:
