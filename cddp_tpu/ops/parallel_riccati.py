@@ -41,7 +41,18 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from cddp_tpu.ops.linalg import psd_solve
+from cddp_tpu.ops.linalg import inv_small, psd_solve
+
+
+def _gen_solve(M, X):
+    """Solve M Y = X for general (non-symmetric) M. Closed-form adjugate
+    inverse for n <= 4 — fuses on TPU and avoids the LAPACK LU custom call,
+    which both breaks XLA fusion and is unsafe under multi-device CPU
+    shard_map in current jaxlib (heap corruption) — LU fallback above."""
+    n = M.shape[-1]
+    if n <= 4:
+        return inv_small(M) @ X
+    return jnp.linalg.solve(M, X)
 
 
 class _Elem(NamedTuple):
@@ -65,14 +76,18 @@ def _combine(e2: _Elem, e1: _Elem) -> _Elem:
     J1 = e2.J
 
     M = I + C1 @ J2
-    # Solve against M (not necessarily symmetric): use generic solve.
-    Minv_A1 = jnp.linalg.solve(M, A1)
-    Minv_bCeta = jnp.linalg.solve(M, b1 + C1 @ eta2)
-    Minv_C1 = jnp.linalg.solve(M, C1)
+    # Solve against M (not necessarily symmetric): closed-form via _gen_solve.
+    Minv = _gen_solve(M, jnp.concatenate(
+        [A1, (b1 + C1 @ eta2)[:, None], C1], axis=1))
+    Minv_A1 = Minv[:, :n]
+    Minv_bCeta = Minv[:, n]
+    Minv_C1 = Minv[:, n + 1:]
 
     Mt = I + J2 @ C1
-    Mtinv_rhs = jnp.linalg.solve(Mt, eta2 - J2 @ b1)
-    Mtinv_J2A1 = jnp.linalg.solve(Mt, J2 @ A1)
+    Mtinv = _gen_solve(Mt, jnp.concatenate(
+        [(eta2 - J2 @ b1)[:, None], J2 @ A1], axis=1))
+    Mtinv_rhs = Mtinv[:, 0]
+    Mtinv_J2A1 = Mtinv[:, 1:]
 
     return _Elem(
         A=A2 @ Minv_A1,
