@@ -33,6 +33,10 @@ def rendezvous():
         "MaxThrustMagnitudeConstraint", ct.max_thrust_magnitude_constraint(1.0)
     )
     # mu scaled to the problem's cost magnitude (terminal cost ~1e3-1e5).
+    # NOTE: the thrust-norm constraint's long inactive arcs make the formal
+    # inf_pr certificate converge slowly (see STATUS.md: filter pins alpha at
+    # 1/16 and the ADAPTIVE barrier then cannot reduce mu); the produced
+    # trajectory itself is feasible and reaches the goal.
     opts = ct.CDDPOptions(max_iterations=400, tolerance=1e-5,
                           acceptable_tolerance=1e-6,
                           ipddp=ct.IPDDPOptions(
