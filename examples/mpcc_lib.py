@@ -398,3 +398,49 @@ def batched_mpc_step(track: Track, cfg: MpccConfig, x_batch):
         return u, sol.final_objective, sol.iterations_completed
 
     return jax.vmap(one)(x_batch)
+
+
+def mpc_tick_warm(track: Track, cfg: MpccConfig, x_current, U_prev, state):
+    """Warm-started MPC tick: shifts the previous control plan one step and
+    threads the IPDDP dual/slack/gain state between ticks (the
+    ipddp_solver.cpp:652-817 warm-start path — a TPU-side extension; the
+    reference's MPCC demo cold-seeds, ipddp_mpcc_rc.py:42-47). Pure and
+    jittable; vmap (x, U_prev, state) over a fleet.
+
+    Returns (u_apply, U_plan, new_state, iterations).
+    """
+    from cddp_tpu.solvers import ipddp
+
+    prob = build_problem(track, cfg, x_current)
+    U0 = jnp.concatenate([U_prev[1:], U_prev[-1:]], axis=0)
+    opts = solver_options(cfg).replace(warm_start=True)
+    sol, st = ipddp.solve(prob, opts, U0=U0, state=state, return_state=True)
+    U_plan = sol.control_trajectory
+    return U_plan[0], U_plan, st, sol.iterations_completed
+
+
+def warm_fleet_step(track: Track, cfg: MpccConfig, x_batch, U_batch, states):
+    """One warm-started tick for a whole fleet + state advance. Returns
+    (x_next_batch, U_batch, states, iterations)."""
+    model = KinematicBicycle7(wheelbase=cfg.wheelbase, dt=cfg.dt)
+
+    def one(x, U_prev, st):
+        u, U_plan, st_new, iters = mpc_tick_warm(track, cfg, x, U_prev, st)
+        x_next = model.discrete_dynamics(x, u, 0.0, cfg.dt)
+        return x_next, U_plan, st_new, iters
+
+    return jax.vmap(one)(x_batch, U_batch, states)
+
+
+def warm_fleet_init(track: Track, cfg: MpccConfig, x_batch):
+    """Initial plans + solver states for the warm fleet: one cold solve per
+    car (full budget) to seed."""
+    from cddp_tpu.solvers import ipddp
+
+    def one(x):
+        prob = build_problem(track, cfg, x)
+        U0 = seed_controls(track, cfg, x[IDX_THETA])
+        sol, st = ipddp.solve(prob, solver_options(cfg), U0=U0, return_state=True)
+        return sol.control_trajectory, st
+
+    return jax.vmap(one)(x_batch)

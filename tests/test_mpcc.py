@@ -59,3 +59,34 @@ def test_closed_loop_progress():
         d = jnp.asarray(x[:2]) - jnp.stack([ref["x"], ref["y"]])
         e_c.append(abs(float(ref["normal"] @ d)))
     assert max(e_c) < float(track.width), max(e_c)
+
+
+def test_warm_fleet_tick():
+    """Warm-started fleet tick API: shapes, state threading, finite states.
+    (No iteration-count claim: the barrier mu restarts at mu0*0.1 on warm
+    start per ipddp_solver.cpp:682, so IP warm ticks re-descend the mu
+    ladder — the reference's MPCC demo cold-seeds for the same reason.)"""
+    import jax
+    import jax.numpy as jnp
+    import mpcc_lib as mpcc
+
+    track = mpcc.synthetic_track(120)
+    cfg = mpcc.MpccConfig(max_iterations=5)
+    B = 3
+    s0 = jnp.linspace(0.0, float(track.length) * 0.4, B)
+
+    def place(si):
+        ref = track.interpolate(si)
+        return jnp.stack([ref["x"], ref["y"], ref["heading"], si,
+                          jnp.asarray(1.0), jnp.asarray(0.0), jnp.asarray(1.0)])
+
+    xb = jax.vmap(place)(s0)
+    U, st = jax.jit(lambda x: mpcc.warm_fleet_init(track, cfg, x))(xb)
+    step = jax.jit(lambda x, u, s: mpcc.warm_fleet_step(track, cfg, x, u, s))
+    x = xb
+    for _ in range(2):
+        x, U, st, iters = step(x, U, st)
+    assert x.shape == (B, 7)
+    assert U.shape == (B, cfg.horizon, 3)
+    assert bool(jnp.all(jnp.isfinite(x)))
+    assert bool(jnp.all(iters >= 1))
