@@ -143,3 +143,54 @@ def lqr_backward(Q, q, R, r, M, A, B):
     if rc != 0:
         raise RuntimeError("native LQR backward: Quu not positive definite")
     return K, k
+
+
+def clddp_solve(model_id, params, N, dt, Qs, Rs, Qf, goal, x0,
+                lower=None, upper=None, U0=None,
+                max_iterations=100, tolerance=1e-5,
+                acceptable_tolerance=1e-6, reg_init=1e-6, reg_min=1e-10,
+                reg_max=1e7, reg_factor=10.0, armijo_constant=1e-4,
+                scaling_max_factor=100.0):
+    """Full native CLDDP solve (cddp_clddp_solve in cddp_host.cpp) — the
+    C++ CPU execution engine with the exact semantics of
+    cddp_tpu.solvers.clddp (dt-prescaled quadratic cost, Euler
+    linearization, BoxQP feedforward, sequential Armijo-ratio ladder).
+
+    model_id: 0 unicycle (nx=3, nu=2), 1 pendulum (nx=2, nu=1). Pass the
+    ALREADY dt-scaled Qs/Rs (QuadraticObjective convention). Returns
+    (status, X, U, cost, inf_du, iterations).
+    """
+    lib = load()
+    nx = 3 if model_id == 0 else 2
+    nu = 2 if model_id == 0 else 1
+    params = np.ascontiguousarray(
+        params if params is not None else np.zeros(3), dtype=np.float64
+    )
+    Qs = np.ascontiguousarray(Qs, dtype=np.float64)
+    Rs = np.ascontiguousarray(Rs, dtype=np.float64)
+    Qf = np.ascontiguousarray(Qf, dtype=np.float64)
+    goal = np.ascontiguousarray(goal, dtype=np.float64)
+    x0 = np.ascontiguousarray(x0, dtype=np.float64)
+    lower = np.ascontiguousarray(
+        lower if lower is not None else np.full(nu, -1e20), dtype=np.float64
+    )
+    upper = np.ascontiguousarray(
+        upper if upper is not None else np.full(nu, 1e20), dtype=np.float64
+    )
+    X = np.zeros((N + 1, nx))
+    U = np.ascontiguousarray(
+        U0 if U0 is not None else np.zeros((N, nu)), dtype=np.float64
+    ).copy()
+    stats = np.zeros(3)
+    lib.cddp_clddp_solve.restype = ctypes.c_int
+    status = lib.cddp_clddp_solve(
+        ctypes.c_int(model_id), _cptr(params), ctypes.c_int(N),
+        ctypes.c_double(dt), _cptr(Qs), _cptr(Rs), _cptr(Qf), _cptr(goal),
+        _cptr(x0), _cptr(lower), _cptr(upper),
+        ctypes.c_int(max_iterations), ctypes.c_double(tolerance),
+        ctypes.c_double(acceptable_tolerance), ctypes.c_double(reg_init),
+        ctypes.c_double(reg_min), ctypes.c_double(reg_max),
+        ctypes.c_double(reg_factor), ctypes.c_double(armijo_constant),
+        ctypes.c_double(scaling_max_factor), _cptr(X), _cptr(U), _cptr(stats),
+    )
+    return status, X, U, stats[0], stats[1], int(stats[2])

@@ -333,3 +333,370 @@ int cddp_lqr_backward(const double* Q, const double* q, const double* R,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Full CLDDP solver engine (native CPU execution path).
+//
+// Mirrors cddp_tpu/solvers/clddp.py (itself clddp_solver.cpp:29-295)
+// line-for-line in semantics: Euler linearization A = I + dt*Fx regardless of
+// rollout integrator, dt-prescaled quadratic cost with gradient 2*Q*e,
+// per-step BoxQP feedforward with masked free-row feedback, sequential
+// first-success alpha ladder with Armijo-ratio acceptance, regularization
+// x10 on failure / /10 on success in [min, max], early inf_du convergence
+// with the |Vx|_1 KKT scaling.
+//
+// Dynamics come from a built-in registry (model_id) so the engine is fully
+// native: 0 = unicycle (nx=3, nu=2), 1 = pendulum (nx=2, nu=1, the
+// reference's analytic +m*g*l*sin(theta) sign, pendulum.cpp:40). Euler
+// rollout. Status codes match cddp_tpu.solution.Status: 0 max-iterations,
+// 1 optimal, 2 acceptable, 3 regularization-limit-not-converged.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct Model {
+  int nx, nu;
+  // params: unicycle none; pendulum [l, m, b] with g = 9.81
+  void f(const double* x, const double* u, const double* p, double* out) const {
+    if (nx == 3) {
+      out[0] = u[0] * std::cos(x[2]);
+      out[1] = u[0] * std::sin(x[2]);
+      out[2] = u[1];
+    } else {
+      const double l = p[0], m = p[1], b = p[2], g = 9.81;
+      out[0] = x[1];
+      out[1] = (u[0] - b * x[1] + m * g * l * std::sin(x[0])) / (m * l * l);
+    }
+  }
+  void jac(const double* x, const double* u, const double* p, double* Fx,
+           double* Fu) const {
+    if (nx == 3) {
+      std::memset(Fx, 0, sizeof(double) * 9);
+      std::memset(Fu, 0, sizeof(double) * 6);
+      Fx[0 * 3 + 2] = -u[0] * std::sin(x[2]);
+      Fx[1 * 3 + 2] = u[0] * std::cos(x[2]);
+      Fu[0 * 2 + 0] = std::cos(x[2]);
+      Fu[1 * 2 + 0] = std::sin(x[2]);
+      Fu[2 * 2 + 1] = 1.0;
+    } else {
+      const double l = p[0], m = p[1], b = p[2], g = 9.81;
+      Fx[0 * 2 + 0] = 0.0; Fx[0 * 2 + 1] = 1.0;
+      Fx[1 * 2 + 0] = g / l * std::cos(x[0]);
+      Fx[1 * 2 + 1] = -b / (m * l * l);
+      Fu[0] = 0.0;
+      Fu[1] = 1.0 / (m * l * l);
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Solves min sum_t (x-goal)'Qs(x-goal) + u'Rs u + (x_N-goal)'Qf(x_N-goal)
+// with Qs = Q*dt, Rs = R*dt prescaled by the CALLER (pass the already-scaled
+// matrices, matching QuadraticObjective semantics).
+//
+// model_id: 0 unicycle, 1 pendulum. params: see Model. lower/upper: control
+// bounds (pass +-1e20 for unconstrained). X (N+1 x nx) and U (N x nu) are
+// in/out (warm startable). Returns a cddp_tpu.solution.Status code and
+// writes [final cost, inf_du, iterations] to out_stats.
+int cddp_clddp_solve(
+    int model_id, const double* params, int N, double dt,
+    const double* Qs, const double* Rs, const double* Qf, const double* goal,
+    const double* x0, const double* lower, const double* upper,
+    int max_iterations, double tolerance, double acceptable_tolerance,
+    double reg_init, double reg_min, double reg_max, double reg_factor,
+    double armijo_constant, double scaling_max_factor,
+    double* X, double* U, double* out_stats) {
+  const Model mdl{model_id == 0 ? 3 : 2, model_id == 0 ? 2 : 1};
+  const int nx = mdl.nx, nu = mdl.nu;
+
+  std::vector<double> xdot(nx), Fx(nx * nx), Fu(nx * nu);
+  auto rollout = [&](const double* Uc, double* Xc) {
+    std::memcpy(Xc, x0, sizeof(double) * nx);
+    for (int t = 0; t < N; ++t) {
+      mdl.f(&Xc[t * nx], &Uc[t * nu], params, xdot.data());
+      for (int i = 0; i < nx; ++i)
+        Xc[(t + 1) * nx + i] = Xc[t * nx + i] + dt * xdot[i];
+    }
+  };
+  auto cost_of = [&](const double* Xc, const double* Uc) {
+    double J = 0.0;
+    for (int t = 0; t < N; ++t) {
+      for (int i = 0; i < nx; ++i) {
+        double e_i = Xc[t * nx + i] - goal[i];
+        for (int j = 0; j < nx; ++j)
+          J += e_i * Qs[i * nx + j] * (Xc[t * nx + j] - goal[j]);
+      }
+      for (int i = 0; i < nu; ++i)
+        for (int j = 0; j < nu; ++j)
+          J += Uc[t * nu + i] * Rs[i * nu + j] * Uc[t * nu + j];
+    }
+    for (int i = 0; i < nx; ++i) {
+      double e_i = Xc[N * nx + i] - goal[i];
+      for (int j = 0; j < nx; ++j)
+        J += e_i * Qf[i * nx + j] * (Xc[N * nx + j] - goal[j]);
+    }
+    return J;
+  };
+
+  rollout(U, X);  // ensure dynamic consistency of the seed
+  double cost = cost_of(X, U);
+  double reg = reg_init;
+  double inf_du = 1e300;
+  int status = 0;  // MAX_ITERATIONS_REACHED
+
+  std::vector<double> ks(N * nu), Ks(N * nu * nx);
+  std::vector<double> Vx(nx), Vxx(nx * nx), work(nx * nx + nu * nu);
+  std::vector<double> Qu(nu), Qx(nx), Quu(nu * nu), Qux(nu * nx), Qxx(nx * nx);
+  std::vector<double> A(nx * nx), B(nx * nu);
+  std::vector<double> Xtry((N + 1) * nx), Utry(N * nu);
+  std::vector<double> qp_x(nu), qp_Hfree(nu * nu);
+  std::vector<int> qp_free(nu);
+
+  // alpha ladder: a0=1, r=0.5, 11 entries, min tail 1e-8
+  std::vector<double> alphas;
+  {
+    double a = 1.0;
+    for (int i = 0; i < 11; ++i) {
+      alphas.push_back(a);
+      a *= 0.5;
+      if (a < 1e-8 && i < 10) { alphas.push_back(1e-8); break; }
+    }
+  }
+
+  int it = 0;
+  for (; it < max_iterations; ++it) {
+    // ---- backward pass with regularization retry --------------------------
+    double dV0 = 0.0, dV1 = 0.0, norm_Vx = 0.0, Qu_err = 0.0;
+    bool bp_ok = false;
+    while (true) {
+      // terminal value
+      for (int i = 0; i < nx; ++i) {
+        double s = 0.0;
+        for (int j = 0; j < nx; ++j)
+          s += 2.0 * Qf[i * nx + j] * (X[N * nx + j] - goal[j]);
+        Vx[i] = s;
+        for (int j = 0; j < nx; ++j) Vxx[i * nx + j] = 2.0 * Qf[i * nx + j];
+      }
+      dV0 = dV1 = Qu_err = 0.0;
+      norm_Vx = 0.0;
+      for (int i = 0; i < nx; ++i) norm_Vx += std::fabs(Vx[i]);
+      bool ok = true;
+      for (int t = N - 1; t >= 0 && ok; --t) {
+        const double* xt = &X[t * nx];
+        const double* ut = &U[t * nu];
+        mdl.jac(xt, ut, params, Fx.data(), Fu.data());
+        for (int i = 0; i < nx; ++i)
+          for (int j = 0; j < nx; ++j)
+            A[i * nx + j] = (i == j ? 1.0 : 0.0) + dt * Fx[i * nx + j];
+        for (int i = 0; i < nx; ++i)
+          for (int j = 0; j < nu; ++j) B[i * nu + j] = dt * Fu[i * nu + j];
+
+        // Q-expansions (lx = 2 Qs e, lu = 2 Rs u, lxx = 2Qs, luu = 2Rs)
+        for (int i = 0; i < nx; ++i) {
+          double s = 0.0;
+          for (int j = 0; j < nx; ++j)
+            s += 2.0 * Qs[i * nx + j] * (xt[j] - goal[j]);
+          for (int k2 = 0; k2 < nx; ++k2) s += A[k2 * nx + i] * Vx[k2];
+          Qx[i] = s;
+        }
+        for (int i = 0; i < nu; ++i) {
+          double s = 0.0;
+          for (int j = 0; j < nu; ++j) s += 2.0 * Rs[i * nu + j] * ut[j];
+          for (int k2 = 0; k2 < nx; ++k2) s += B[k2 * nu + i] * Vx[k2];
+          Qu[i] = s;
+        }
+        // Qxx = 2Qs + A' Vxx A ; Qux = B' Vxx A ; Quu = 2Rs + B' Vxx B
+        std::vector<double> VA(nx * nx), VB(nx * nu);
+        for (int i = 0; i < nx; ++i)
+          for (int j = 0; j < nx; ++j) {
+            double s = 0.0;
+            for (int k2 = 0; k2 < nx; ++k2) s += Vxx[i * nx + k2] * A[k2 * nx + j];
+            VA[i * nx + j] = s;
+          }
+        for (int i = 0; i < nx; ++i)
+          for (int j = 0; j < nu; ++j) {
+            double s = 0.0;
+            for (int k2 = 0; k2 < nx; ++k2) s += Vxx[i * nx + k2] * B[k2 * nu + j];
+            VB[i * nu + j] = s;
+          }
+        for (int i = 0; i < nx; ++i)
+          for (int j = 0; j < nx; ++j) {
+            double s = 2.0 * Qs[i * nx + j];
+            for (int k2 = 0; k2 < nx; ++k2) s += A[k2 * nx + i] * VA[k2 * nx + j];
+            Qxx[i * nx + j] = s;
+          }
+        for (int i = 0; i < nu; ++i)
+          for (int j = 0; j < nx; ++j) {
+            double s = 0.0;
+            for (int k2 = 0; k2 < nx; ++k2) s += B[k2 * nu + i] * VA[k2 * nx + j];
+            Qux[i * nx + j] = s;
+          }
+        for (int i = 0; i < nu; ++i)
+          for (int j = 0; j < nu; ++j) {
+            double s = 2.0 * Rs[i * nu + j];
+            for (int k2 = 0; k2 < nx; ++k2) s += B[k2 * nu + i] * VB[k2 * nu + j];
+            Quu[i * nu + j] = s;
+          }
+        std::vector<double> Quu_reg(Quu);
+        for (int i = 0; i < nu; ++i) Quu_reg[i * nu + i] += reg;
+
+        // BoxQP feedforward with bounds shifted to the step frame
+        std::vector<double> lb(nu), ub(nu);
+        for (int i = 0; i < nu; ++i) {
+          lb[i] = lower[i] - ut[i];
+          ub[i] = upper[i] - ut[i];
+        }
+        std::vector<double> x0_qp(nu);
+        std::memcpy(x0_qp.data(), &ks[t * nu], sizeof(double) * nu);
+        int qp_status = cddp_boxqp_solve(
+            Quu_reg.data(), Qu.data(), lb.data(), ub.data(), x0_qp.data(), nu,
+            qp_x.data(), qp_free.data(), 100, 1e-8, 1e-8, 0.6, 1e-22, 0.1);
+        // fail on HESSIAN_NOT_PD (-1) or NO_DESCENT (0), like the JAX path
+        if (qp_status <= 0) { ok = false; break; }
+        std::memcpy(&ks[t * nu], qp_x.data(), sizeof(double) * nu);
+        // identity-padded free-block Hessian for the K solve
+        for (int i = 0; i < nu; ++i)
+          for (int j = 0; j < nu; ++j)
+            qp_Hfree[i * nu + j] =
+                (qp_free[i] && qp_free[j]) ? Quu_reg[i * nu + j]
+                                           : (i == j ? 1.0 : 0.0);
+
+        // K on free rows: K_free = -Hfree \ Qux_free (identity-padded Hfree)
+        std::vector<double> Kt(nu * nx, 0.0), rhs(nu * nx, 0.0);
+        for (int i = 0; i < nu; ++i)
+          if (qp_free[i])
+            for (int j = 0; j < nx; ++j) rhs[i * nx + j] = Qux[i * nx + j];
+        if (!chol_solve(qp_Hfree.data(), rhs.data(), Kt.data(), nu, nx,
+                        work.data())) { ok = false; break; }
+        for (int i = 0; i < nu; ++i)
+          for (int j = 0; j < nx; ++j)
+            Ks[t * nu * nx + i * nx + j] = qp_free[i] ? -Kt[i * nx + j] : 0.0;
+
+        const double* k_t = &ks[t * nu];
+        const double* K_t = &Ks[t * nu * nx];
+        // dV += [Qu.k, 0.5 k'Quu k]
+        for (int i = 0; i < nu; ++i) dV0 += Qu[i] * k_t[i];
+        for (int i = 0; i < nu; ++i)
+          for (int j = 0; j < nu; ++j)
+            dV1 += 0.5 * k_t[i] * Quu[i * nu + j] * k_t[j];
+        // Vx = Qx + K'Quu k + Qux'k + K'Qu ; Vxx = Qxx + K'Quu K + Qux'K + K'Qux
+        std::vector<double> Quu_k(nu, 0.0), QuuK(nu * nx, 0.0);
+        for (int i = 0; i < nu; ++i)
+          for (int j = 0; j < nu; ++j) Quu_k[i] += Quu[i * nu + j] * k_t[j];
+        for (int i = 0; i < nu; ++i)
+          for (int j = 0; j < nx; ++j) {
+            double s = 0.0;
+            for (int k2 = 0; k2 < nu; ++k2)
+              s += Quu[i * nu + k2] * K_t[k2 * nx + j];
+            QuuK[i * nx + j] = s;
+          }
+        std::vector<double> Vx_new(nx), Vxx_new(nx * nx);
+        for (int i = 0; i < nx; ++i) {
+          double s = Qx[i];
+          for (int k2 = 0; k2 < nu; ++k2) {
+            s += K_t[k2 * nx + i] * Quu_k[k2];
+            s += Qux[k2 * nx + i] * k_t[k2];
+            s += K_t[k2 * nx + i] * Qu[k2];
+          }
+          Vx_new[i] = s;
+        }
+        for (int i = 0; i < nx; ++i)
+          for (int j = 0; j < nx; ++j) {
+            double s = Qxx[i * nx + j];
+            for (int k2 = 0; k2 < nu; ++k2) {
+              s += K_t[k2 * nx + i] * QuuK[k2 * nx + j];
+              s += Qux[k2 * nx + i] * K_t[k2 * nx + j];
+              s += K_t[k2 * nx + j] * Qux[k2 * nx + i];
+            }
+            Vxx_new[i * nx + j] = s;
+          }
+        for (int i = 0; i < nx; ++i)
+          for (int j = 0; j < nx; ++j)
+            Vxx[i * nx + j] = 0.5 * (Vxx_new[i * nx + j] + Vxx_new[j * nx + i]);
+        std::memcpy(Vx.data(), Vx_new.data(), sizeof(double) * nx);
+        for (int i = 0; i < nx; ++i) norm_Vx += std::fabs(Vx[i]);
+        for (int i = 0; i < nu; ++i)
+          Qu_err = std::max(Qu_err, std::fabs(Qu[i]));
+      }
+      if (ok) { bp_ok = true; break; }
+      reg = std::min(reg * reg_factor, reg_max);
+      if (reg >= reg_max) break;
+    }
+    const double scaling =
+        std::max(scaling_max_factor, norm_Vx / (double(N) * nx)) /
+        scaling_max_factor;
+    inf_du = Qu_err / scaling;
+    if (!bp_ok) { status = 3; ++it; break; }  // REG_LIMIT_NOT_CONVERGED
+
+    // early convergence on inf_du (clddp_solver.cpp:206-213)
+    if (inf_du < tolerance) { status = 1; ++it; break; }  // OPTIMAL
+
+    // ---- sequential first-success line search -----------------------------
+    bool fp_ok = false;
+    double J_new = cost, alpha_used = 1.0;
+    for (double a : alphas) {
+      std::memcpy(Xtry.data(), x0, sizeof(double) * nx);
+      double J = 0.0;
+      for (int t = 0; t < N; ++t) {
+        const double* xt = &Xtry[t * nx];
+        double u_t[8];
+        for (int i = 0; i < nu; ++i) {
+          double du = a * ks[t * nu + i];
+          for (int j = 0; j < nx; ++j)
+            du += Ks[t * nu * nx + i * nx + j] * (xt[j] - X[t * nx + j]);
+          u_t[i] = U[t * nu + i] + du;
+          u_t[i] = std::min(std::max(u_t[i], lower[i]), upper[i]);
+        }
+        for (int i = 0; i < nx; ++i) {
+          double e_i = xt[i] - goal[i];
+          for (int j = 0; j < nx; ++j)
+            J += e_i * Qs[i * nx + j] * (xt[j] - goal[j]);
+        }
+        for (int i = 0; i < nu; ++i)
+          for (int j = 0; j < nu; ++j) J += u_t[i] * Rs[i * nu + j] * u_t[j];
+        mdl.f(xt, u_t, params, xdot.data());
+        for (int i = 0; i < nx; ++i)
+          Xtry[(t + 1) * nx + i] = xt[i] + dt * xdot[i];
+        std::memcpy(&Utry[t * nu], u_t, sizeof(double) * nu);
+      }
+      for (int i = 0; i < nx; ++i) {
+        double e_i = Xtry[N * nx + i] - goal[i];
+        for (int j = 0; j < nx; ++j)
+          J += e_i * Qf[i * nx + j] * (Xtry[N * nx + j] - goal[j]);
+      }
+      const double dJ = cost - J;
+      const double expected = -a * (dV0 + 0.5 * a * dV1);
+      const double ratio = expected > 0.0 ? dJ / expected
+                                          : (dJ > 0 ? 1.0 : (dJ < 0 ? -1.0 : 0.0));
+      if (ratio > armijo_constant) {
+        fp_ok = true;
+        J_new = J;
+        alpha_used = a;
+        std::memcpy(X, Xtry.data(), sizeof(double) * (N + 1) * nx);
+        std::memcpy(U, Utry.data(), sizeof(double) * N * nu);
+        break;
+      }
+    }
+    (void)alpha_used;
+
+    const double dJ = cost - J_new;
+    if (fp_ok) {
+      cost = J_new;
+      reg = std::max(reg / reg_factor, reg_min);
+      if (dJ > 0.0 && dJ < acceptable_tolerance) { status = 2; ++it; break; }  // ACCEPTABLE
+    } else {
+      reg = std::min(reg * reg_factor, reg_max);
+      if (reg >= reg_max) { status = 3; ++it; break; }
+    }
+  }
+
+  out_stats[0] = cost;
+  out_stats[1] = inf_du;
+  out_stats[2] = double(it);
+  return status;
+}
+
+}  // extern "C"

@@ -75,3 +75,52 @@ def test_native_lqr_matches_jax_scan():
     assert bool(ok)
     np.testing.assert_allclose(K_n, np.asarray(K_j), rtol=1e-8, atol=1e-10)
     np.testing.assert_allclose(k_n, np.asarray(k_j), rtol=1e-8, atol=1e-10)
+
+
+def test_native_clddp_matches_jax():
+    """Full-solver cross-language check: the C++ CLDDP engine and the JAX
+    solver produce the same optimum on the control-limited unicycle."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    import cddp_tpu as ct
+    from cddp_tpu.models import Unicycle
+    from cddp_tpu.solvers import clddp
+    from cddp_tpu.utils import native
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+
+    dt, N = 0.03, 100
+    goal = np.asarray([2.0, 2.0, jnp.pi / 2])
+    Q = np.diag([1e-2, 1e-2, 0.0])
+    R = 1e-2 * np.eye(2)
+    Qf = np.diag([100.0, 100.0, 100.0])
+    lo = np.asarray([-1.0, -3.14159265])
+    hi = np.asarray([1.0, 3.14159265])
+
+    status, Xn, Un, cost_n, inf_du_n, iters_n = native.clddp_solve(
+        0, None, N, dt, Q * dt, R * dt, Qf, goal, np.zeros(3),
+        lower=lo, upper=hi, max_iterations=150, tolerance=1e-6,
+    )
+
+    obj = ct.quadratic_objective(
+        jnp.asarray(Q), jnp.asarray(R), jnp.asarray(Qf), jnp.asarray(goal), dt
+    )
+    prob = ct.problem(Unicycle(), obj, jnp.zeros(3), N, dt)
+    prob = prob.add_constraint(
+        "ControlConstraint", ct.control_constraint(jnp.asarray(lo), jnp.asarray(hi))
+    )
+    sol = clddp.solve(
+        prob, ct.CDDPOptions(max_iterations=150, tolerance=1e-6)
+    )
+
+    assert status in (1, 2), status  # optimal / acceptable
+    np.testing.assert_allclose(cost_n, float(sol.final_objective), rtol=1e-6)
+    np.testing.assert_allclose(
+        Un, np.asarray(sol.control_trajectory), rtol=1e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        Xn, np.asarray(sol.state_trajectory), rtol=1e-4, atol=1e-6
+    )
+    assert np.max(Un[:, 0]) <= 1.0 + 1e-12
