@@ -132,3 +132,77 @@ class CDDP:
 
     def solve_by_name(self, solver_type: str) -> Solution:
         return self.solve(solver_type)
+
+
+# ---------------------------------------------------------------------------
+# Full pycddp export surface (python/pycddp/__init__.py:12-75): every name a
+# reference user imports from pycddp resolves here with the same meaning.
+# ---------------------------------------------------------------------------
+
+from cddp_tpu.options import (  # noqa: E402,F401
+    BarrierOptions,
+    BarrierStrategy,
+    BoxQPOptions,
+    FilterOptions,
+    InteriorPointOptions,
+    IPDDPOptions,
+    LineSearchOptions,
+    LogBarrierOptions,
+    MSIPDDPOptions,
+    RegularizationOptions,
+)
+from cddp_tpu.solution import (  # noqa: E402,F401
+    IterationHistory as SolutionHistory,
+    Solution as CDDPSolution,
+)
+from cddp_tpu.costs.objective import (  # noqa: E402,F401
+    NonlinearObjective,
+    Objective,
+    QuadraticObjective,
+)
+from cddp_tpu.constraints.path import (  # noqa: E402,F401
+    BallConstraint,
+    ControlConstraint,
+    LinearConstraint,
+    MaxThrustMagnitudeConstraint,
+    PathConstraint as Constraint,
+    PoleConstraint,
+    SecondOrderConeConstraint,
+    StateConstraint,
+    ThrustMagnitudeConstraint,
+)
+from cddp_tpu.models import (  # noqa: E402,F401
+    Acrobot,
+    Bicycle,
+    Car,
+    CartPole,
+    DreyfusRocket,
+    DubinsCar,
+    DynamicalSystem,
+    EulerAttitude,
+    Forklift,
+    HCW,
+    LTISystem,
+    Manipulator,
+    MrpAttitude,
+    Pendulum,
+    Quadrotor,
+    QuadrotorRate,
+    QuaternionAttitude,
+    SpacecraftLanding2D,
+    SpacecraftLinearFuel,
+    SpacecraftNonlinear,
+    SpacecraftTwobody,
+    Unicycle,
+    USV3DOF as Usv3Dof,
+)
+
+
+class SolverType:
+    """pycddp.SolverType enum (bind_options.cpp:17-21); values are the
+    registry strings accepted by :meth:`CDDP.solve`."""
+
+    CLDDP = "CLDDP"
+    LogDDP = "LogDDP"
+    IPDDP = "IPDDP"
+    MSIPDDP = "MSIPDDP"

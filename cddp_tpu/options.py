@@ -105,6 +105,17 @@ class LogBarrierOptions:
 
 
 @dataclass(frozen=True)
+class InteriorPointOptions:
+    """Common interior-point knobs (``options.hpp:110-115``) — the base the
+    reference's IPDDP/MSIPDDP option structs inherit; bound in Python as
+    ``pycddp.InteriorPointOptions`` (bind_options.cpp:70-75)."""
+
+    dual_var_init_scale: float = 1e-1
+    slack_var_init_scale: float = 1e-2
+    barrier: BarrierOptions = field(default_factory=BarrierOptions)
+
+
+@dataclass(frozen=True)
 class IPDDPOptions:
     """``IPDDPAlgorithmOptions`` (``options.hpp:148-185``)."""
 

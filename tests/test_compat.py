@@ -69,3 +69,33 @@ def test_checkpoint_roundtrip(tmp_path):
 
 
 import jax  # noqa: E402
+
+
+def test_pycddp_export_surface():
+    """Every name pycddp exports (python/pycddp/__init__.py:12-75) resolves
+    in cddp_tpu.compat with the same meaning."""
+    import cddp_tpu.compat as compat
+
+    names = [
+        "SolverType", "BarrierStrategy", "CDDPOptions", "BoxQPOptions",
+        "LineSearchOptions", "RegularizationOptions", "BarrierOptions",
+        "FilterOptions", "InteriorPointOptions", "LogBarrierOptions",
+        "IPDDPOptions", "MSIPDDPOptions", "CDDP", "CDDPSolution",
+        "SolutionHistory", "DynamicalSystem", "Pendulum", "Unicycle",
+        "Bicycle", "Car", "CartPole", "DubinsCar", "Forklift", "Acrobot",
+        "Quadrotor", "QuadrotorRate", "Manipulator", "HCW",
+        "SpacecraftLinearFuel", "SpacecraftNonlinear", "DreyfusRocket",
+        "SpacecraftLanding2D", "SpacecraftTwobody", "LTISystem", "Usv3Dof",
+        "EulerAttitude", "QuaternionAttitude", "MrpAttitude", "Objective",
+        "QuadraticObjective", "NonlinearObjective", "Constraint",
+        "ControlConstraint", "StateConstraint", "LinearConstraint",
+        "BallConstraint", "PoleConstraint", "SecondOrderConeConstraint",
+        "ThrustMagnitudeConstraint", "MaxThrustMagnitudeConstraint",
+    ]
+    missing = [n for n in names if not hasattr(compat, n)]
+    assert not missing, missing
+    # SolverType values are the registry strings CDDP.solve accepts
+    assert compat.SolverType.CLDDP == "CLDDP"
+    assert compat.SolverType.MSIPDDP == "MSIPDDP"
+    o = compat.InteriorPointOptions()
+    assert o.dual_var_init_scale == 1e-1 and o.slack_var_init_scale == 1e-2
