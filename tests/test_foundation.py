@@ -159,3 +159,39 @@ def test_custom_system():
     # AD works through the user callable
     Fx, Fu = model.jacobians(jnp.array([0.5, -0.1]), jnp.array([0.2]), 0.0)
     np.testing.assert_allclose(Fu, jnp.array([[0.0], [0.5]]), atol=1e-12)
+
+
+def test_unknown_solver_raises():
+    """CDDP::createSolver unknown-type error path (cddp_core.cpp:225-232)."""
+    from cddp_tpu.solvers import get_solver
+
+    with pytest.raises((KeyError, ValueError)):
+        get_solver("NoSuchSolver")
+
+
+def test_constraint_replacement_dual_dim_bookkeeping():
+    """addOrReplaceConstraint keeps total_dual_dim consistent on replace and
+    remove (cddp_context_utils.cpp:78-107)."""
+    import cddp_tpu as ct
+    from cddp_tpu.models import Unicycle
+
+    obj = ct.quadratic_objective(
+        jnp.eye(3) * 0.1, jnp.eye(2) * 0.1, jnp.eye(3), jnp.zeros(3), 0.1
+    )
+    prob = ct.problem(Unicycle(), obj, jnp.zeros(3), 10, 0.1)
+    assert prob.total_dual_dim == 0
+    cc = ct.control_constraint(jnp.asarray([-1.0, -1.0]), jnp.asarray([1.0, 1.0]))
+    p1 = prob.add_constraint("ControlConstraint", cc)
+    d1 = p1.total_dual_dim
+    assert d1 == cc.dual_dim
+    # replace with a ball constraint under the same name: dim changes once
+    ball = ct.ball_constraint(jnp.asarray([1.0, 1.0]), 0.4)
+    p2 = p1.add_constraint("ControlConstraint", ball)
+    assert p2.total_dual_dim == ball.dual_dim
+    # add a second, then remove it
+    p3 = p2.add_constraint("BallConstraint", ball)
+    assert p3.total_dual_dim == 2 * ball.dual_dim
+    p4 = p3.remove_constraint("BallConstraint")
+    assert p4.total_dual_dim == ball.dual_dim
+    # immutability: originals untouched
+    assert prob.total_dual_dim == 0 and p1.total_dual_dim == d1
