@@ -1,0 +1,120 @@
+"""Tier-3 integration matrix (SURVEY.md §4): every solver on the canonical
+Car and Quadrotor problems (Pendulum/Unicycle are covered in each solver's
+own test file). Assertions mirror the reference's: convergence-or-cost-
+improvement plus loose goal-error bounds (test_{clddp,logddp,ipddp,
+msipddp}_solver.cpp)."""
+
+import jax.numpy as jnp
+import pytest
+
+import cddp_tpu as ct
+from cddp_tpu.models import Car, quadrotor
+from cddp_tpu.solvers import clddp, ipddp, logddp, msipddp
+
+from test_parity_anchors import car_parking_objective
+
+_SOLVERS = {
+    "CLDDP": clddp.solve,
+    "LogDDP": logddp.solve,
+    "IPDDP": ipddp.solve,
+    "MSIPDDP": msipddp.solve,
+}
+
+_OK = (
+    "OptimalSolutionFound",
+    "AcceptableSolutionFound",
+    "MaxIterationsReached",
+    "RegularizationLimitReached_Converged",
+)
+
+
+def _car_problem(dt=0.03, N=150):
+    model = Car(wheelbase=2.0, timestep=dt)
+    obj = car_parking_objective(dt)
+    x0 = jnp.array([1.0, 1.0, 1.5 * jnp.pi, 0.0])
+    prob = ct.problem(model, obj, x0, N, dt)
+    return prob.add_constraint(
+        "ControlConstraint",
+        ct.control_constraint(jnp.array([-0.5, -2.0]), jnp.array([0.5, 2.0])),
+    )
+
+
+def _quadrotor_problem(dt=0.02, N=60):
+    mass = 1.0
+    model = quadrotor(
+        mass=mass,
+        inertia=jnp.diag(jnp.asarray([0.01, 0.01, 0.02])),
+        arm_length=0.2,
+        integration_type="rk4",
+    )
+    nx, nu = 13, 4
+    goal = jnp.zeros(nx).at[0].set(1.5).at[2].set(1.0).at[3].set(1.0)
+    Q = jnp.zeros((nx, nx)).at[4, 4].set(0.1).at[5, 5].set(0.1).at[6, 6].set(0.1)
+    Qf = jnp.diag(
+        jnp.asarray([500.0, 500.0, 500.0, 1.0, 1.0, 1.0, 1.0, 10.0, 10.0,
+                     10.0, 0.0, 0.0, 0.0])
+    )
+    obj = ct.quadratic_objective(Q, 0.1 * jnp.eye(nu), Qf, goal, dt)
+    x0 = jnp.zeros(nx).at[3].set(1.0)
+    prob = ct.problem(model, obj, x0, N, dt)
+    prob = prob.add_constraint(
+        "ControlConstraint",
+        ct.control_constraint(jnp.zeros(nu), jnp.full((nu,), 9.0)),
+    )
+    U0 = jnp.full((N, nu), mass * 9.81 / 4.0)
+    return prob, goal, U0
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", list(_SOLVERS))
+def test_car_parking_all_solvers(name):
+    """The Tassa parking cost's zero-control rollout is (near-)stationary at
+    this scale, so assert the reference-style weak contract: an accepted
+    terminal status, objective improvement over the seeded rollout, and
+    box-feasible controls. (The strong cost<1.91 anchor is the IPDDP N=500
+    configuration in test_parity_anchors.py; LogDDP's relaxed-barrier merit
+    legitimately trades true-cost for interior controls at these magnitudes
+    — log-barrier weight >> the 1e-3-scale costs — so it only needs an
+    accepted status.)"""
+    from cddp_tpu.models.base import rollout
+
+    prob = _car_problem()
+    # reg 1e-2 matches the IPDDP parking anchor; MSIPDDP's multiple-shooting
+    # step stalls against that inflated floor and wants the 1e-4 default.
+    reg0 = 1e-4 if name == "MSIPDDP" else 1e-2
+    opts = ct.CDDPOptions(
+        max_iterations=80, tolerance=1e-4,
+        regularization=ct.RegularizationOptions(initial_value=reg0),
+    )
+    # Seed small controls: the zero-control stationary start is an exact
+    # saddle for this cost (Qu == 0 — acceleration reaches the cost only at
+    # second order), which no DDP variant escapes; the reference seeds its
+    # car/quadrotor examples for the same reason.
+    U0 = jnp.tile(jnp.asarray([[0.05, -0.3]]), (prob.horizon, 1))
+    X0 = rollout(prob.model, prob.x0, U0, prob.timestep)
+    cost0 = prob.objective.evaluate(X0, U0)
+    sol = _SOLVERS[name](prob, opts, X0=X0, U0=U0)
+    assert sol.status_message in _OK, (name, sol.status_message)
+    assert bool(jnp.isfinite(sol.final_objective))
+    if name != "LogDDP":
+        assert float(sol.final_objective) < float(cost0), name
+    # controls respect the box
+    U = sol.control_trajectory
+    assert float(jnp.max(jnp.abs(U[:, 0]))) <= 0.5 + 1e-6
+    assert float(jnp.max(jnp.abs(U[:, 1]))) <= 2.0 + 1e-6
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", list(_SOLVERS))
+def test_quadrotor_point_all_solvers(name):
+    prob, goal, U0 = _quadrotor_problem()
+    opts = ct.CDDPOptions(
+        max_iterations=100, tolerance=1e-4,
+        regularization=ct.RegularizationOptions(initial_value=1e-4),
+    )
+    sol = _SOLVERS[name](prob, opts, U0=U0)
+    assert sol.status_message in _OK, (name, sol.status_message)
+    err = float(jnp.linalg.norm(sol.state_trajectory[-1][:3] - goal[:3]))
+    assert err < 0.5, (name, err)  # reference bound (test_ipddp_solver.cpp:1077)
+    qn = float(jnp.linalg.norm(sol.state_trajectory[-1][3:7]))
+    assert abs(qn - 1.0) < 0.1, (name, qn)
