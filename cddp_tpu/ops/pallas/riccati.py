@@ -141,163 +141,162 @@ def make_backward_kernel(nx: int, nu: int, N: int, tile_b: int = DEFAULT_TILE_B)
             # {0,1} float mask.
             carry_ref[nx + nx * nx + 4] = zeros + 1.0  # ok
 
-        if True:  # keep the step body's indentation stable
-            Vx = [carry_ref[i] for i in range(nx)]
-            Vxx = [[carry_ref[nx + i * nx + j] for j in range(nx)]
-                   for i in range(nx)]
-            o = nx + nx * nx
-            dV = [carry_ref[o], carry_ref[o + 1]]
-            qerr, nvx, ok = carry_ref[o + 2], carry_ref[o + 3], carry_ref[o + 4]
+        Vx = [carry_ref[i] for i in range(nx)]
+        Vxx = [[carry_ref[nx + i * nx + j] for j in range(nx)]
+               for i in range(nx)]
+        o = nx + nx * nx
+        dV = [carry_ref[o], carry_ref[o + 1]]
+        qerr, nvx, ok = carry_ref[o + 2], carry_ref[o + 3], carry_ref[o + 4]
 
-            A = [[A_ref[0, i, j] for j in range(nx)] for i in range(nx)]
-            Bm = [[B_ref[0, i, j] for j in range(nu)] for i in range(nx)]
-            lx = [lx_ref[0, i] for i in range(nx)]
-            lu = [lu_ref[0, i] for i in range(nu)]
-            lxx = [[lxx_ref[0, i, j] for j in range(nx)] for i in range(nx)]
-            luu = [[luu_ref[0, i, j] for j in range(nu)] for i in range(nu)]
-            lux = [[lux_ref[0, i, j] for j in range(nx)] for i in range(nu)]
-            lb = [lb_ref[0, i] for i in range(nu)]
-            ub = [ub_ref[0, i] for i in range(nu)]
+        A = [[A_ref[0, i, j] for j in range(nx)] for i in range(nx)]
+        Bm = [[B_ref[0, i, j] for j in range(nu)] for i in range(nx)]
+        lx = [lx_ref[0, i] for i in range(nx)]
+        lu = [lu_ref[0, i] for i in range(nu)]
+        lxx = [[lxx_ref[0, i, j] for j in range(nx)] for i in range(nx)]
+        luu = [[luu_ref[0, i, j] for j in range(nu)] for i in range(nu)]
+        lux = [[lux_ref[0, i, j] for j in range(nx)] for i in range(nu)]
+        lb = [lb_ref[0, i] for i in range(nu)]
+        ub = [ub_ref[0, i] for i in range(nu)]
 
-            At = _transpose(A, nx, nx)
-            Bt = _transpose(Bm, nx, nu)
+        At = _transpose(A, nx, nx)
+        Bt = _transpose(Bm, nx, nu)
 
-            Qx = [lx[i] + v for i, v in enumerate(_matvec(At, Vx, nx, nx))]
-            Qu = [lu[i] + v for i, v in enumerate(_matvec(Bt, Vx, nu, nx))]
-            VA = _matmul(Vxx, A, nx, nx, nx)
-            Qxx = [[lxx[i][j] + v for j, v in enumerate(row)]
-                   for i, row in enumerate(_matmul(At, VA, nx, nx, nx))]
-            Qux = [[lux[i][j] + v for j, v in enumerate(row)]
-                   for i, row in enumerate(_matmul(Bt, VA, nu, nx, nx))]
-            VB = _matmul(Vxx, Bm, nx, nx, nu)
-            Quu = [[luu[i][j] + v for j, v in enumerate(row)]
-                   for i, row in enumerate(_matmul(Bt, VB, nu, nx, nu))]
+        Qx = [lx[i] + v for i, v in enumerate(_matvec(At, Vx, nx, nx))]
+        Qu = [lu[i] + v for i, v in enumerate(_matvec(Bt, Vx, nu, nx))]
+        VA = _matmul(Vxx, A, nx, nx, nx)
+        Qxx = [[lxx[i][j] + v for j, v in enumerate(row)]
+               for i, row in enumerate(_matmul(At, VA, nx, nx, nx))]
+        Qux = [[lux[i][j] + v for j, v in enumerate(row)]
+               for i, row in enumerate(_matmul(Bt, VA, nu, nx, nx))]
+        VB = _matmul(Vxx, Bm, nx, nx, nu)
+        Quu = [[luu[i][j] + v for j, v in enumerate(row)]
+               for i, row in enumerate(_matmul(Bt, VB, nu, nx, nu))]
 
-            Quu_reg = [[Quu[i][j] + (reg if i == j else zeros)
-                        for j in range(nu)] for i in range(nu)]
+        Quu_reg = [[Quu[i][j] + (reg if i == j else zeros)
+                    for j in range(nu)] for i in range(nu)]
 
-            # --- exact enum BoxQP (boxqp_solve_enum, unrolled) -------------
-            pd_all = _leading_minors_pd(Quu_reg, nu)
-            k_sel = [zeros] * nu
-            Hinv_free_sel = [[zeros] * nu for _ in range(nu)]
-            taken = zeros > 1.0  # all-false
+        # --- exact enum BoxQP (boxqp_solve_enum, unrolled) -------------
+        pd_all = _leading_minors_pd(Quu_reg, nu)
+        k_sel = [zeros] * nu
+        Hinv_free_sel = [[zeros] * nu for _ in range(nu)]
+        taken = zeros > 1.0  # all-false
 
-            for cfg in configs:
-                free_idx = [i for i in range(nu) if cfg[i] == 0]
-                x_cfg = [
-                    zeros if cfg[i] == 0 else (lb[i] if cfg[i] == 1 else ub[i])
-                    for i in range(nu)
-                ]
-                if free_idx:
-                    # Solve free block: Hff xf = -(Qu_f + H_fc x_c)
-                    Hff = [[Quu_reg[a][b] for b in free_idx] for a in free_idx]
-                    rhs = [
-                        -(Qu[a] + sum(Quu_reg[a][b] * x_cfg[b]
-                                      for b in range(nu) if cfg[b] != 0))
-                        for a in free_idx
-                    ]
-                    nf = len(free_idx)
-                    Hinv, det = _inv(Hff, nf)
-                    pd = _leading_minors_pd(Hff, nf)
-                    xf = _matvec(Hinv, rhs, nf, nf)
-                    x_full = list(x_cfg)
-                    for a, fi in enumerate(free_idx):
-                        x_full[fi] = xf[a]
-                else:
-                    pd = zeros == zeros  # true
-                    x_full = x_cfg
-
-                grad = [Qu[i] + sum(Quu_reg[i][j] * x_full[j] for j in range(nu))
-                        for i in range(nu)]
-                valid = pd
-                for i in range(nu):
-                    if cfg[i] == 0:
-                        valid = valid & (x_full[i] >= lb[i]) & (x_full[i] <= ub[i])
-                    elif cfg[i] == 1:
-                        valid = valid & (grad[i] >= 0.0)
-                    else:
-                        valid = valid & (grad[i] <= 0.0)
-                take = valid & (~taken)
-                taken = taken | valid
-                for i in range(nu):
-                    k_sel[i] = jnp.where(take, x_full[i], k_sel[i])
-                if free_idx:
-                    for a, fi in enumerate(free_idx):
-                        for b, fj in enumerate(free_idx):
-                            Hinv_free_sel[fi][fj] = jnp.where(
-                                take, Hinv[a][b], Hinv_free_sel[fi][fj]
-                            )
-
-            fail = (~pd_all) | (~taken)
-            ok = ok * jnp.where(fail, 0.0, 1.0)
-
-            # K = -Hfree^-1 Qux on free rows (zero on clamped rows/cols mix)
-            K_t = [
-                [
-                    -sum(Hinv_free_sel[i][l] * Qux[l][j] for l in range(nu))
-                    for j in range(nx)
-                ]
+        for cfg in configs:
+            free_idx = [i for i in range(nu) if cfg[i] == 0]
+            x_cfg = [
+                zeros if cfg[i] == 0 else (lb[i] if cfg[i] == 1 else ub[i])
                 for i in range(nu)
             ]
-
-            # dV += [Qu.k, 0.5 k'Quu k]
-            dv0 = sum(Qu[i] * k_sel[i] for i in range(nu))
-            dv1 = 0.5 * sum(
-                k_sel[i] * Quu[i][j] * k_sel[j]
-                for i in range(nu) for j in range(nu)
-            )
-
-            # V updates (clddp_solver.cpp:186-193)
-            Quu_k = _matvec(Quu, k_sel, nu, nu)
-            Kt = _transpose(K_t, nu, nx)
-            Vx_new = [
-                Qx[i]
-                + sum(Kt[i][l] * Quu_k[l] for l in range(nu))
-                + sum(Qux[l][i] * k_sel[l] for l in range(nu))
-                + sum(Kt[i][l] * Qu[l] for l in range(nu))
-                for i in range(nx)
-            ]
-            QuuK = _matmul(Quu, K_t, nu, nu, nx)
-            KtQuuK = _matmul(Kt, QuuK, nx, nu, nx)
-            QuxtK = _matmul(_transpose(Qux, nu, nx), K_t, nx, nu, nx)
-            Vxx_new = [
-                [
-                    Qxx[i][j] + KtQuuK[i][j] + QuxtK[i][j] + QuxtK[j][i]
-                    for j in range(nx)
+            if free_idx:
+                # Solve free block: Hff xf = -(Qu_f + H_fc x_c)
+                Hff = [[Quu_reg[a][b] for b in free_idx] for a in free_idx]
+                rhs = [
+                    -(Qu[a] + sum(Quu_reg[a][b] * x_cfg[b]
+                                  for b in range(nu) if cfg[b] != 0))
+                    for a in free_idx
                 ]
-                for i in range(nx)
-            ]
-            Vxx_new = [
-                [0.5 * (Vxx_new[i][j] + Vxx_new[j][i]) for j in range(nx)]
-                for i in range(nx)
-            ]
+                nf = len(free_idx)
+                Hinv, det = _inv(Hff, nf)
+                pd = _leading_minors_pd(Hff, nf)
+                xf = _matvec(Hinv, rhs, nf, nf)
+                x_full = list(x_cfg)
+                for a, fi in enumerate(free_idx):
+                    x_full[fi] = xf[a]
+            else:
+                pd = zeros == zeros  # true
+                x_full = x_cfg
 
+            grad = [Qu[i] + sum(Quu_reg[i][j] * x_full[j] for j in range(nu))
+                    for i in range(nu)]
+            valid = pd
             for i in range(nu):
-                k_ref[0, i] = k_sel[i]
-                for j in range(nx):
-                    K_ref[0, i, j] = K_t[i][j]
-
-            qerr_new = qerr
+                if cfg[i] == 0:
+                    valid = valid & (x_full[i] >= lb[i]) & (x_full[i] <= ub[i])
+                elif cfg[i] == 1:
+                    valid = valid & (grad[i] >= 0.0)
+                else:
+                    valid = valid & (grad[i] <= 0.0)
+            take = valid & (~taken)
+            taken = taken | valid
             for i in range(nu):
-                qerr_new = jnp.maximum(qerr_new, jnp.abs(Qu[i]))
-            nvx_new = nvx + sum(jnp.abs(Vx_new[i]) for i in range(nx))
+                k_sel[i] = jnp.where(take, x_full[i], k_sel[i])
+            if free_idx:
+                for a, fi in enumerate(free_idx):
+                    for b, fj in enumerate(free_idx):
+                        Hinv_free_sel[fi][fj] = jnp.where(
+                            take, Hinv[a][b], Hinv_free_sel[fi][fj]
+                        )
 
-            for i in range(nx):
-                carry_ref[i] = Vx_new[i]
-            for i in range(nx):
-                for j in range(nx):
-                    carry_ref[nx + i * nx + j] = Vxx_new[i][j]
-            carry_ref[o] = dV[0] + dv0
-            carry_ref[o + 1] = dV[1] + dv1
-            carry_ref[o + 2] = qerr_new
-            carry_ref[o + 3] = nvx_new
-            carry_ref[o + 4] = ok
+        fail = (~pd_all) | (~taken)
+        ok = ok * jnp.where(fail, 0.0, 1.0)
 
-            dV_ref[0] = dV[0] + dv0
-            dV_ref[1] = dV[1] + dv1
-            stats_ref[0] = qerr_new
-            stats_ref[1] = nvx_new
-            stats_ref[2] = ok
+        # K = -Hfree^-1 Qux on free rows (zero on clamped rows/cols mix)
+        K_t = [
+            [
+                -sum(Hinv_free_sel[i][l] * Qux[l][j] for l in range(nu))
+                for j in range(nx)
+            ]
+            for i in range(nu)
+        ]
+
+        # dV += [Qu.k, 0.5 k'Quu k]
+        dv0 = sum(Qu[i] * k_sel[i] for i in range(nu))
+        dv1 = 0.5 * sum(
+            k_sel[i] * Quu[i][j] * k_sel[j]
+            for i in range(nu) for j in range(nu)
+        )
+
+        # V updates (clddp_solver.cpp:186-193)
+        Quu_k = _matvec(Quu, k_sel, nu, nu)
+        Kt = _transpose(K_t, nu, nx)
+        Vx_new = [
+            Qx[i]
+            + sum(Kt[i][l] * Quu_k[l] for l in range(nu))
+            + sum(Qux[l][i] * k_sel[l] for l in range(nu))
+            + sum(Kt[i][l] * Qu[l] for l in range(nu))
+            for i in range(nx)
+        ]
+        QuuK = _matmul(Quu, K_t, nu, nu, nx)
+        KtQuuK = _matmul(Kt, QuuK, nx, nu, nx)
+        QuxtK = _matmul(_transpose(Qux, nu, nx), K_t, nx, nu, nx)
+        Vxx_new = [
+            [
+                Qxx[i][j] + KtQuuK[i][j] + QuxtK[i][j] + QuxtK[j][i]
+                for j in range(nx)
+            ]
+            for i in range(nx)
+        ]
+        Vxx_new = [
+            [0.5 * (Vxx_new[i][j] + Vxx_new[j][i]) for j in range(nx)]
+            for i in range(nx)
+        ]
+
+        for i in range(nu):
+            k_ref[0, i] = k_sel[i]
+            for j in range(nx):
+                K_ref[0, i, j] = K_t[i][j]
+
+        qerr_new = qerr
+        for i in range(nu):
+            qerr_new = jnp.maximum(qerr_new, jnp.abs(Qu[i]))
+        nvx_new = nvx + sum(jnp.abs(Vx_new[i]) for i in range(nx))
+
+        for i in range(nx):
+            carry_ref[i] = Vx_new[i]
+        for i in range(nx):
+            for j in range(nx):
+                carry_ref[nx + i * nx + j] = Vxx_new[i][j]
+        carry_ref[o] = dV[0] + dv0
+        carry_ref[o + 1] = dV[1] + dv1
+        carry_ref[o + 2] = qerr_new
+        carry_ref[o + 3] = nvx_new
+        carry_ref[o + 4] = ok
+
+        dV_ref[0] = dV[0] + dv0
+        dV_ref[1] = dV[1] + dv1
+        stats_ref[0] = qerr_new
+        stats_ref[1] = nvx_new
+        stats_ref[2] = ok
 
     # Mosaic requires the (sublane, lane) block dims divisible by (8, 128).
     assert tile_b % 1024 == 0, tile_b
