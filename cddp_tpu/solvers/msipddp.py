@@ -790,6 +790,14 @@ def solve(
     if U0 is None:
         U0 = jnp.zeros((N, nu), dtype)
     X0 = X0.at[0].set(problem.x0)
+    if options.msipddp.use_controlled_rollout:
+        # evaluateTrajectory with use_controlled_rollout
+        # (msipddp_solver.cpp:487-490): re-roll the seed states from the
+        # controls, discarding the interpolated multiple-shooting seed (and
+        # with it the initial defects).
+        from cddp_tpu.models.base import rollout as _rollout
+
+        X0 = _rollout(problem.model, problem.x0, U0, problem.timestep)
     warm = state if options.warm_start else None
     sol, new_state = _solve(problem, options, X0, U0, warm)
     if return_state:

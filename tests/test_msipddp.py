@@ -117,3 +117,26 @@ def test_msipddp_full_ddp():
     sol = msipddp.solve(prob, opts)
     err = float(jnp.linalg.norm(sol.state_trajectory[-1] - goal))
     assert err < 0.5, (sol.status_message, err)
+
+
+def test_use_controlled_rollout_seed():
+    """use_controlled_rollout re-rolls the seed states from the controls at
+    init (msipddp_solver.cpp:487-490), zeroing the initial defects; both
+    modes must still converge to the same optimum."""
+    prob, _ = _pendulum()
+    base_opts = ct.CDDPOptions(max_iterations=400, tolerance=1e-4,
+                               acceptable_tolerance=1e-5)
+    sol_ms = msipddp.solve(prob, base_opts)
+    opts_cr = base_opts.replace(
+        msipddp=ct.MSIPDDPOptions(use_controlled_rollout=True)
+    )
+    sol_cr = msipddp.solve(prob, opts_cr)
+    assert sol_cr.status_message in (
+        "OptimalSolutionFound", "AcceptableSolutionFound",
+        "MaxIterationsReached",
+    )
+    import numpy as np
+    np.testing.assert_allclose(
+        float(sol_cr.final_objective), float(sol_ms.final_objective),
+        rtol=5e-2,
+    )
