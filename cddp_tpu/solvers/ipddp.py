@@ -1204,6 +1204,28 @@ def _solve(problem: Problem, options: CDDPOptions, X0, U0,
 
             Y, S = jax.vmap(repair)(Y, S, G)
 
+        if options.ipddp.warmstart_repair:
+            # Interior repair (repairWarmstartInterior,
+            # ipddp_solver.cpp:233-262): clamp slacks/duals to their floors
+            # and scale the whole vector off the boundary when the minimum
+            # sits within interior_factor of the floor.
+            def _interior(v, floor):
+                # per-timestep vector, like the reference's per-call repair
+                if v.size == 0:
+                    return v
+                v = jnp.maximum(v, floor)
+                near = jnp.min(v, axis=-1, keepdims=True) < (
+                    floor * options.ipddp.warmstart_interior_factor
+                )
+                return jnp.where(
+                    near, v * options.ipddp.warmstart_interior_factor, v
+                )
+
+            S = _interior(S, options.ipddp.warmstart_s_min)
+            Y = _interior(Y, options.ipddp.warmstart_y_min)
+            S_T = _interior(S_T, options.ipddp.warmstart_s_min)
+            Y_T = _interior(Y_T, options.ipddp.warmstart_y_min)
+
     cost0 = problem.objective.evaluate(X, U)
     h_T0 = tstk.eq_evaluate(X[-1]) if has_te else jnp.zeros((0,), dtype)
 

@@ -209,3 +209,33 @@ def test_check_state_stationarity_option():
     np.testing.assert_allclose(
         float(sol_on.final_objective), float(sol_off.final_objective), rtol=1e-3
     )
+
+
+def test_warmstart_interior_repair():
+    """warmstart_repair clamps warm slacks/duals to the interior floors
+    (repairWarmstartInterior, ipddp_solver.cpp:233-262) and the warm solve
+    still converges."""
+    prob, _goal = _pendulum_problem()
+    opts = ct.CDDPOptions(max_iterations=200, tolerance=1e-4)
+    sol, st = ipddp.solve(prob, opts, return_state=True)
+    # poison the state with boundary-hugging slacks/duals
+    st_bad = st._replace(
+        S=st.S.at[0, 0].set(1e-12), Y=st.Y.at[1, 0].set(1e-12)
+    )
+    opts_w = opts.replace(
+        warm_start=True,
+        ipddp=ct.IPDDPOptions(warmstart_repair=True),
+    )
+    sol2 = ipddp.solve(
+        prob, opts_w, X0=sol.state_trajectory, U0=sol.control_trajectory,
+        state=st_bad,
+    )
+    assert sol2.status_message in (
+        "OptimalSolutionFound", "AcceptableSolutionFound",
+        "MaxIterationsReached",
+    )
+    assert bool(jnp.isfinite(sol2.final_objective))
+    import numpy as np
+    np.testing.assert_allclose(
+        float(sol2.final_objective), float(sol.final_objective), rtol=0.05
+    )
