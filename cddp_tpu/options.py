@@ -45,6 +45,7 @@ class RegularizationOptions:
     update_factor: float = 10.0
     max_value: float = 1e7
     min_value: float = 1e-10
+    # Print-only in the reference too (cddp_core.cpp:510 is its sole use).
     step_initial_value: float = 1.0
 
 
@@ -99,6 +100,8 @@ class BoxQPOptions:
 class LogBarrierOptions:
     """``options.hpp:135-143``."""
 
+    # Print-only in the reference (cddp_core.cpp:530 is its sole use;
+    # LogDDP always evaluates the relaxed barrier) — kept for API parity.
     use_relaxed_log_barrier_penalty: bool = False
     relaxed_log_barrier_delta: float = 1e-10
     barrier: BarrierOptions = field(default_factory=BarrierOptions)
