@@ -98,16 +98,19 @@ def _combine(e2: _Elem, e1: _Elem) -> _Elem:
     )
 
 
-def _step_element(A, B, Q, q, R, r, M):
+def _step_element(A, B, Q, q, R, r, M, d=None):
     """Element for one LQR step with cost
-    0.5 x'Qx + q'x + 0.5 u'Ru + r'u + x'M u and dynamics x+ = Ax + Bu.
+    0.5 x'Qx + q'x + 0.5 u'Ru + r'u + x'M u and dynamics x+ = Ax + Bu + d.
 
-    Condensing u out of c(x,u) + V+(Ax+Bu) at V+ unknown is handled by the
+    Condensing u out of c(x,u) + V+(Ax+Bu+d) at V+ unknown is handled by the
     element algebra; the per-step element is built from the u-minimization
     of the stage cost alone (Särkkä & García-Fernández 2021, Lemma 9):
 
         Abar = A - B R^-1 M',  C = B R^-1 B',
-        J    = Q - M R^-1 M',  eta = -(q - M R^-1 r),  b = -B R^-1 r.
+        J    = Q - M R^-1 M',  eta = -(q - M R^-1 r),  b = d - B R^-1 r
+
+    (the drift d — MSIPDDP's multiple-shooting defect — enters only the
+    affine offset b).
     """
     Rinv_Mt = psd_solve(R, M.T)
     Rinv_r = psd_solve(R, r)
@@ -116,16 +119,20 @@ def _step_element(A, B, Q, q, R, r, M):
     J = Q - M @ Rinv_Mt
     eta = -(q - M @ Rinv_r)
     b = -B @ Rinv_r
+    if d is not None:
+        b = b + d
     return _Elem(A=Abar, b=b, C=C, eta=eta, J=J)
 
 
-def parallel_lqr_backward(Q, q, R, r, M, A, B):
+def parallel_lqr_backward(Q, q, R, r, M, A, B, d=None):
     """O(log N)-depth LQR backward pass.
 
     Inputs and cost convention match
     :func:`cddp_tpu.solvers.ipddp._solve_sequential_lqr` exactly
     (stage cost 0.5 x'Qx + q'x + 0.5 u'Ru + r'u + x'Mu, V = 0.5 x'Px + p'x
-    with S = P and v = -p); parity is asserted in tests to 1e-8.
+    with S = P and v = -p); parity is asserted in tests to 1e-8. Optional
+    drift ``d`` (N, n) gives dynamics x+ = Ax + Bu + d — the multiple-
+    shooting defect structure.
 
     Returns (K, k, S, v): feedback/feedforward gains per step and the value
     function V_t(x) = 0.5 x'S_t x - v_t'x at every t.
@@ -134,7 +141,10 @@ def parallel_lqr_backward(Q, q, R, r, M, A, B):
     n = Q.shape[-1]
     dtype = Q.dtype
 
-    elems = jax.vmap(_step_element)(A, B, Q[:N], q[:N], R, r, M)
+    if d is None:
+        elems = jax.vmap(lambda *a: _step_element(*a))(A, B, Q[:N], q[:N], R, r, M)
+    else:
+        elems = jax.vmap(_step_element)(A, B, Q[:N], q[:N], R, r, M, d)
     # Terminal element: pure cost, no propagation.
     term = _Elem(
         A=jnp.zeros((n, n), dtype),
@@ -163,12 +173,13 @@ def parallel_lqr_backward(Q, q, R, r, M, A, B):
     S_next = S[1:]
     v_next = v[1:]
 
-    def gains(A_t, B_t, R_t, r_t, M_t, S_n, v_n):
+    def gains(A_t, B_t, R_t, r_t, M_t, d_t, S_n, v_n):
         Quu = R_t + B_t.T @ S_n @ B_t
         Qux = B_t.T @ S_n @ A_t + M_t.T
-        Qu = r_t - B_t.T @ v_n
+        Qu = r_t - B_t.T @ v_n + B_t.T @ (S_n @ d_t)
         kK = psd_solve(Quu, jnp.concatenate([Qu[:, None], Qux], axis=1))
         return -kK[:, 1:], -kK[:, 0]
 
-    K, k = jax.vmap(gains)(A, B, R, r, M, S_next, v_next)
+    d_arr = d if d is not None else jnp.zeros((N, n), dtype)
+    K, k = jax.vmap(gains)(A, B, R, r, M, d_arr, S_next, v_next)
     return K, k, S, v

@@ -75,12 +75,14 @@ def horizon_mesh(n_devices: int | None = None, axis: str = "t") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
-def sharded_lqr_backward(Q, q, R, r, M, A, B, mesh: Mesh, axis: str = "t"):
+def sharded_lqr_backward(Q, q, R, r, M, A, B, d=None, *, mesh: Mesh,
+                         axis: str = "t"):
     """O(log N)-depth LQR backward pass with the horizon sharded over
     ``mesh``'s ``axis``. Semantics identical to
     :func:`cddp_tpu.ops.parallel_riccati.parallel_lqr_backward`:
     stage cost 0.5 x'Qx + q'x + 0.5 u'Ru + r'u + x'Mu (Q has N+1 entries,
-    the last being the terminal cost), dynamics x+ = Ax + Bu.
+    the last being the terminal cost), dynamics x+ = Ax + Bu + d (optional
+    drift d = the multiple-shooting defect structure).
 
     Returns (K, k, S, v) with V_t(x) = 0.5 x'S_t x - v_t'x.
     """
@@ -89,7 +91,11 @@ def sharded_lqr_backward(Q, q, R, r, M, A, B, mesh: Mesh, axis: str = "t"):
     dtype = Q.dtype
     D = mesh.shape[axis]
 
-    elems = jax.vmap(_step_element)(A, B, Q[:N], q[:N], R, r, M)
+    if d is None:
+        elems = jax.vmap(lambda *a: _step_element(*a))(A, B, Q[:N], q[:N],
+                                                       R, r, M)
+    else:
+        elems = jax.vmap(_step_element)(A, B, Q[:N], q[:N], R, r, M, d)
     term = _Elem(
         A=jnp.zeros((n, n), dtype),
         b=jnp.zeros((n,), dtype),
@@ -168,8 +174,8 @@ def sharded_lqr_backward(Q, q, R, r, M, A, B, mesh: Mesh, axis: str = "t"):
         suffix[D - 1] = _identity_elem(n, dtype)
         for j in range(D - 2, -1, -1):
             suffix[j] = _combine(totals[j + 1], suffix[j + 1])
-        d = jax.lax.axis_index(axis)
-        onehot = (jnp.arange(D) == d).astype(dtype)
+        dev = jax.lax.axis_index(axis)
+        onehot = (jnp.arange(D) == dev).astype(dtype)
         suffix_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *suffix)
         my_suffix = jax.tree.map(
             lambda x: jnp.tensordot(onehot, x, axes=(0, 0)), suffix_stack
@@ -184,12 +190,13 @@ def sharded_lqr_backward(Q, q, R, r, M, A, B, mesh: Mesh, axis: str = "t"):
     S = tails.J[: N + 1]
     v = tails.eta[: N + 1]
 
-    def gains(A_t, B_t, R_t, r_t, M_t, S_n, v_n):
+    def gains(A_t, B_t, R_t, r_t, M_t, d_t, S_n, v_n):
         Quu = R_t + B_t.T @ S_n @ B_t
         Qux = B_t.T @ S_n @ A_t + M_t.T
-        Qu = r_t - B_t.T @ v_n
+        Qu = r_t - B_t.T @ v_n + B_t.T @ (S_n @ d_t)
         kK = psd_solve(Quu, jnp.concatenate([Qu[:, None], Qux], axis=1))
         return -kK[:, 1:], -kK[:, 0]
 
-    K, k = jax.vmap(gains)(A, B, R, r, M, S[1:], v[1:])
+    d_arr = d if d is not None else jnp.zeros((N, n), dtype)
+    K, k = jax.vmap(gains)(A, B, R, r, M, d_arr, S[1:], v[1:])
     return K, k, S, v

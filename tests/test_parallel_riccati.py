@@ -63,3 +63,44 @@ def test_ipddp_terminal_eq_parallel_backend():
         float(sol_par.final_objective), float(sol_seq.final_objective),
         rtol=1e-4,
     )
+
+
+def test_parallel_lqr_with_drift():
+    """Drift support (x+ = Ax + Bu + d — the multiple-shooting defect
+    structure) vs a sequential Riccati-with-drift oracle."""
+    import numpy as np
+    from cddp_tpu.ops.parallel_riccati import parallel_lqr_backward
+
+    key = jax.random.PRNGKey(7)
+    N, n, m = 25, 3, 2
+    ks = jax.random.split(key, 8)
+    W = 0.3 * jax.random.normal(ks[0], (N + 1, n, n))
+    Q = jnp.eye(n) * 0.5 + W @ W.swapaxes(-1, -2)
+    q = jax.random.normal(ks[1], (N + 1, n))
+    Wu = 0.3 * jax.random.normal(ks[2], (N, m, m))
+    R = jnp.eye(m) + Wu @ Wu.swapaxes(-1, -2)
+    r = jax.random.normal(ks[3], (N, m))
+    M = 0.1 * jax.random.normal(ks[4], (N, n, m))
+    A = jnp.eye(n) + 0.05 * jax.random.normal(ks[5], (N, n, n))
+    B = 0.2 * jax.random.normal(ks[6], (N, n, m))
+    d = 0.3 * jax.random.normal(ks[7], (N, n))
+
+    # sequential oracle: V = 0.5 x'Px + p'x
+    P = np.asarray(Q[N]); p = np.asarray(q[N])
+    Ks = np.zeros((N, m, n)); ks_ = np.zeros((N, m))
+    for t in range(N - 1, -1, -1):
+        At, Bt, dt_ = np.asarray(A[t]), np.asarray(B[t]), np.asarray(d[t])
+        Quu = np.asarray(R[t]) + Bt.T @ P @ Bt
+        Qux = Bt.T @ P @ At + np.asarray(M[t]).T
+        Qu = np.asarray(r[t]) + Bt.T @ (p + P @ dt_)
+        Qx = np.asarray(q[t]) + At.T @ (p + P @ dt_)
+        Kt = -np.linalg.solve(Quu, Qux)
+        kt = -np.linalg.solve(Quu, Qu)
+        Pn = np.asarray(Q[t]) + At.T @ P @ At + Qux.T @ Kt + Kt.T @ Qux + Kt.T @ Quu @ Kt
+        p = Qx + Qux.T @ kt + Kt.T @ Qu + Kt.T @ Quu @ kt
+        P = 0.5 * (Pn + Pn.T)
+        Ks[t], ks_[t] = Kt, kt
+
+    K, k, S, v = parallel_lqr_backward(Q, q, R, r, M, A, B, d=d)
+    np.testing.assert_allclose(np.asarray(K), Ks, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(k), ks_, rtol=1e-8, atol=1e-10)

@@ -57,3 +57,17 @@ def test_sharded_matches_ipddp_sequential_lqr():
     np.testing.assert_allclose(np.asarray(K), np.asarray(K_seq), rtol=1e-8, atol=1e-9)
     np.testing.assert_allclose(np.asarray(k), np.asarray(k_seq), rtol=1e-8, atol=1e-9)
     np.testing.assert_allclose(np.asarray(S), np.asarray(P_seq), rtol=1e-8, atol=1e-9)
+
+
+def test_sharded_with_drift_matches_single_device():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = horizon_mesh(8)
+    Q, q, R, r, M, A, B = _random_lqr(jax.random.PRNGKey(2), 24, n=3, m=2)
+    d = 0.2 * jax.random.normal(jax.random.PRNGKey(9), (24, 3))
+    K_r, k_r, S_r, v_r = parallel_lqr_backward(Q, q, R, r, M, A, B, d=d)
+    K, k, S, v = jax.jit(
+        lambda *a: sharded_lqr_backward(*a, mesh=mesh)
+    )(Q, q, R, r, M, A, B, d)
+    np.testing.assert_allclose(np.asarray(K), np.asarray(K_r), rtol=1e-9, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(k), np.asarray(k_r), rtol=1e-9, atol=1e-10)
