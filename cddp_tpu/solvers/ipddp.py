@@ -89,6 +89,9 @@ class IPDDPSolverState(NamedTuple):
     Y_T: jax.Array  # (mT,)
     S_T: jax.Array  # (mT,)
     Lambda_T_eq: jax.Array  # (p,)
+    x0: jax.Array  # (nx,) — the initial state this state was solved from,
+    # consumed by options.ipddp.warmstart_reset_x0_threshold (the reference
+    # records it implicitly as X_.front(), ipddp_solver.cpp:844-850)
 
 
 class _BP(NamedTuple):
@@ -1175,9 +1178,43 @@ def _solve(problem: Problem, options: CDDPOptions, X0, U0,
     Lambda = jnp.zeros((N + 1, nx), dtype)
     Lambda_T_eq = jnp.zeros((p,), dtype)
 
+    reset = None
     if warm is not None and options.warm_start:
         # Warm start with existing solver state (ipddp_solver.cpp:652-817):
         # keep U/gains/duals/slacks/costates, re-rollout X, restart mu.
+        thr = float(options.ipddp.warmstart_reset_x0_threshold)
+        if thr > 0.0:
+            # x0-drift warm-start reset (ipddp_solver.cpp:844-866 intent;
+            # note the reference's block is unreachable — both warm branches
+            # of initialize() return first — so this implements the declared
+            # semantics rather than the dead code): when the new initial
+            # state drifts more than thr from the warm state's x0, discard
+            # the warm start and restart cold with zeroed controls.
+            drift = jnp.linalg.norm(
+                problem.x0.astype(dtype) - warm.x0.astype(dtype)
+            )
+            reset = drift > thr
+            U_cold = jnp.zeros_like(U)
+            X_cold = open_loop_rollout(
+                problem.model, problem.x0, U_cold, problem.timestep
+            )
+            G_cold = _eval_path(problem, stk, X_cold, U_cold)
+            mu_cold = jnp.asarray(_cold_mu(problem, options, has_any), dtype)
+            if has_path:
+                Y_cold, S_cold = _init_dual_slack(G_cold, mu_cold, options)
+            else:
+                Y_cold, S_cold = Y, S
+            G_T_cold = tstk.ineq_evaluate(X_cold[-1])
+            if has_ti:
+                S_T_cold = jnp.maximum(
+                    options.ipddp.slack_var_init_scale,
+                    -G_T_cold + SLACK_INTERIOR_OFFSET,
+                )
+                Y_T_cold = (mu_cold * options.ipddp.dual_var_init_scale) / (
+                    jnp.maximum(S_T_cold, EPS_SLACK)
+                )
+            else:
+                S_T_cold, Y_T_cold = S_T, Y_T
         mu0 = jnp.asarray(options.ipddp.barrier.mu_initial * 0.1, dtype)
         Y, S = warm.Y, warm.S
         Y_T, S_T = warm.Y_T, warm.S_T
@@ -1226,6 +1263,15 @@ def _solve(problem: Problem, options: CDDPOptions, X0, U0,
             S_T = _interior(S_T, options.ipddp.warmstart_s_min)
             Y_T = _interior(Y_T, options.ipddp.warmstart_y_min)
 
+        if reset is not None:
+            sel = lambda c, w: jnp.where(reset, c, w)
+            U, X, G, G_T = sel(U_cold, U), sel(X_cold, X), sel(G_cold, G), sel(G_T_cold, G_T)
+            Y, S = sel(Y_cold, Y), sel(S_cold, S)
+            Y_T, S_T = sel(Y_T_cold, Y_T), sel(S_T_cold, S_T)
+            Lambda = sel(jnp.zeros_like(Lambda), Lambda)
+            Lambda_T_eq = sel(jnp.zeros_like(Lambda_T_eq), Lambda_T_eq)
+            mu0 = sel(mu_cold, mu0)
+
     cost0 = problem.objective.evaluate(X, U)
     h_T0 = tstk.eq_evaluate(X[-1]) if has_te else jnp.zeros((0,), dtype)
 
@@ -1262,7 +1308,13 @@ def _solve(problem: Problem, options: CDDPOptions, X0, U0,
     )
 
     if warm is not None and options.warm_start:
-        bp0 = bp0._replace(k_u=warm.k_u, K_u=warm.K_u)
+        if reset is not None:
+            bp0 = bp0._replace(
+                k_u=jnp.where(reset, jnp.zeros_like(warm.k_u), warm.k_u),
+                K_u=jnp.where(reset, jnp.zeros_like(warm.K_u), warm.K_u),
+            )
+        else:
+            bp0 = bp0._replace(k_u=warm.k_u, K_u=warm.K_u)
 
     record = options.return_iteration_info
     hist0 = base.history_init(options.max_iterations if record else 0, dtype)
@@ -1545,6 +1597,7 @@ def _solve(problem: Problem, options: CDDPOptions, X0, U0,
     solver_state = IPDDPSolverState(
         k_u=out.bp.k_u, K_u=out.bp.K_u, Y=out.Y, S=out.S, Lambda=out.Lambda,
         Y_T=out.Y_T, S_T=out.S_T, Lambda_T_eq=out.Lambda_T_eq,
+        x0=out.X[0],
     )
     sol = Solution(
         solver_name="IPDDP",

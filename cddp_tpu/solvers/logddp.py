@@ -240,6 +240,14 @@ def _solve(problem: Problem, options: CDDPOptions, X0, U0, k0, K0):
         it = c.it + 1
         barrier = RelaxedLogBarrier(barrier_coeff=c.mu, relaxation_delta=delta)
 
+        # preIterationSetup (logddp_solver.cpp:209-214): re-evaluate the
+        # nominal trajectory's merit and violation under the CURRENT barrier
+        # coefficient — the stored merit was computed with the previous mu,
+        # and resetFilter refreshes it every iteration.
+        bc_old, cv_old = _merit_and_violation(problem, barrier, c.X, c.U)
+        merit_old = c.cost + bc_old
+        c = c._replace(merit=merit_old, cv=cv_old)
+
         def bp_cond(s):
             _, _, done, _ = s
             return ~done

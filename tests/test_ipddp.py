@@ -148,6 +148,44 @@ def test_warm_start_fewer_iterations():
     assert int(warm.iterations_completed) <= int(cold.iterations_completed) + 5
 
 
+def test_warmstart_reset_x0_threshold():
+    """warmstart_reset_x0_threshold discards the warm state on x0 drift
+    (declared semantics of ipddp_solver.cpp:844-866 /
+    options.hpp:168-177): above threshold the solve is bit-identical to a
+    cold start from the new x0; below it the warm state is honored."""
+    prob, goal = _pendulum_problem(N=60, dt=0.02)
+    opts = ct.CDDPOptions(
+        max_iterations=200, tolerance=1e-4, acceptable_tolerance=1e-5
+    )
+    cold, state = ipddp.solve(prob, opts, return_state=True)
+    np.testing.assert_allclose(np.asarray(state.x0), np.asarray(prob.x0))
+
+    reset_opts = opts.replace(
+        warm_start=True,
+        max_iterations=3,
+        ipddp=ct.IPDDPOptions(warmstart_reset_x0_threshold=0.5),
+    )
+
+    # Drift above threshold -> exactly a cold start (zero controls) from x0'.
+    p2 = prob.replace(x0=jnp.array([jnp.pi - 1.0, 0.3]))
+    warm_reset = ipddp.solve(p2, reset_opts, U0=cold.control_trajectory, state=state)
+    cold2 = ipddp.solve(p2, opts.replace(max_iterations=3))
+    np.testing.assert_allclose(
+        np.asarray(warm_reset.state_trajectory),
+        np.asarray(cold2.state_trajectory),
+        atol=1e-10,
+    )
+
+    # Drift below threshold -> warm state kept (differs from a cold restart).
+    p3 = prob.replace(x0=prob.x0 + 0.01)
+    warm_keep = ipddp.solve(p3, reset_opts, U0=cold.control_trajectory, state=state)
+    cold3 = ipddp.solve(p3, opts.replace(max_iterations=3))
+    assert not np.allclose(
+        np.asarray(warm_keep.control_trajectory),
+        np.asarray(cold3.control_trajectory),
+    )
+
+
 def test_vmap_batched_ipddp():
     prob, goal = _pendulum_problem(N=50)
     opts = ct.CDDPOptions(max_iterations=50, tolerance=1e-3)
