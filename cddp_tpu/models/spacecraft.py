@@ -126,7 +126,9 @@ class SpacecraftLanding2D(DynamicalSystem):
         return (1.0 / 12.0) * self.mass * self.length**2
 
     def continuous_dynamics(self, x, u, t):
-        theta, xdot, ydot, theta_dot = x[2], x[3], x[4], x[5]
+        # State layout [x, x_dot, y, y_dot, theta, theta_dot]
+        # (spacecraft_landing2d.hpp:159-165).
+        xdot, ydot, theta, theta_dot = x[1], x[3], x[4], x[5]
         thrust_percent, thrust_angle = u[0], u[1]
         total_angle = thrust_angle + theta
         thrust = self.max_thrust * thrust_percent
@@ -136,10 +138,10 @@ class SpacecraftLanding2D(DynamicalSystem):
         return jnp.stack(
             [
                 xdot,
-                ydot,
-                theta_dot,
                 Fx / self.mass,
+                ydot,
                 Fy / self.mass - self.gravity,
+                theta_dot,
                 T / self.inertia,
             ]
         )

@@ -186,6 +186,62 @@ def test_warmstart_reset_x0_threshold():
     )
 
 
+def test_warmstart_preserves_path_dual_slack_exactly():
+    """test_ipddp_solver.cpp:1306-1335: warm-start initialization preserves
+    fabricated interior path slack/dual values EXACTLY (1e-12). A
+    zero-iteration warm solve exposes the initialized state. Values are
+    chosen interior enough that warmstartNeedsReinit (:264-292) does not
+    trigger (required slack = 1+offset for the unit control box)."""
+    prob, _ = _pendulum_problem(N=10, bound=1.0)
+    opts = ct.CDDPOptions(max_iterations=1, tolerance=1e-4)
+    _, state = ipddp.solve(prob, opts, return_state=True)
+    fab = state._replace(
+        Y=jnp.full_like(state.Y, 0.73), S=jnp.full_like(state.S, 0.42)
+    )
+    wopts = opts.replace(warm_start=True, max_iterations=0)
+    _, out = ipddp.solve(prob, wopts, state=fab, return_state=True)
+    np.testing.assert_allclose(np.asarray(out.Y), 0.73, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out.S), 0.42, atol=1e-12)
+
+
+def test_warmstart_preserves_terminal_state_exactly():
+    """test_ipddp_solver.cpp:1337-1380: terminal-inequality slack/dual and
+    terminal-equality multipliers survive warm-start init at 1e-12."""
+    prob, goal = _pendulum_problem(N=10, bound=1.0)
+    A = jnp.concatenate([jnp.eye(2), -jnp.eye(2)], axis=0)
+    b = jnp.full((4,), 4.0)
+    prob = prob.add_terminal_constraint(
+        "TerminalInequalityConstraint", ct.terminal_inequality_constraint(A, b)
+    )
+    prob = prob.add_terminal_constraint(
+        "TerminalEqualityConstraint", ct.terminal_equality_constraint(goal)
+    )
+    opts = ct.CDDPOptions(max_iterations=1, tolerance=1e-4)
+    _, state = ipddp.solve(prob, opts, return_state=True)
+    fab = state._replace(
+        Y_T=jnp.full_like(state.Y_T, 0.61),
+        S_T=jnp.full_like(state.S_T, 0.37),
+        Lambda_T_eq=jnp.full_like(state.Lambda_T_eq, 0.53),
+    )
+    wopts = opts.replace(warm_start=True, max_iterations=0)
+    _, out = ipddp.solve(prob, wopts, state=fab, return_state=True)
+    np.testing.assert_allclose(np.asarray(out.Y_T), 0.61, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out.S_T), 0.37, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out.Lambda_T_eq), 0.53, atol=1e-12)
+
+
+def test_warmstart_stale_slack_reinit():
+    """warmstartNeedsReinit (ipddp_solver.cpp:264-292): slacks far below the
+    required interior level are re-initialized, not preserved."""
+    prob, _ = _pendulum_problem(N=10, bound=20.0)  # required slack ~ 20
+    opts = ct.CDDPOptions(max_iterations=1, tolerance=1e-4)
+    _, state = ipddp.solve(prob, opts, return_state=True)
+    fab = state._replace(S=jnp.full_like(state.S, 0.42))
+    wopts = opts.replace(warm_start=True, max_iterations=0)
+    _, out = ipddp.solve(prob, wopts, state=fab, return_state=True)
+    assert float(np.asarray(out.S).min()) > 1.0  # reinit to ~20, not 0.42
+
+
 def test_vmap_batched_ipddp():
     prob, goal = _pendulum_problem(N=50)
     opts = ct.CDDPOptions(max_iterations=50, tolerance=1e-3)
