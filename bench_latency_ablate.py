@@ -1,0 +1,74 @@
+"""One-off ablation for the quadrotor single-solve latency (round-2 item 2).
+Times IPDDP variants on the real TPU. Not part of the bench contract."""
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def build(dtype=jnp.float32):
+    import cddp_tpu as ct
+    from cddp_tpu.models import quadrotor
+
+    dt, N = 0.02, 100
+    model = quadrotor(mass=1.0, inertia=jnp.diag(jnp.asarray([0.01, 0.01, 0.02], dtype)),
+                      arm_length=0.2, integration_type="rk4")
+    nx, nu = 13, 4
+    goal = jnp.zeros(nx, dtype).at[0].set(3.0).at[2].set(2.0).at[3].set(1.0)
+    Q = jnp.zeros((nx, nx), dtype).at[4, 4].set(0.1).at[5, 5].set(0.1).at[6, 6].set(0.1)
+    Qf = jnp.zeros((nx, nx), dtype)
+    for i, v in ((0, 500.0), (1, 500.0), (2, 500.0), (3, 1.0), (4, 1.0),
+                 (5, 1.0), (6, 1.0), (7, 10.0), (8, 10.0), (9, 10.0)):
+        Qf = Qf.at[i, i].set(v)
+    obj = ct.quadratic_objective(Q, 0.1 * jnp.eye(nu, dtype=dtype), Qf, goal, dt)
+    x0 = jnp.zeros(nx, dtype).at[3].set(1.0)
+    prob = ct.problem(model, obj, x0, N, dt)
+    prob = prob.add_constraint(
+        "ControlConstraint",
+        ct.control_constraint(jnp.zeros(nu, dtype), jnp.full((nu,), 5.0, dtype)),
+    )
+    U0 = jnp.full((N, nu), 1.0 * 9.81 / 4.0, dtype)
+    return prob, goal, U0
+
+
+def run(name, prob, goal, U0, **kw):
+    import cddp_tpu as ct
+    from cddp_tpu.solvers import ipddp
+
+    opts = ct.CDDPOptions(
+        max_iterations=kw.pop("max_iterations", 120),
+        tolerance=1e-4,
+        acceptable_tolerance=1e-4,
+        line_search=ct.LineSearchOptions(max_iterations=15),
+        regularization=ct.RegularizationOptions(initial_value=1e-4),
+        **kw,
+    )
+    f = jax.jit(lambda u0: ipddp.solve(prob, opts, U0=u0))
+    t0 = time.perf_counter()
+    sol = jax.block_until_ready(f(U0))
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        sol = f(U0)
+    jax.block_until_ready(sol)
+    ms = (time.perf_counter() - t0) / reps * 1e3
+    err = float(jnp.linalg.norm(sol.state_trajectory[-1][:3] - goal[:3]))
+    print(f"{name:34s} {ms:9.1f} ms  iters={int(sol.iterations_completed):3d} "
+          f"err={err:.4f} compile={compile_s:.0f}s", flush=True)
+    return ms
+
+
+def main():
+    prob, goal, U0 = build()
+    run("baseline", prob, goal, U0)
+    run("parallel_ls", prob, goal, U0, enable_parallel=True)
+    run("fused_bp", prob, goal, U0, backward_engine="fused")
+    run("parallel_ls+fused_bp", prob, goal, U0, enable_parallel=True,
+        backward_engine="fused")
+    run("iters=12 (per-iter probe)", prob, goal, U0, max_iterations=12)
+
+
+if __name__ == "__main__":
+    main()

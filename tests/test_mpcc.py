@@ -90,3 +90,38 @@ def test_warm_fleet_tick():
     assert U.shape == (B, cfg.horizon, 3)
     assert bool(jnp.all(jnp.isfinite(x)))
     assert bool(jnp.all(iters >= 1))
+
+
+TRACK_CSV = Path(__file__).resolve().parent.parent / "examples" / "data" / "mpcc_racing_track.csv"
+
+
+def test_real_track_fourier_fit():
+    """The bundled reference circuit (ipddp_mpcc_rc.py:230-332, 489 points):
+    the gather-free Fourier fit must stay well inside the boundary band —
+    measured max 2.8mm vs the 90mm half-width."""
+    track = mpcc.load_track_csv(str(TRACK_CSV))
+    raw = np.genfromtxt(TRACK_CSV, delimiter=",", names=True)
+    ref = track.interpolate(jnp.asarray(raw["s"]))
+    err = np.hypot(np.asarray(ref["x"]) - raw["x"], np.asarray(ref["y"]) - raw["y"])
+    assert float(err.max()) < 0.005, float(err.max())
+    assert abs(float(track.length) - 17.8424) < 0.01
+
+
+def test_real_track_mpc_ticks():
+    """Closed-loop MPC advances on the reference circuit with per-tick
+    iteration counts in the reference's anecdotal band (~15-40, up to the
+    100 budget; full-lap stats: 255 ticks/lap, mean 37 iters/tick)."""
+    track = mpcc.load_track_csv(str(TRACK_CSV))
+    cfg = mpcc.MpccConfig()
+    model = mpcc.KinematicBicycle7(wheelbase=cfg.wheelbase, dt=cfg.dt)
+    tick = jax.jit(lambda x: mpcc.mpc_tick(track, cfg, x))
+    x = mpcc.initial_state(track, cfg)
+    theta0 = float(x[mpcc.IDX_THETA])
+    for _ in range(5):
+        u, sol = tick(x)
+        assert 1 <= int(sol.iterations_completed) <= 100
+        x = model.discrete_dynamics(x, u, 0.0, cfg.dt)
+    assert float(x[mpcc.IDX_THETA]) > theta0 + 0.05  # made progress
+    ref = track.interpolate(x[mpcc.IDX_THETA])
+    d = np.hypot(float(x[0]) - float(ref["x"]), float(x[1]) - float(ref["y"]))
+    assert d < track.width  # stayed near the track
