@@ -181,7 +181,11 @@ class CDDPOptions:
     tolerance: float = 1e-5
     acceptable_tolerance: float = 1e-6
     max_iterations: int = 1
-    max_cpu_time: float = 0.0  # accepted for API parity; no-op under jit
+    # Wall-clock iteration-loop cutoff in seconds (cddp_solver_base.cpp:77-90);
+    # 0 disables. Enforced under jit via an ordered host io_callback read each
+    # iteration (base.host_clock) -> MaxCpuTimeReached. Not usable inside
+    # vmapped/batched solves (ordered callbacks cannot be vmapped).
+    max_cpu_time: float = 0.0
     verbose: bool = False
     debug: bool = False
     print_solver_header: bool = False

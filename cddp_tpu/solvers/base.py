@@ -99,6 +99,67 @@ def regularization_limit_reached(reg, options: CDDPOptions):
     return reg >= options.regularization.max_value
 
 
+def host_clock():
+    """Monotonic host wall-clock as ``(int32 whole-seconds, float32 frac)``.
+
+    Backing for ``options.max_cpu_time`` (cddp_solver_base.cpp:77-90): the
+    reference reads ``high_resolution_clock`` at the top of every iteration
+    and breaks with ``MaxCpuTimeReached``. Under jit the read becomes an
+    ordered ``io_callback`` so it executes at run time, in program order,
+    inside the iteration ``while_loop``. The (s, frac) split keeps full
+    microsecond resolution without requiring x64. Only traced when
+    ``max_cpu_time > 0`` (a static option), so the default path has no host
+    round-trips. Ordered callbacks cannot be vmapped — batched/vmapped solves
+    require ``max_cpu_time == 0`` (a per-solve wall timer is ill-defined
+    across a fused fleet program anyway).
+    """
+    import time as _time
+
+    import numpy as np
+    from jax.experimental import io_callback
+
+    def _now():
+        t = _time.perf_counter()
+        s = int(t)
+        return np.int32(s), np.float32(t - s)
+
+    return io_callback(
+        _now,
+        (
+            jax.ShapeDtypeStruct((), jnp.int32),
+            jax.ShapeDtypeStruct((), jnp.float32),
+        ),
+        ordered=True,
+    )
+
+
+def clock_elapsed(t0, t1):
+    """Seconds between two :func:`host_clock` readings."""
+    return (t1[0] - t0[0]).astype(jnp.float32) + (t1[1] - t0[1])
+
+
+def apply_cpu_time_limit(carry, t0, options: CDDPOptions, max_cpu_time_status):
+    """Post-iteration CPU-time cutoff equivalent to the reference's
+    top-of-next-iteration check (cddp_solver_base.cpp:77-90): fires only if
+    the loop would otherwise continue (not done, iterations remain), so a
+    convergence/max-iteration status from this iteration wins, exactly like
+    the C++ control flow. Returns the carry with done/status amended."""
+    if options.max_cpu_time <= 0:
+        return carry
+    elapsed = clock_elapsed(t0, host_clock())
+    hit = (
+        (elapsed > options.max_cpu_time)
+        & (~carry.done)
+        & (carry.it < options.max_iterations)
+    )
+    return carry._replace(
+        done=carry.done | hit,
+        status=jnp.where(
+            hit, jnp.asarray(max_cpu_time_status, jnp.int32), carry.status
+        ),
+    )
+
+
 class LineSearchSelection(NamedTuple):
     index: jax.Array  # selected alpha index
     success: jax.Array  # any alpha succeeded

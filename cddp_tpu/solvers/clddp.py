@@ -224,6 +224,8 @@ def _solve(problem: Problem, options: CDDPOptions, X0, U0, k0, K0):
         hist=hist0,
     )
 
+    t0 = base.host_clock() if options.max_cpu_time > 0 else None
+
     def cond(c: _Carry):
         return (~c.done) & (c.it < options.max_iterations)
 
@@ -385,7 +387,10 @@ def _solve(problem: Problem, options: CDDPOptions, X0, U0, k0, K0):
                 hist=hist,
             )
 
-        return jax.lax.cond(bp_limit, lambda _: fail_out, after_backward, None)
+        out_c = jax.lax.cond(bp_limit, lambda _: fail_out, after_backward, None)
+        return base.apply_cpu_time_limit(
+            out_c, t0, options, Status.MAX_CPU_TIME_REACHED
+        )
 
     out = jax.lax.while_loop(cond, body, init)
 

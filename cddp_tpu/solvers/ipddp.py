@@ -1351,6 +1351,8 @@ def _solve(problem: Problem, options: CDDPOptions, X0, U0,
             c.mu, reg,
         )
 
+    t0 = base.host_clock() if options.max_cpu_time > 0 else None
+
     def cond(c: _Carry):
         return (~c.done) & (c.it < options.max_iterations)
 
@@ -1589,7 +1591,10 @@ def _solve(problem: Problem, options: CDDPOptions, X0, U0,
                 lambda a, b: jnp.where(early, a, b), early_out, c_next
             )
 
-        return jax.lax.cond(bp_limit, lambda ci: bp_fail_out, after_backward, c1)
+        out_c = jax.lax.cond(bp_limit, lambda ci: bp_fail_out, after_backward, c1)
+        return base.apply_cpu_time_limit(
+            out_c, t0, options, Status.MAX_CPU_TIME_REACHED
+        )
 
     out = jax.lax.while_loop(cond, body, init)
 

@@ -581,6 +581,8 @@ def _solve(problem: Problem, options: CDDPOptions, X0, U0, warm):
         hist=hist0,
     )
 
+    t0 = base.host_clock() if options.max_cpu_time > 0 else None
+
     def cond(c):
         return (~c.done) & (c.it < options.max_iterations)
 
@@ -734,7 +736,10 @@ def _solve(problem: Problem, options: CDDPOptions, X0, U0, warm):
 
             return jax.lax.cond(fp_ok, commit, fail, c1)
 
-        return jax.lax.cond(bp_limit, lambda ci: bp_fail, after_backward, c1)
+        out_c = jax.lax.cond(bp_limit, lambda ci: bp_fail, after_backward, c1)
+        return base.apply_cpu_time_limit(
+            out_c, t0, options, Status.MAX_CPU_TIME_REACHED
+        )
 
     out = jax.lax.while_loop(cond, body, init)
 
