@@ -13,7 +13,6 @@ import jax.numpy as jnp
 from flax import struct
 
 from cddp_tpu.models.base import DynamicalSystem
-from cddp_tpu.utils.rotations import quat_to_rotation_matrix
 
 
 class Quadrotor(DynamicalSystem):
@@ -55,12 +54,26 @@ class Quadrotor(DynamicalSystem):
             ]
         )
 
-        R = quat_to_rotation_matrix(q)
-        acc = (R @ jnp.stack([jnp.zeros_like(thrust), jnp.zeros_like(thrust), thrust])) / self.mass
-        acc = acc - jnp.array([0.0, 0.0, self.gravity], x.dtype)
+        # R @ [0, 0, T] = T * (third column of R): build only that column
+        # (same algebra as quat_to_rotation_matrix's last column; the full
+        # 3x3 would cost ~3x the ops for the rollout's hottest expression).
+        r_col3 = jnp.stack(
+            [
+                2.0 * (qx * qz + qw * qy),
+                2.0 * (qy * qz - qw * qx),
+                1.0 - 2.0 * (qx * qx + qy * qy),
+            ]
+        )
+        acc = (thrust / self.mass) * r_col3 - jnp.array(
+            [0.0, 0.0, self.gravity], x.dtype
+        )
 
+        # inv(I) is loop-invariant in any rollout/scan (I is a model field),
+        # so XLA hoists it out and each eval pays one 3x3 matvec instead of
+        # an LU factorization + two triangular solves.
         I = self.inertia
-        ang_acc = jnp.linalg.solve(I, tau - jnp.cross(omega, I @ omega))
+        I_inv = jnp.linalg.inv(I)
+        ang_acc = I_inv @ (tau - jnp.cross(omega, I @ omega))
 
         return jnp.concatenate([v, q_dot, acc, ang_acc])
 

@@ -517,7 +517,65 @@ def _backward_condensed(problem, options, stk, tstk, X, U, Y, S, G, Y_T, S_T, mu
         and nu <= 4  # kernel's unrolled adjugate solve limit
         and options.backward_engine == "fused"
     )
-    if use_op:
+    use_parallel = (
+        options.use_ilqr  # full-DDP terms couple LQR data to V_x: sequential only
+        and not use_op
+        and options.ipddp.lqr_backend == "parallel"
+    )
+    if use_parallel:
+        # O(log N)-depth variant of the same condensed recursion: fold the
+        # barrier condensation into per-step LQR data (one vmap — the same
+        # algebra as the scan's _condensed_step_math, ipddp_solver.cpp:
+        # 1410-1486), run the associative-scan Riccati for the value
+        # functions, then recover every per-step output by re-evaluating the
+        # condensed step math at V_{t+1} in one vmap over t. Note the
+        # associative elements propagate the value function through the
+        # REGULARIZED R (the combine needs one consistent quadratic
+        # minimization), while the sequential scan folds the unregularized
+        # Quu_c back in — the two backends differ by O(reg) and coincide as
+        # reg -> 0 (parity-tested).
+        eye_u_r = reg * jnp.eye(nu, dtype=dtype)
+        if m > 0:
+            sigma_p, _, _, _, s_inv_rhat_p = jax.vmap(
+                lambda y, s, g: _condense_path(y, s, g, None, None, mu)
+            )(Y, S, G)
+            qs = lx + jnp.einsum("tmn,tm->tn", Gx, Y + s_inv_rhat_p)
+            rs = lu + jnp.einsum("tmn,tm->tn", Gu, Y + s_inv_rhat_p)
+            Qs = _sym(lxx + jnp.einsum("tmn,tm,tmk->tnk", Gx, sigma_p, Gx))
+            Ms = lux.swapaxes(-1, -2) + jnp.einsum(
+                "tmn,tm,tmk->tnk", Gx, sigma_p, Gu
+            )
+            Rs = _sym(luu + jnp.einsum("tmn,tm,tmk->tnk", Gu, sigma_p, Gu))
+        else:
+            qs, rs, Qs, Ms, Rs = lx, lu, _sym(lxx), lux.swapaxes(-1, -2), _sym(luu)
+        from cddp_tpu.ops.parallel_riccati import parallel_lqr_backward
+
+        _, _, P_all, v_all = parallel_lqr_backward(
+            jnp.concatenate([Qs, V_xx[None]], axis=0),
+            jnp.concatenate([qs, V_x[None]], axis=0),
+            Rs + eye_u_r[None], rs, Ms, A, B,
+        )
+        Vx_next, Vxx_next = -v_all[1:], P_all[1:]
+
+        def one_step(inp, Vx_n, Vxx_n):
+            return _condensed_step_math(inp, Vx_n, Vxx_n, mu, reg, eye_u)
+
+        (k_u, K_u, k_y, K_y, k_s, K_s, klam_head, Klam_head, dV_steps,
+         Qu_c_all, pr_all, comp_all, fail_all) = jax.vmap(one_step)(
+            (A, B, lx, lu, lxx, luu, lux, Y, S, G, Gx, Gu), Vx_next, Vxx_next
+        )
+        dV = dV_steps.sum(axis=0)
+        inf_du = _maxabs(Qu_c_all)
+        inf_pr = jnp.maximum(inf_pr_T, _maxabs(pr_all))
+        inf_comp = jnp.maximum(inf_comp_T, _maxabs(comp_all))
+        step_norm = _maxabs(k_u)
+        ok = (
+            ~jnp.any(fail_all)
+            & jnp.all(jnp.isfinite(k_u))
+            & jnp.all(jnp.isfinite(P_all))
+            & jnp.all(jnp.isfinite(v_all))
+        )
+    elif use_op:
         (k_u, K_u, k_y, K_y, k_s, K_s, klam_head, Klam_head,
          stats) = condensed_backward_op(
             A, B, lx, lu, lxx, luu, lux, Y, S, G, Gx, Gu, V_x, V_xx,

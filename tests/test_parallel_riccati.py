@@ -65,6 +65,64 @@ def test_ipddp_terminal_eq_parallel_backend():
     )
 
 
+def test_ipddp_condensed_parallel_backend():
+    """Path-constrained (condensed) IPDDP with lqr_backend='parallel': the
+    backward outputs match the sequential scan at vanishing regularization
+    (the two backends differ by O(reg) in the value propagation), and the
+    full solve lands on the same solution."""
+    import cddp_tpu as ct
+    from cddp_tpu.constraints.stack import PathStacker, TerminalStacker
+    from cddp_tpu.models import Unicycle
+    from cddp_tpu.solvers import ipddp
+
+    dt, N = 0.05, 50
+    goal = jnp.array([1.5, 1.5, jnp.pi / 2])
+    obj = ct.quadratic_objective(0.05 * jnp.eye(3), 0.05 * jnp.eye(2),
+                                 200.0 * jnp.eye(3), goal, dt)
+    prob = ct.problem(Unicycle(), obj, jnp.zeros(3), N, dt)
+    prob = prob.add_constraint(
+        "ControlConstraint",
+        ct.control_constraint(jnp.array([-1.0, -jnp.pi]), jnp.array([1.0, jnp.pi])),
+    )
+
+    # Direct backward parity at tiny reg.
+    stk, tstk = PathStacker(prob), TerminalStacker(prob)
+    X = jnp.tile(prob.x0, (N + 1, 1))
+    U = jnp.full((N, 2), 0.1)
+    ks = jnp.arange(N)
+    G = jax.vmap(stk.evaluate_shifted)(X[:-1], U, ks)
+    S = jnp.maximum(-G, 1e-2)
+    Y = jnp.full_like(S, 0.1)
+    zt = jnp.zeros((tstk.ineq_dim,))
+    mu, reg = jnp.asarray(0.1), jnp.asarray(1e-11)
+    bp = {}
+    for backend in ("sequential", "parallel"):
+        opts = ct.CDDPOptions(ipddp=ct.IPDDPOptions(lqr_backend=backend))
+        bp[backend] = ipddp._backward_condensed(
+            prob, opts, stk, tstk, X, U, Y, S, G, zt, zt, mu, reg
+        )
+    for field in ("k_u", "K_u", "k_y", "K_y", "k_s", "K_s", "dV", "inf_du",
+                  "inf_pr", "inf_comp", "step_norm"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(bp["parallel"], field)),
+            np.asarray(getattr(bp["sequential"], field)),
+            rtol=1e-6, atol=1e-8, err_msg=field,
+        )
+    assert bool(bp["parallel"].ok)
+
+    # Full-solve agreement at default options.
+    base_opts = dict(max_iterations=150, tolerance=1e-5)
+    sol_seq = ipddp.solve(prob, ct.CDDPOptions(**base_opts))
+    sol_par = ipddp.solve(
+        prob,
+        ct.CDDPOptions(**base_opts, ipddp=ct.IPDDPOptions(lqr_backend="parallel")),
+    )
+    assert float(jnp.linalg.norm(sol_par.state_trajectory[-1] - goal)) < 1e-2
+    np.testing.assert_allclose(
+        float(sol_par.final_objective), float(sol_seq.final_objective), rtol=1e-4
+    )
+
+
 def test_parallel_lqr_with_drift():
     """Drift support (x+ = Ax + Bu + d — the multiple-shooting defect
     structure) vs a sequential Riccati-with-drift oracle."""
