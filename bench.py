@@ -1,5 +1,11 @@
 """Benchmark: batched unicycle MPC solves/sec on one TPU chip.
 
+``BENCH_MODE=latency`` switches to BASELINE.json metric #1 — single
+quadrotor N=100 IPDDP solve wall-clock to the solver's optimality
+certificate (tol=1e-3, the f32 KKT floor; see bench_quadrotor.py) — and
+prints that JSON line instead. vs_baseline there is the speedup over the
+round-1 recorded 4783 ms.
+
 BASELINE.json north-star: >10k batched unicycle MPC solves/sec on a single
 v5e chip (the reference C++ library is strictly sequential per solve — no
 analogous number exists; 10k/s is the target set in BASELINE.md).
@@ -22,7 +28,31 @@ import jax
 import jax.numpy as jnp
 
 
+def latency_main():
+    import bench_quadrotor
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bench_quadrotor.main()
+    rec = json.loads(buf.getvalue().strip().splitlines()[-1])
+    print(
+        json.dumps(
+            {
+                "metric": rec["metric"],
+                "value": rec["value"],
+                "unit": "ms",
+                "vs_baseline": rec["vs_round1_4783ms"],
+            }
+        )
+    )
+
+
 def main():
+    if os.environ.get("BENCH_MODE") == "latency":
+        latency_main()
+        return
     dtype = jnp.float32  # TPU-native precision for the throughput path
     batch = int(os.environ.get("BENCH_BATCH", "16384"))
     reps = int(os.environ.get("BENCH_REPS", "5"))

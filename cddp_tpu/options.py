@@ -167,6 +167,14 @@ class MSIPDDPOptions:
     rollout_type: str = "nonlinear"
     use_controlled_rollout: bool = False
     costate_var_init_scale: float = 1e-6
+    # JAX-only: engine for the defect-aware Riccati recursion.
+    # "sequential" = reverse lax.scan (O(N) depth); "parallel" = associative-
+    # scan Riccati with the defect drift (O(log N) depth,
+    # ops/parallel_riccati.py); "sharded" = the same scan horizon-sharded
+    # over all available devices (parallel/time_parallel.py — MSIPDDP
+    # segment boundaries become shard boundaries, msipddp_solver.cpp:
+    # 1475-1512).
+    lqr_backend: str = "sequential"
 
 
 @dataclass(frozen=True)

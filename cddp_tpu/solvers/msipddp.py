@@ -177,8 +177,10 @@ def _backward_pass(problem, options, stk, X, U, Y, S, G, F, Lambda, mu, reg):
     V_xx = _sym(problem.objective.terminal_cost_hessian(X[-1]))
     eye_u = jnp.eye(nu, dtype=dtype)
 
-    def step(carry, inp):
-        Vx, Vxx, dV, inf_du, inf_pr, inf_comp, inf_defect, step_norm, ok = carry
+    def step_math(inp, Vx, Vxx):
+        """One defect-aware condensed step (msipddp_solver.cpp:1260-1420)
+        given the NEXT value function — shared between the sequential scan
+        and the parallel/sharded recovery vmap."""
         if options.use_ilqr:
             (A_t, B_t, lx_t, lu_t, lxx_t, luu_t, lux_t, y, s, g, Gx_t, Gu_t, d,
              lam) = inp
@@ -236,6 +238,14 @@ def _backward_pass(problem, options, stk, X, U, Y, S, G, F, Lambda, mu, reg):
         dV_step = jnp.stack([k_u @ Qu_c, 0.5 * k_u @ Quu_c @ k_u])
         Vx_new = Qx_c + K_u.T @ Qu_c + Qux_c.T @ k_u + K_u.T @ Quu_c @ k_u
         Vxx_new = _sym(Qxx_c + K_u.T @ Qux_c + Qux_c.T @ K_u + K_u.T @ Quu_c @ K_u)
+        return (k_u, K_u, k_y, K_y, k_s, K_s, k_lam, K_lam, Vx_new, Vxx_new,
+                dV_step, Qu_c, primal_residual, comp_residual, fail)
+
+    def step(carry, inp):
+        Vx, Vxx, dV, inf_du, inf_pr, inf_comp, inf_defect, step_norm, ok = carry
+        d = inp[12]
+        (k_u, K_u, k_y, K_y, k_s, K_s, k_lam, K_lam, Vx_new, Vxx_new, dV_step,
+         Qu_c, primal_residual, comp_residual, fail) = step_math(inp, Vx, Vxx)
 
         carry_new = (
             Vx_new,
@@ -253,12 +263,83 @@ def _backward_pass(problem, options, stk, X, U, Y, S, G, F, Lambda, mu, reg):
     inputs = (A, B, lx, lu, lxx, luu, lux, Y, S, G, Gx, Gu, defects, Lambda)
     if not options.use_ilqr:
         inputs = inputs + (Fxx, Fuu, Fux, Gxx, Guu, Gux_h)
-    z = jnp.zeros((), dtype)
-    init = (V_x, V_xx, jnp.zeros((2,), dtype), z, z, z, z, z, jnp.asarray(True))
-    (_, _, dV, inf_du, inf_pr, inf_comp, inf_defect, step_norm, ok), outs = (
-        jax.lax.scan(step, init, inputs, reverse=True)
-    )
-    k_u, K_u, k_y, K_y, k_s, K_s, k_lam, K_lam = outs
+
+    backend = options.msipddp.lqr_backend
+    if backend in ("parallel", "sharded"):
+        # O(log N)-depth variant: fold the condensation (and any full-DDP
+        # costate/constraint-Hessian terms — all per-step data, not value-
+        # coupled) into LQR stage matrices in one vmap, run the associative-
+        # scan Riccati WITH the defect drift (x+ = Ax + Bu + d, the multiple-
+        # shooting structure msipddp_solver.cpp:1475-1512), then recover all
+        # per-step gains by re-evaluating the condensed step math at V_{t+1}
+        # in a second vmap. "sharded" runs the scan horizon-sharded over a
+        # device mesh (parallel/time_parallel.py: one all_gather of one
+        # value element per device on ICI). Like IPDDP's parallel backend,
+        # the associative elements propagate through the REGULARIZED R, an
+        # O(reg) difference from the sequential fold (parity as reg -> 0).
+        ys_inv_a = Y / S
+        rhat_a = Y * (G + S) - (Y * S - mu)
+        s_inv_rhat_a = rhat_a / S
+        y_eff = Y + s_inv_rhat_a
+        Qs = lxx + jnp.einsum("tmn,tm,tmk->tnk", Gx, ys_inv_a, Gx)
+        Ms = lux.swapaxes(-1, -2) + jnp.einsum(
+            "tmn,tm,tmk->tnk", Gx, ys_inv_a, Gu
+        )
+        Rs = luu + jnp.einsum("tmn,tm,tmk->tnk", Gu, ys_inv_a, Gu)
+        qs = lx + jnp.einsum("tmn,tm->tn", Gx, y_eff)
+        rs = lu + jnp.einsum("tmn,tm->tn", Gu, y_eff)
+        if not options.use_ilqr:
+            Qs = Qs + jnp.einsum("ti,tijk->tjk", Lambda, Fxx) + jnp.einsum(
+                "tm,tmjk->tjk", Y, Gxx
+            )
+            Ms = Ms + (
+                jnp.einsum("ti,tijk->tjk", Lambda, Fux)
+                + jnp.einsum("tm,tmjk->tjk", Y, Gux_h)
+            ).swapaxes(-1, -2)
+            Rs = Rs + jnp.einsum("ti,tijk->tjk", Lambda, Fuu) + jnp.einsum(
+                "tm,tmjk->tjk", Y, Guu
+            )
+        lqr_args = (
+            jnp.concatenate([_sym(Qs), V_xx[None]], axis=0),
+            jnp.concatenate([qs, V_x[None]], axis=0),
+            _sym(Rs) + reg * eye_u[None], rs, Ms, A, B,
+        )
+        if backend == "sharded":
+            from cddp_tpu.parallel.time_parallel import (
+                horizon_mesh,
+                sharded_lqr_backward,
+            )
+
+            _, _, P_all, v_all = sharded_lqr_backward(
+                *lqr_args, d=defects, mesh=horizon_mesh()
+            )
+        else:
+            from cddp_tpu.ops.parallel_riccati import parallel_lqr_backward
+
+            _, _, P_all, v_all = parallel_lqr_backward(*lqr_args, d=defects)
+        Vx_next, Vxx_next = -v_all[1:], P_all[1:]
+        (k_u, K_u, k_y, K_y, k_s, K_s, k_lam, K_lam, _, _, dV_steps, Qu_c_a,
+         pr_a, comp_a, fail_a) = jax.vmap(step_math)(inputs, Vx_next, Vxx_next)
+        dV = dV_steps.sum(axis=0)
+        inf_du = _maxabs(Qu_c_a)
+        inf_pr = _maxabs(pr_a)
+        inf_comp = _maxabs(comp_a)
+        inf_defect = _maxabs(defects)
+        step_norm = _maxabs(k_u)
+        ok = (
+            ~jnp.any(fail_a)
+            & jnp.all(jnp.isfinite(k_u))
+            & jnp.all(jnp.isfinite(P_all))
+            & jnp.all(jnp.isfinite(v_all))
+        )
+    else:
+        z = jnp.zeros((), dtype)
+        init = (V_x, V_xx, jnp.zeros((2,), dtype), z, z, z, z, z,
+                jnp.asarray(True))
+        (_, _, dV, inf_du, inf_pr, inf_comp, inf_defect, step_norm, ok), outs = (
+            jax.lax.scan(step, init, inputs, reverse=True)
+        )
+        k_u, K_u, k_y, K_y, k_s, K_s, k_lam, K_lam = outs
     return _BP(
         k_u=k_u, K_u=K_u, k_y=k_y, K_y=K_y, k_s=k_s, K_s=K_s,
         k_lambda=k_lam, K_lambda=K_lam, dV=dV,

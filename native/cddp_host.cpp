@@ -700,3 +700,774 @@ int cddp_clddp_solve(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Full IPDDP solver engine (native CPU execution path) — the independent
+// cross-language oracle for the condensed path-constraint regime
+// (ipddp_solver.cpp:1355-1568 / cddp_tpu/solvers/ipddp.py). iLQR mode,
+// cold start, sequential first-success line search, ADAPTIVE barrier.
+//
+// Constraint stacking matches PathStacker's name-sorted layout for the two
+// supported constraint families: an optional BallConstraint row FIRST
+// ("BallConstraint" < "ControlConstraint"), then the control box's doubled
+// one-sided rows [-u + lb; u - ub] <= 0. All interior-point constants
+// (slack offsets, ratio clips, filter rules, mu tiers) mirror the JAX
+// implementation, which itself cites the reference line-by-line — so a full
+// solve from this engine agreeing with the JAX solve at 1e-6 is a genuine
+// two-implementation cross-check, not a shared-code tautology.
+// ---------------------------------------------------------------------------
+
+namespace ipddp_native {
+
+constexpr double kMaxRatio = 1e6;    // MAX_BARRIER_RATIO
+constexpr double kEpsSlack = 1e-10;  // EPS_SLACK
+constexpr double kSlackOffset = 1e-4;
+
+inline double s_safe(double s, double mu) {
+  return std::max(s, std::max(mu * 1e-3, kEpsSlack));
+}
+inline double clip_pos(double num, double den) {
+  return std::min(std::max(num / den, 0.0), kMaxRatio);
+}
+inline double clip_signed(double num, double den) {
+  return std::min(std::max(num / den, -kMaxRatio), kMaxRatio);
+}
+
+// IPOPT-style filter (solvers/filter.py; interior_point_utils.cpp:79-139).
+struct Filter {
+  std::vector<double> mf, cv;
+  int size() const { return (int)mf.size(); }
+  void clear() { mf.clear(); cv.clear(); }
+  bool accept(double m, double c) {
+    for (int i = 0; i < size(); ++i)
+      if (mf[i] <= m && cv[i] <= c) return false;  // candidate dominated
+    std::vector<double> m2, c2;
+    for (int i = 0; i < size(); ++i)
+      if (!(m <= mf[i] && c <= cv[i])) {  // drop points candidate dominates
+        m2.push_back(mf[i]);
+        c2.push_back(cv[i]);
+      }
+    m2.push_back(m);
+    c2.push_back(c);
+    mf.swap(m2);
+    cv.swap(c2);
+    return true;
+  }
+  void prune_to_best() {  // keep min-violation, plus min-merit if distinct
+    if (mf.empty()) return;
+    int ibv = 0, ibm = 0;
+    for (int i = 1; i < size(); ++i) {
+      if (cv[i] < cv[ibv]) ibv = i;
+      if (mf[i] < mf[ibm]) ibm = i;
+    }
+    const bool distinct = std::fabs(mf[ibm] - mf[ibv]) > 1e-12 ||
+                          std::fabs(cv[ibm] - cv[ibv]) > 1e-12;
+    std::vector<double> m2{mf[ibv]}, c2{cv[ibv]};
+    if (distinct) {
+      m2.push_back(mf[ibm]);
+      c2.push_back(cv[ibm]);
+    }
+    mf.swap(m2);
+    cv.swap(c2);
+  }
+  bool back(double* m, double* c) const {
+    if (mf.empty()) return false;
+    *m = mf.back();
+    *c = cv.back();
+    return true;
+  }
+};
+
+}  // namespace ipddp_native
+
+extern "C" {
+
+// Options layout (all doubles):
+//  [0] max_iterations [1] tolerance [2] acceptable_tolerance
+//  [3] reg_init [4] reg_min [5] reg_max [6] reg_factor
+//  [7] ls_max_iterations [8] ls_initial [9] ls_min [10] ls_reduction
+//  [11] mu_initial [12] mu_min [13] mu_update_factor [14] mu_update_power
+//  [15] min_fraction_to_boundary
+//  [16] filter.merit_acceptance [17] filter.violation_acceptance
+//  [18] filter.max_violation [19] filter.min_violation_for_armijo
+//  [20] filter.armijo_constant
+//  [21] dual_var_init_scale [22] slack_var_init_scale
+//  [23] barrier_tol_mult [24] theta_0_floor [25] max_filter_size
+//
+// Ball constraint: has_ball != 0 enables -||x[:2]-c||^2 <= -r^2 (the
+// reference BallConstraint with scale 1) stacked BEFORE the box rows.
+// Writes [cost, inf_pr, inf_du, inf_comp, mu, iterations] to out_stats and
+// returns a cddp_tpu.solution.Status code.
+int cddp_ipddp_solve(
+    int model_id, const double* params, int N, double dt,
+    const double* Qs, const double* Rs, const double* Qf, const double* goal,
+    const double* x0, const double* lower, const double* upper,
+    int has_ball, const double* ball_center, double ball_radius,
+    const double* opts, const double* U0,
+    double* X, double* U, double* out_stats) {
+  using namespace ipddp_native;
+  const Model mdl{model_id == 0 ? 3 : 2, model_id == 0 ? 2 : 1};
+  const int nx = mdl.nx, nu = mdl.nu;
+  const int mb = has_ball ? 1 : 0;
+  const int m = mb + 2 * nu;
+
+  const int max_iterations = (int)opts[0];
+  const double tolerance = opts[1], acceptable_tolerance = opts[2];
+  const double reg_init = opts[3], reg_min = opts[4], reg_max = opts[5],
+               reg_factor = opts[6];
+  const int ls_max = (int)opts[7];
+  const double ls_initial = opts[8], ls_min = opts[9], ls_red = opts[10];
+  const double mu_initial = opts[11], mu_min = opts[12],
+               mu_update_factor = opts[13], mu_update_power = opts[14],
+               min_ftb = opts[15];
+  const double f_merit_acc = opts[16], f_viol_acc = opts[17],
+               f_max_viol = opts[18], f_min_viol_armijo = opts[19],
+               f_armijo = opts[20];
+  const double y0_scale = opts[21], s0_scale = opts[22];
+  const double barrier_tol_mult = opts[23], theta_0_floor = opts[24];
+  const int max_filter_size = (int)opts[25];
+
+  // alpha ladder (line_search_alphas, cddp_context_utils.cpp:37-57)
+  std::vector<double> alphas;
+  {
+    double a = ls_initial;
+    for (int i = 0; i < std::max(1, ls_max); ++i) {
+      alphas.push_back(a);
+      a *= ls_red;
+      if (a < ls_min && i < ls_max - 1) {
+        alphas.push_back(ls_min);
+        break;
+      }
+    }
+  }
+
+  // --- constraint stack: g(x,u) - ub, rows [ball; -u+lb; u-ub] ------------
+  auto eval_g = [&](const double* x, const double* u, double* g) {
+    int r = 0;
+    if (has_ball) {
+      double d2 = 0.0;
+      for (int i = 0; i < 2; ++i) {
+        const double di = x[i] - ball_center[i];
+        d2 += di * di;
+      }
+      g[r++] = -d2 + ball_radius * ball_radius;
+    }
+    for (int i = 0; i < nu; ++i) g[r++] = -u[i] + lower[i];
+    for (int i = 0; i < nu; ++i) g[r++] = u[i] - upper[i];
+  };
+  // Gx (m x nx), Gu (m x nu)
+  auto eval_jac = [&](const double* x, double* Gx, double* Gu) {
+    std::memset(Gx, 0, sizeof(double) * m * nx);
+    std::memset(Gu, 0, sizeof(double) * m * nu);
+    int r = 0;
+    if (has_ball) {
+      for (int i = 0; i < 2; ++i) Gx[r * nx + i] = -2.0 * (x[i] - ball_center[i]);
+      r += 1;
+    }
+    for (int i = 0; i < nu; ++i) Gu[(r + i) * nu + i] = -1.0;
+    for (int i = 0; i < nu; ++i) Gu[(r + nu + i) * nu + i] = 1.0;
+  };
+
+  std::vector<double> xdot(nx), Fx(nx * nx), Fu(nx * nu);
+  auto rollout = [&](const double* Uc, double* Xc) {
+    std::memcpy(Xc, x0, sizeof(double) * nx);
+    for (int t = 0; t < N; ++t) {
+      mdl.f(&Xc[t * nx], &Uc[t * nu], params, xdot.data());
+      for (int i = 0; i < nx; ++i)
+        Xc[(t + 1) * nx + i] = Xc[t * nx + i] + dt * xdot[i];
+    }
+  };
+  auto run_cost = [&](const double* x, const double* u) {
+    double J = 0.0;
+    for (int i = 0; i < nx; ++i) {
+      double e_i = x[i] - goal[i];
+      for (int j = 0; j < nx; ++j) J += e_i * Qs[i * nx + j] * (x[j] - goal[j]);
+    }
+    for (int i = 0; i < nu; ++i)
+      for (int j = 0; j < nu; ++j) J += u[i] * Rs[i * nu + j] * u[j];
+    return J;
+  };
+  auto term_cost = [&](const double* x) {
+    double J = 0.0;
+    for (int i = 0; i < nx; ++i) {
+      double e_i = x[i] - goal[i];
+      for (int j = 0; j < nx; ++j) J += e_i * Qf[i * nx + j] * (x[j] - goal[j]);
+    }
+    return J;
+  };
+
+  // --- cold-start init (ipddp_solver.cpp:820-914) -------------------------
+  std::memcpy(U, U0, sizeof(double) * N * nu);
+  rollout(U, X);
+  double mu = mu_initial;
+  std::vector<double> G(N * m), S(N * m), Y(N * m);
+  for (int t = 0; t < N; ++t) eval_g(&X[t * nx], &U[t * nu], &G[t * m]);
+  for (int i = 0; i < N * m; ++i) {
+    S[i] = std::max(s0_scale, -G[i] + kSlackOffset);
+    Y[i] = mu * y0_scale / std::max(S[i], kEpsSlack);
+  }
+  std::vector<double> Lambda((N + 1) * nx, 0.0);
+
+  auto barrier_merit = [&](double J, const std::vector<double>& Sv,
+                           double mu_) {
+    double v = J;
+    for (int i = 0; i < N * m; ++i)
+      v -= mu_ * std::log(std::max(Sv[i], kEpsSlack));
+    return v;
+  };
+  auto theta_of = [&](const std::vector<double>& Gv,
+                      const std::vector<double>& Sv) {
+    double total = 0.0, max_entry = 0.0;
+    for (int i = 0; i < N * m; ++i) {
+      const double r = Gv[i] + Sv[i];
+      total += std::fabs(r);
+      max_entry = std::max(max_entry, std::fabs(r));
+    }
+    return std::max(total, max_entry);
+  };
+  auto primal_comp = [&](const std::vector<double>& Gv,
+                         const std::vector<double>& Sv,
+                         const std::vector<double>& Yv, double mu_,
+                         double* pr, double* comp) {
+    *pr = 0.0;
+    *comp = 0.0;
+    for (int i = 0; i < N * m; ++i) {
+      *pr = std::max(*pr, std::fabs(Gv[i] + Sv[i]));
+      *comp = std::max(*comp, std::fabs(Yv[i] * Sv[i] - mu_));
+    }
+  };
+
+  double cost = 0.0;
+  for (int t = 0; t < N; ++t) cost += run_cost(&X[t * nx], &U[t * nu]);
+  cost += term_cost(&X[N * nx]);
+
+  double inf_pr, inf_comp;
+  primal_comp(G, S, Y, mu, &inf_pr, &inf_comp);
+  double merit = barrier_merit(cost, S, mu);
+  double filter_theta = std::max(theta_of(G, S), 1e-8);
+  double theta = std::max(filter_theta, std::max(theta_0_floor, 1e-8));
+  Filter filt;  // path-only problems start with an EMPTY filter
+  double phi = merit;
+
+  double reg = reg_init;
+  double inf_du = 0.0, step_norm = 0.0, alpha_pr_acc = 1.0;
+  int status = 0;  // MAX_ITERATIONS_REACHED
+  int it = 0;
+
+  // backward-pass buffers
+  std::vector<double> k_u(N * nu), K_u(N * nu * nx), k_y(N * m),
+      K_y(N * m * nx), k_s(N * m), K_s(N * m * nx), k_lam((N + 1) * nx),
+      K_lam((N + 1) * nx * nx);
+  std::vector<double> dS(N * m), dY(N * m), dX((N + 1) * nx);
+  std::vector<double> Gx(m * nx), Gu(m * nu), A(nx * nx), B(nx * nu);
+  std::vector<double> Vx(nx), Vxx(nx * nx), work(std::max(nx, nu) *
+                                                 std::max(nx, nu));
+  std::vector<double> Xtry((N + 1) * nx), Utry(N * nu), Stry(N * m),
+      Ytry(N * m), Gtry(N * m), Lamtry((N + 1) * nx);
+
+  for (it = 0; it < max_iterations;) {
+    ++it;
+    // ---- backward pass with regularization retry -------------------------
+    double dV0 = 0.0, dV1 = 0.0;
+    double bp_inf_du = 0.0, bp_inf_pr = 0.0, bp_inf_comp = 0.0,
+           bp_step_norm = 0.0;
+    bool bp_ok = false, bp_limit = false;
+    while (true) {
+      bool ok = true;
+      dV0 = dV1 = 0.0;
+      bp_inf_du = bp_inf_pr = bp_inf_comp = bp_step_norm = 0.0;
+      // terminal fold (no terminal constraints): Vx = 2 Qf e, Vxx = 2 Qf
+      for (int i = 0; i < nx; ++i) {
+        double s = 0.0;
+        for (int j = 0; j < nx; ++j)
+          s += 2.0 * Qf[i * nx + j] * (X[N * nx + j] - goal[j]);
+        Vx[i] = s;
+        for (int j = 0; j < nx; ++j) Vxx[i * nx + j] = 2.0 * Qf[i * nx + j];
+      }
+      std::memcpy(&k_lam[N * nx], Vx.data(), sizeof(double) * nx);
+      std::memcpy(&K_lam[N * nx * nx], Vxx.data(), sizeof(double) * nx * nx);
+
+      for (int t = N - 1; t >= 0 && ok; --t) {
+        const double* xt = &X[t * nx];
+        const double* ut = &U[t * nu];
+        const double* gt = &G[t * m];
+        const double* st = &S[t * m];
+        const double* yt = &Y[t * m];
+        mdl.jac(xt, ut, params, Fx.data(), Fu.data());
+        for (int i = 0; i < nx; ++i)
+          for (int j = 0; j < nx; ++j)
+            A[i * nx + j] = (i == j ? 1.0 : 0.0) + dt * Fx[i * nx + j];
+        for (int i = 0; i < nx; ++i)
+          for (int j = 0; j < nu; ++j) B[i * nu + j] = dt * Fu[i * nu + j];
+        eval_jac(xt, Gx.data(), Gu.data());
+
+        // Q-expansions with the constraint duals folded in
+        // (_condensed_step_math / ipddp_solver.cpp:1380-1409)
+        std::vector<double> Qx(nx), Qu(nu), Qxx(nx * nx), Qux(nu * nx),
+            Quu(nu * nu);
+        for (int i = 0; i < nx; ++i) {
+          double s = 0.0;
+          for (int j = 0; j < nx; ++j)
+            s += 2.0 * Qs[i * nx + j] * (xt[j] - goal[j]);
+          for (int r = 0; r < m; ++r) s += Gx[r * nx + i] * yt[r];
+          for (int k2 = 0; k2 < nx; ++k2) s += A[k2 * nx + i] * Vx[k2];
+          Qx[i] = s;
+        }
+        for (int i = 0; i < nu; ++i) {
+          double s = 0.0;
+          for (int j = 0; j < nu; ++j) s += 2.0 * Rs[i * nu + j] * ut[j];
+          for (int r = 0; r < m; ++r) s += Gu[r * nu + i] * yt[r];
+          for (int k2 = 0; k2 < nx; ++k2) s += B[k2 * nu + i] * Vx[k2];
+          Qu[i] = s;
+        }
+        std::vector<double> VA(nx * nx), VB(nx * nu);
+        for (int i = 0; i < nx; ++i)
+          for (int j = 0; j < nx; ++j) {
+            double s = 0.0;
+            for (int k2 = 0; k2 < nx; ++k2)
+              s += Vxx[i * nx + k2] * A[k2 * nx + j];
+            VA[i * nx + j] = s;
+          }
+        for (int i = 0; i < nx; ++i)
+          for (int j = 0; j < nu; ++j) {
+            double s = 0.0;
+            for (int k2 = 0; k2 < nx; ++k2)
+              s += Vxx[i * nx + k2] * B[k2 * nu + j];
+            VB[i * nu + j] = s;
+          }
+        for (int i = 0; i < nx; ++i)
+          for (int j = 0; j < nx; ++j) {
+            double s = 2.0 * Qs[i * nx + j];
+            for (int k2 = 0; k2 < nx; ++k2) s += A[k2 * nx + i] * VA[k2 * nx + j];
+            Qxx[i * nx + j] = s;
+          }
+        for (int i = 0; i < nu; ++i)
+          for (int j = 0; j < nx; ++j) {
+            double s = 0.0;
+            for (int k2 = 0; k2 < nx; ++k2) s += B[k2 * nu + i] * VA[k2 * nx + j];
+            Qux[i * nx + j] = s;
+          }
+        for (int i = 0; i < nu; ++i)
+          for (int j = 0; j < nu; ++j) {
+            double s = 2.0 * Rs[i * nu + j];
+            for (int k2 = 0; k2 < nx; ++k2) s += B[k2 * nu + i] * VB[k2 * nu + j];
+            Quu[i * nu + j] = s;
+          }
+
+        // condensation (_condense_path)
+        std::vector<double> sigma(m), pr_res(m), comp_res(m), rhat(m),
+            s_inv_rhat(m);
+        for (int r = 0; r < m; ++r) {
+          const double ss = s_safe(st[r], mu);
+          sigma[r] = clip_pos(yt[r], ss);
+          pr_res[r] = gt[r] + st[r];
+          comp_res[r] = yt[r] * st[r] - mu;
+          rhat[r] = yt[r] * pr_res[r] - comp_res[r];
+          s_inv_rhat[r] = clip_signed(rhat[r], ss);
+          bp_inf_pr = std::max(bp_inf_pr, std::fabs(pr_res[r]));
+          bp_inf_comp = std::max(bp_inf_comp, std::fabs(comp_res[r]));
+        }
+
+        // Quu_reg = sym(Quu) + Gu' Sigma Gu + reg I ; rhs
+        std::vector<double> Quu_reg(nu * nu), rhs_kK(nu * (1 + nx)),
+            kK(nu * (1 + nx));
+        for (int i = 0; i < nu; ++i)
+          for (int j = 0; j < nu; ++j) {
+            double s = 0.5 * (Quu[i * nu + j] + Quu[j * nu + i]);
+            for (int r = 0; r < m; ++r)
+              s += Gu[r * nu + i] * sigma[r] * Gu[r * nu + j];
+            Quu_reg[i * nu + j] = s + (i == j ? reg : 0.0);
+          }
+        std::vector<double> Qu_c(nu);
+        for (int i = 0; i < nu; ++i) {
+          double s = Qu[i];
+          for (int r = 0; r < m; ++r) s += Gu[r * nu + i] * s_inv_rhat[r];
+          Qu_c[i] = s;
+          rhs_kK[i * (1 + nx) + 0] = s;
+        }
+        std::vector<double> Qux_c(nu * nx);
+        for (int i = 0; i < nu; ++i)
+          for (int j = 0; j < nx; ++j) {
+            double s = Qux[i * nx + j];
+            for (int r = 0; r < m; ++r)
+              s += Gu[r * nu + i] * sigma[r] * Gx[r * nx + j];
+            Qux_c[i * nx + j] = s;
+            rhs_kK[i * (1 + nx) + 1 + j] = s;
+          }
+        if (!chol_solve(Quu_reg.data(), rhs_kK.data(), kK.data(), nu, 1 + nx,
+                        work.data())) {
+          ok = false;
+          break;
+        }
+        double* kt = &k_u[t * nu];
+        double* Kt = &K_u[t * nu * nx];
+        for (int i = 0; i < nu; ++i) {
+          kt[i] = -kK[i * (1 + nx) + 0];
+          for (int j = 0; j < nx; ++j) Kt[i * nx + j] = -kK[i * (1 + nx) + 1 + j];
+        }
+
+        // dual/slack gains (_path_gains)
+        std::vector<double> Gu_k(m), GuK(m * nx);
+        for (int r = 0; r < m; ++r) {
+          double s = 0.0;
+          for (int i = 0; i < nu; ++i) s += Gu[r * nu + i] * kt[i];
+          Gu_k[r] = s;
+          for (int j = 0; j < nx; ++j) {
+            double s2 = Gx[r * nx + j];
+            for (int i = 0; i < nu; ++i) s2 += Gu[r * nu + i] * Kt[i * nx + j];
+            GuK[r * nx + j] = s2;  // Gx + Gu K
+          }
+        }
+        for (int r = 0; r < m; ++r) {
+          const double ss = s_safe(st[r], mu);
+          k_y[t * m + r] = clip_signed(rhat[r] + yt[r] * Gu_k[r], ss);
+          for (int j = 0; j < nx; ++j)
+            K_y[(t * m + r) * nx + j] = std::min(
+                std::max(sigma[r] * GuK[r * nx + j], -kMaxRatio), kMaxRatio);
+          k_s[t * m + r] = -pr_res[r] - Gu_k[r];
+          for (int j = 0; j < nx; ++j)
+            K_s[(t * m + r) * nx + j] = -GuK[r * nx + j];
+        }
+
+        // condensed expansions folded back; dV, value update
+        std::vector<double> Qx_c(nx), Qxx_c(nx * nx), Quu_c(nu * nu);
+        for (int i = 0; i < nx; ++i) {
+          double s = Qx[i];
+          for (int r = 0; r < m; ++r) s += Gx[r * nx + i] * s_inv_rhat[r];
+          Qx_c[i] = s;
+        }
+        for (int i = 0; i < nx; ++i)
+          for (int j = 0; j < nx; ++j) {
+            double s = Qxx[i * nx + j];
+            for (int r = 0; r < m; ++r)
+              s += Gx[r * nx + i] * sigma[r] * Gx[r * nx + j];
+            Qxx_c[i * nx + j] = s;
+          }
+        for (int i = 0; i < nu; ++i)
+          for (int j = 0; j < nu; ++j) {
+            double s = Quu[i * nu + j];
+            for (int r = 0; r < m; ++r)
+              s += Gu[r * nu + i] * sigma[r] * Gu[r * nu + j];
+            Quu_c[i * nu + j] = s;
+          }
+        for (int i = 0; i < nu; ++i) dV0 += kt[i] * Qu_c[i];
+        for (int i = 0; i < nu; ++i)
+          for (int j = 0; j < nu; ++j)
+            dV1 += 0.5 * kt[i] * Quu_c[i * nu + j] * kt[j];
+
+        std::vector<double> Quu_k(nu, 0.0), QuuK(nu * nx, 0.0);
+        for (int i = 0; i < nu; ++i)
+          for (int j = 0; j < nu; ++j) Quu_k[i] += Quu_c[i * nu + j] * kt[j];
+        for (int i = 0; i < nu; ++i)
+          for (int j = 0; j < nx; ++j) {
+            double s = 0.0;
+            for (int k2 = 0; k2 < nu; ++k2)
+              s += Quu_c[i * nu + k2] * Kt[k2 * nx + j];
+            QuuK[i * nx + j] = s;
+          }
+        std::vector<double> Vx_new(nx), Vxx_new(nx * nx);
+        for (int i = 0; i < nx; ++i) {
+          double s = Qx_c[i];
+          for (int k2 = 0; k2 < nu; ++k2) {
+            s += Kt[k2 * nx + i] * Qu_c[k2];
+            s += Qux_c[k2 * nx + i] * kt[k2];
+            s += Kt[k2 * nx + i] * Quu_k[k2];
+          }
+          Vx_new[i] = s;
+        }
+        for (int i = 0; i < nx; ++i)
+          for (int j = 0; j < nx; ++j) {
+            double s = Qxx_c[i * nx + j];
+            for (int k2 = 0; k2 < nu; ++k2) {
+              s += Kt[k2 * nx + i] * QuuK[k2 * nx + j];
+              s += Qux_c[k2 * nx + i] * Kt[k2 * nx + j];
+              s += Qux_c[k2 * nx + j] * Kt[k2 * nx + i];
+            }
+            Vxx_new[i * nx + j] = s;
+          }
+        for (int i = 0; i < nx; ++i)
+          for (int j = 0; j < nx; ++j)
+            Vxx[i * nx + j] = 0.5 * (Vxx_new[i * nx + j] + Vxx_new[j * nx + i]);
+        std::memcpy(Vx.data(), Vx_new.data(), sizeof(double) * nx);
+        std::memcpy(&k_lam[t * nx], Vx.data(), sizeof(double) * nx);
+        std::memcpy(&K_lam[t * nx * nx], Vxx.data(), sizeof(double) * nx * nx);
+
+        for (int i = 0; i < nu; ++i) {
+          bp_inf_du = std::max(bp_inf_du, std::fabs(Qu_c[i]));
+          bp_step_norm = std::max(bp_step_norm, std::fabs(kt[i]));
+        }
+      }
+      if (ok) {
+        bp_ok = true;
+        break;
+      }
+      const double reg_next = std::min(reg * reg_factor, reg_max);
+      if (reg_next >= reg_max && !bp_ok) {
+        reg = reg_next;
+        bp_limit = true;
+        break;
+      }
+      reg = reg_next;
+    }
+    inf_pr = bp_inf_pr;
+    inf_du = bp_inf_du;
+    inf_comp = bp_inf_comp;
+    step_norm = bp_step_norm;
+    if (bp_limit) {
+      status = 3;  // REGULARIZATION_LIMIT_NOT_CONVERGED
+      break;
+    }
+
+    // ---- early convergence (checkEarlyConvergence, :925-958) -------------
+    {
+      const double tol = std::max(tolerance, barrier_tol_mult * mu);
+      const double accepted_step = std::fabs(alpha_pr_acc) * step_norm;
+      if (inf_pr < tol && inf_du < tol && inf_comp < tol &&
+          accepted_step < tolerance * 10.0) {
+        status = 1;  // OPTIMAL
+        break;
+      }
+    }
+
+    // ---- Newton rollout for dS/dY + fraction-to-boundary steps -----------
+    std::memset(dX.data(), 0, sizeof(double) * nx);
+    for (int t = 0; t < N; ++t) {
+      const double* dxt = &dX[t * nx];
+      double du[8];
+      for (int i = 0; i < nu; ++i) {
+        double s = k_u[t * nu + i];
+        for (int j = 0; j < nx; ++j) s += K_u[(t * nu + i) * nx + j] * dxt[j];
+        du[i] = s;
+      }
+      // A, B at step t for the linear rollout
+      mdl.jac(&X[t * nx], &U[t * nu], params, Fx.data(), Fu.data());
+      for (int i = 0; i < nx; ++i) {
+        double s = 0.0;
+        for (int j = 0; j < nx; ++j)
+          s += ((i == j ? 1.0 : 0.0) + dt * Fx[i * nx + j]) * dxt[j];
+        for (int j = 0; j < nu; ++j) s += dt * Fu[i * nu + j] * du[j];
+        dX[(t + 1) * nx + i] = s;
+      }
+      for (int r = 0; r < m; ++r) {
+        double s1 = k_s[t * m + r], s2 = k_y[t * m + r];
+        for (int j = 0; j < nx; ++j) {
+          s1 += K_s[(t * m + r) * nx + j] * dxt[j];
+          s2 += K_y[(t * m + r) * nx + j] * dxt[j];
+        }
+        dS[t * m + r] = s1;
+        dY[t * m + r] = std::min(std::max(s2, -kMaxRatio), kMaxRatio);
+      }
+    }
+    const double tau = std::max(min_ftb, 1.0 - mu);
+    double a_pr_max = 1.0, a_du_max = 1.0;
+    for (int i = 0; i < N * m; ++i) {
+      if (dS[i] < 0.0) a_pr_max = std::min(a_pr_max, -tau * S[i] / dS[i]);
+      if (dY[i] < 0.0) a_du_max = std::min(a_du_max, -tau * Y[i] / dY[i]);
+    }
+    a_pr_max = std::min(std::max(a_pr_max, 0.0), 1.0);
+    a_du_max = std::min(std::max(a_du_max, 0.0), 1.0);
+
+    // ---- sequential first-success filter line search ----------------------
+    bool fp_ok = false;
+    double J_new = cost, phi_new = 0.0, theta_new = 0.0, fp_inf_pr = 0.0,
+           fp_inf_comp = 0.0, alpha_pr = 0.0, alpha_du = 0.0;
+    for (double a : alphas) {
+      alpha_pr = std::min(a, a_pr_max);
+      alpha_du = std::min(a, a_du_max);
+      bool feasible = true;
+      double J = 0.0;
+      std::memcpy(Xtry.data(), x0, sizeof(double) * nx);
+      for (int t = 0; t < N && feasible; ++t) {
+        const double* xt = &Xtry[t * nx];
+        double dx[8];
+        for (int i = 0; i < nx; ++i) dx[i] = xt[i] - X[t * nx + i];
+        // lambda update (carried for fidelity)
+        for (int i = 0; i < nx; ++i) {
+          double s = Lambda[t * nx + i] + alpha_pr * k_lam[t * nx + i];
+          for (int j = 0; j < nx; ++j)
+            s += K_lam[(t * nx + i) * nx + j] * dx[j];
+          Lamtry[t * nx + i] = s;
+        }
+        for (int r = 0; r < m; ++r) {
+          double sn = S[t * m + r] + alpha_pr * k_s[t * m + r];
+          double yn = Y[t * m + r] + alpha_du * k_y[t * m + r];
+          for (int j = 0; j < nx; ++j) {
+            sn += K_s[(t * m + r) * nx + j] * dx[j];
+            yn += K_y[(t * m + r) * nx + j] * dx[j];
+          }
+          if (sn < (1.0 - tau) * S[t * m + r] ||
+              yn < (1.0 - tau) * Y[t * m + r] || !std::isfinite(sn) ||
+              !std::isfinite(yn)) {
+            feasible = false;
+            break;
+          }
+          Stry[t * m + r] = sn;
+          Ytry[t * m + r] = yn;
+        }
+        if (!feasible) break;
+        double u_t[8];
+        for (int i = 0; i < nu; ++i) {
+          double s = U[t * nu + i] + alpha_pr * k_u[t * nu + i];
+          for (int j = 0; j < nx; ++j)
+            s += K_u[(t * nu + i) * nx + j] * dx[j];
+          u_t[i] = s;
+        }
+        J += run_cost(xt, u_t);
+        eval_g(xt, u_t, &Gtry[t * m]);
+        mdl.f(xt, u_t, params, xdot.data());
+        for (int i = 0; i < nx; ++i) {
+          const double xn = xt[i] + dt * xdot[i];
+          if (!std::isfinite(xn)) feasible = false;
+          Xtry[(t + 1) * nx + i] = xn;
+        }
+        std::memcpy(&Utry[t * nu], u_t, sizeof(double) * nu);
+      }
+      if (!feasible) continue;
+      J += term_cost(&Xtry[N * nx]);
+      // terminal lambda
+      {
+        double dxN[8];
+        for (int i = 0; i < nx; ++i) dxN[i] = Xtry[N * nx + i] - X[N * nx + i];
+        for (int i = 0; i < nx; ++i) {
+          double s = Lambda[N * nx + i] + alpha_pr * k_lam[N * nx + i];
+          for (int j = 0; j < nx; ++j)
+            s += K_lam[(N * nx + i) * nx + j] * dxN[j];
+          Lamtry[N * nx + i] = s;
+        }
+      }
+      phi_new = barrier_merit(J, Stry, mu);
+      theta_new = theta_of(Gtry, Stry);
+      primal_comp(Gtry, Stry, Ytry, mu, &fp_inf_pr, &fp_inf_comp);
+      if (!std::isfinite(phi_new) || !std::isfinite(theta_new)) continue;
+
+      // filter acceptance (ipddp_solver.cpp:1784-1839)
+      const double expected_improvement = alpha_pr * dV0;
+      double f_mf, f_cv;
+      const bool nonempty = filt.back(&f_mf, &f_cv);
+      const double cv_old = nonempty ? f_cv : 0.0;
+      const double high_violation_ref = nonempty ? f_cv : filter_theta;
+      bool accept;
+      if (theta_new > f_max_viol) {
+        accept = theta_new < (1.0 - f_viol_acc) * high_violation_ref;
+      } else if (std::max(theta_new, cv_old) < f_min_viol_armijo &&
+                 expected_improvement < 0.0) {
+        accept = phi_new < merit + f_armijo * expected_improvement;
+      } else {
+        accept = (phi_new < merit - f_merit_acc * theta_new) ||
+                 (theta_new < (1.0 - f_viol_acc) * cv_old);
+      }
+      if (accept) {
+        fp_ok = true;
+        J_new = J;
+        break;
+      }
+    }
+
+    if (fp_ok) {
+      const double dJ = cost - J_new;
+      std::memcpy(X, Xtry.data(), sizeof(double) * (N + 1) * nx);
+      std::memcpy(U, Utry.data(), sizeof(double) * N * nu);
+      S.swap(Stry);
+      Y.swap(Ytry);
+      G.swap(Gtry);
+      Lambda.swap(Lamtry);
+      Stry.resize(N * m);
+      Ytry.resize(N * m);
+      Gtry.resize(N * m);
+      Lamtry.resize((N + 1) * nx);
+      cost = J_new;
+      merit = phi_new;
+      inf_pr = fp_inf_pr;
+      inf_comp = fp_inf_comp;
+      phi = phi_new;
+      filter_theta = theta_new;
+      theta = theta_new;
+      alpha_pr_acc = alpha_pr;
+      (void)alpha_du;
+      reg = std::max(reg / reg_factor, reg_min);
+
+      // ---- barrier + filter update (updateBarrierParameters, :2548-2660) --
+      const double mu_old = mu;
+      {
+        const double kkt = std::max(std::max(inf_pr, inf_du), inf_comp);
+        const double threshold = std::max(mu_update_factor * mu_old, 2.0 * mu_old);
+        const double ratio = kkt / std::max(mu_old, 1e-20);
+        double factor;
+        if (mu_old > 1e-20) {
+          factor = ratio < 0.01 ? 0.1 * mu_update_factor
+                   : ratio < 0.1 ? 0.3 * mu_update_factor
+                   : ratio < 0.5 ? 0.6 * mu_update_factor
+                                 : mu_update_factor;
+        } else {
+          factor = mu_update_factor;
+        }
+        const double linear = factor * mu_old;
+        const double superlinear = std::pow(mu_old, mu_update_power);
+        const double mu_cand = std::max(std::min(linear, superlinear),
+                                        std::max(mu_min, tolerance / 100.0));
+        mu = (kkt <= threshold) ? mu_cand : mu_old;
+      }
+      filter_theta = std::max(theta_of(G, S), 1e-8);
+      const bool reset = (mu < mu_old) && (mu > 0.0);
+      if (reset) {
+        filt.clear();  // no terminal constraints: cleared stays empty
+      } else {
+        filt.accept(phi, filter_theta);
+        if (filt.size() > max_filter_size) filt.prune_to_best();
+      }
+      primal_comp(G, S, Y, mu, &inf_pr, &inf_comp);
+      merit = barrier_merit(cost, S, mu);
+      phi = merit;
+      theta = std::max(filter_theta, std::max(theta_0_floor, 1e-8));
+
+      // ---- convergence (checkConvergence, :1953-2025) ----------------------
+      const double tol2 = std::max(tolerance, barrier_tol_mult * mu);
+      if (inf_pr < tol2 && inf_du < tol2 && inf_comp < tol2 &&
+          step_norm < tolerance * 10.0) {
+        status = 1;  // OPTIMAL
+        break;
+      }
+      if (acceptable_tolerance > 0) {
+        const double accept_tol = std::sqrt(acceptable_tolerance);
+        const double barrier_accept_tol =
+            std::max(mu_min * 100.0, tolerance / 10.0);
+        const bool acc_kkt = inf_pr < accept_tol && inf_du < accept_tol &&
+                             inf_comp < accept_tol;
+        const bool barrier_done = mu <= barrier_accept_tol;
+        const bool acc =
+            (acc_kkt && barrier_done && it > 10 &&
+             std::fabs(dJ) < acceptable_tolerance) ||
+            (acc_kkt && barrier_done && it >= 1 &&
+             step_norm < tolerance * 10.0 && inf_pr < 1e-4);
+        if (acc) {
+          status = 2;  // ACCEPTABLE
+          break;
+        }
+      }
+    } else {
+      // handleForwardPassFailure (:2037-2082)
+      reg = std::min(reg * reg_factor, reg_max);
+      const bool limit = reg >= reg_max;
+      if (limit) {
+        const double accept_tol =
+            std::max(std::sqrt(std::max(acceptable_tolerance, tolerance)),
+                     barrier_tol_mult * mu);
+        const bool acceptable = acceptable_tolerance > 0 &&
+                                inf_pr < accept_tol && inf_du < accept_tol &&
+                                inf_comp < accept_tol;
+        status = acceptable ? 2 : 3;
+        break;
+      }
+    }
+  }
+
+  out_stats[0] = cost;
+  out_stats[1] = inf_pr;
+  out_stats[2] = inf_du;
+  out_stats[3] = inf_comp;
+  out_stats[4] = mu;
+  out_stats[5] = double(it);
+  return status;
+}
+
+}  // extern "C"

@@ -140,3 +140,61 @@ def test_use_controlled_rollout_seed():
         float(sol_cr.final_objective), float(sol_ms.final_objective),
         rtol=5e-2,
     )
+
+
+@pytest.mark.parametrize("backend", ["parallel", "sharded"])
+@pytest.mark.parametrize("use_ilqr", [True, False])
+def test_lqr_backend_backward_parity(backend, use_ilqr):
+    """The parallel/sharded defect-aware backward matches the sequential
+    scan at vanishing regularization (the backends differ by O(reg)):
+    gains, value steps, and diagnostics to 1e-8 on a multi-segment
+    trajectory with nonzero defects."""
+    if backend == "sharded" and len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from cddp_tpu.constraints.stack import PathStacker
+
+    prob, goal = _pendulum(N=40)
+    stk = PathStacker(prob)
+    N, nx, nu, m = prob.horizon, prob.state_dim, prob.control_dim, stk.total_dim
+    key = jax.random.PRNGKey(3)
+    X = jnp.array([jnp.pi, 0.0]) + 0.1 * jax.random.normal(key, (N + 1, 2))
+    U = 0.5 * jax.random.normal(jax.random.PRNGKey(4), (N, 1))
+    ks = jnp.arange(N)
+    G = jax.vmap(stk.evaluate_shifted)(X[:-1], U, ks)
+    S = jnp.maximum(-G, 1e-2)
+    Y = jnp.full_like(S, 0.1)
+    # nonzero defects: F from a perturbed single-step rollout
+    F = jax.vmap(lambda x, u, k: prob.model.discrete_dynamics(
+        x, u, k * prob.timestep, prob.timestep))(X[:-1], U, ks.astype(X.dtype))
+    Lam = 0.01 * jax.random.normal(jax.random.PRNGKey(5), (N, nx))
+    mu, reg = jnp.asarray(0.05), jnp.asarray(1e-11)
+
+    bp = {}
+    for be in ("sequential", backend):
+        opts = ct.CDDPOptions(use_ilqr=use_ilqr,
+                              msipddp=ct.MSIPDDPOptions(lqr_backend=be))
+        bp[be] = msipddp._backward_pass(
+            prob, opts, stk, X, U, Y, S, G, F, Lam, mu, reg
+        )
+    for field in ("k_u", "K_u", "k_y", "K_y", "k_s", "K_s", "k_lambda",
+                  "K_lambda", "dV", "inf_du", "inf_pr", "inf_comp",
+                  "step_norm"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(bp[backend], field)),
+            np.asarray(getattr(bp["sequential"], field)),
+            rtol=1e-7, atol=1e-8, err_msg=field,
+        )
+    assert bool(bp[backend].ok)
+
+
+def test_msipddp_parallel_backend_full_solve():
+    """Full MSIPDDP solve with lqr_backend='parallel' reaches the same
+    solution as the sequential engine on the constrained swing-up."""
+    prob, goal = _pendulum()
+    base = dict(max_iterations=400, tolerance=1e-4, acceptable_tolerance=1e-5)
+    sol_seq = msipddp.solve(prob, ct.CDDPOptions(**base))
+    sol_par = msipddp.solve(prob, ct.CDDPOptions(
+        **base, msipddp=ct.MSIPDDPOptions(lqr_backend="parallel")))
+    assert float(jnp.linalg.norm(sol_par.state_trajectory[-1] - goal)) < 0.1
+    np.testing.assert_allclose(float(sol_par.final_objective),
+                               float(sol_seq.final_objective), rtol=1e-3)
