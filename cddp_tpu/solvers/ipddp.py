@@ -1173,20 +1173,20 @@ def _init_dual_slack(G, mu, options):
     return Y, S
 
 
-@functools.partial(jax.jit, static_argnums=(1, 5))
-def _solve(problem: Problem, options: CDDPOptions, X0, U0,
-           warm: Optional[IPDDPSolverState], trajectory_warm: bool = False):
-    stk = PathStacker(problem)
-    tstk = TerminalStacker(problem)
+def _initialize(problem, options, stk, tstk, U0, warm, trajectory_warm, dtype):
+    """Cold/warm-start initialization (ipddp_solver.cpp:652-914): seed
+    trajectories, slacks/duals/costates and the initial barrier mu.
+    Factored out of :func:`_solve` so the reference's warm-start
+    preservation regressions (exact 1e-12 slack/dual carry-over,
+    test_ipddp_solver.cpp:1327-1359) can pin this path directly.
+
+    Returns (X, U, Y, S, G, G_T, S_T, Y_T, Lambda, Lambda_T_eq, mu0,\n    reset) — ``reset`` is the x0-drift reset flag (None unless the\n    warmstart_reset_x0_threshold path is live)."""
     has_path = bool(stk)
     has_ti = tstk.ineq_dim > 0
     has_te = tstk.eq_dim > 0
     has_any = has_path or has_ti or has_te
-    no_barrier = not has_path and not has_ti
-
-    nx, nu, N = problem.state_dim, problem.control_dim, problem.horizon
-    m, mT, p = stk.total_dim, tstk.ineq_dim, tstk.eq_dim
-    dtype = X0.dtype
+    nx, N = problem.state_dim, problem.horizon
+    p = tstk.eq_dim
 
     # --- cold-start initialization (ipddp_solver.cpp:820-914) -------------
     U = U0
@@ -1329,6 +1329,27 @@ def _solve(problem: Problem, options: CDDPOptions, X0, U0,
             Lambda = sel(jnp.zeros_like(Lambda), Lambda)
             Lambda_T_eq = sel(jnp.zeros_like(Lambda_T_eq), Lambda_T_eq)
             mu0 = sel(mu_cold, mu0)
+
+    return X, U, Y, S, G, G_T, S_T, Y_T, Lambda, Lambda_T_eq, mu0, reset
+
+
+@functools.partial(jax.jit, static_argnums=(1, 5))
+def _solve(problem: Problem, options: CDDPOptions, X0, U0,
+           warm: Optional[IPDDPSolverState], trajectory_warm: bool = False):
+    stk = PathStacker(problem)
+    tstk = TerminalStacker(problem)
+    has_path = bool(stk)
+    has_ti = tstk.ineq_dim > 0
+    has_te = tstk.eq_dim > 0
+    no_barrier = not has_path and not has_ti
+
+    nx, nu, N = problem.state_dim, problem.control_dim, problem.horizon
+    m, mT, p = stk.total_dim, tstk.ineq_dim, tstk.eq_dim
+    dtype = X0.dtype
+
+    (X, U, Y, S, G, G_T, S_T, Y_T, Lambda, Lambda_T_eq, mu0, reset) = (
+        _initialize(problem, options, stk, tstk, U0, warm, trajectory_warm, dtype)
+    )
 
     cost0 = problem.objective.evaluate(X, U)
     h_T0 = tstk.eq_evaluate(X[-1]) if has_te else jnp.zeros((0,), dtype)

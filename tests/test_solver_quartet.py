@@ -118,3 +118,39 @@ def test_quadrotor_point_all_solvers(name):
     assert err < 0.5, (name, err)  # reference bound (test_ipddp_solver.cpp:1077)
     qn = float(jnp.linalg.norm(sol.state_trajectory[-1][3:7]))
     assert abs(qn - 1.0) < 0.1, (name, qn)
+
+
+@pytest.mark.slow
+def test_car_warm_start_iteration_bound():
+    """test_ipddp_solver.cpp:875: warm start from the solved point takes at
+    most cold + 50 iterations on the Car parking problem."""
+    from cddp_tpu.solvers import ipddp
+
+    prob = _car_problem()
+    opts = ct.CDDPOptions(max_iterations=300, tolerance=1e-4,
+                          acceptable_tolerance=1e-5)
+    cold, state = ipddp.solve(prob, opts, return_state=True)
+    warm = ipddp.solve(
+        prob, opts.replace(warm_start=True),
+        X0=cold.state_trajectory, U0=cold.control_trajectory, state=state,
+    )
+    assert warm.status_message in _OK
+    assert int(warm.iterations_completed) <= int(cold.iterations_completed) + 50
+
+
+@pytest.mark.slow
+def test_quadrotor_warm_start_iteration_bound():
+    """test_ipddp_solver.cpp:1144: warm start takes at most cold + 20
+    iterations on the quadrotor point-to-point problem."""
+    from cddp_tpu.solvers import ipddp
+
+    prob, goal, U0 = _quadrotor_problem()
+    opts = ct.CDDPOptions(max_iterations=150, tolerance=1e-4,
+                          acceptable_tolerance=1e-4,
+                          regularization=ct.RegularizationOptions(initial_value=1e-4))
+    cold, state = ipddp.solve(prob, opts, U0=U0, return_state=True)
+    warm = ipddp.solve(
+        prob, opts.replace(warm_start=True),
+        X0=cold.state_trajectory, U0=cold.control_trajectory, state=state,
+    )
+    assert int(warm.iterations_completed) <= int(cold.iterations_completed) + 20
