@@ -138,6 +138,21 @@ class IPDDPOptions:
     warmstart_reset_x0_threshold: float = -1.0
     jacobian_regularization_value: float = 1e-8
     jacobian_regularization_exponent: float = 0.25
+    # JAX-only: slack second-order correction — inside the forward pass,
+    # re-close trial slacks onto the constraint surface (s := -g at the
+    # trial point) where fraction-to-boundary allows. Removes the O(alpha^2)
+    # slack residual that curved constraints re-inject every iteration
+    # (the IPOPT-SOC analogue for the slack formulation). Off by default
+    # for bit-parity with the reference iterates. Combine with
+    # use_constraint_hessians for norm-constrained problems.
+    slack_soc: bool = False
+    # JAX-only: fold the y-weighted constraint Hessians (the exact Lagrangian
+    # curvature) into the condensed backward. Fixes the alpha-pinned limit
+    # cycle on curved constraints with long inactive arcs (norm-type thrust
+    # limits; STATUS.md) that stalls the reference, which has this term only
+    # in MSIPDDP full-DDP mode (msipddp_solver.cpp:1308-1317). Off by
+    # default for bit-parity with the reference iterates.
+    use_constraint_hessians: bool = False
     barrier: BarrierOptions = field(default_factory=BarrierOptions)
     # JAX-only: engine for the terminal-equality reduced-LQR sweeps.
     # "sequential" = reverse lax.scan (O(N) depth); "parallel" =

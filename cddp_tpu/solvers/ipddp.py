@@ -461,6 +461,28 @@ def _backward_condensed(problem, options, stk, tstk, X, U, Y, S, G, Y_T, S_T, mu
         Gx = jnp.zeros((N, 0, nx), dtype)
         Gu = jnp.zeros((N, 0, nu), dtype)
 
+    if stk and options.ipddp.use_constraint_hessians:
+        # y-weighted constraint Hessians folded into the stage cost — the
+        # exact Lagrangian curvature term the Gauss-Newton condensation
+        # drops. For curved constraints (norm-type thrust limits) this is
+        # the difference between converging and the alpha-pinned limit
+        # cycle documented in STATUS.md: without it the forward pass incurs
+        # an O(alpha^2 * |k_u|^2 * ||grad^2 g||) slack residual every
+        # iteration whose fixed point is inf_pr ~ alpha*C > 0. The reference
+        # includes this term only in MSIPDDP's full-DDP mode
+        # (msipddp_solver.cpp:1308-1317); here it is available to IPDDP in
+        # both iLQR and full-DDP modes.
+        def chess(x, u, k):
+            hx = jnp.concatenate([c.state_hessian(x, u, k) for _, c in stk.items])
+            hu = jnp.concatenate([c.control_hessian(x, u, k) for _, c in stk.items])
+            hux = jnp.concatenate([c.cross_hessian(x, u, k) for _, c in stk.items])
+            return hx, hu, hux
+
+        Gxx_c, Guu_c, Gux_c = jax.vmap(chess)(X[:-1], U, ks)
+        lxx = lxx + jnp.einsum("tm,tmjk->tjk", Y, Gxx_c)
+        luu = luu + jnp.einsum("tm,tmjk->tjk", Y, Guu_c)
+        lux = lux + jnp.einsum("tm,tmjk->tjk", Y, Gux_c)
+
     if not options.use_ilqr:
         Fxx, Fuu, Fux = base.discrete_hessians(problem, X, U)
     eye_u = jnp.eye(nu, dtype=dtype)
@@ -931,6 +953,25 @@ def _forward_pass(
 
         s_new = s + alpha_pr * k_s + K_s @ dx
         y_new = y + alpha_du * k_y + K_y @ dx
+        u = Ub + alpha_pr * k_u + K_u @ dx
+        J = J + problem.objective.running_cost(x, u, kk)
+        g_new = stk.evaluate_shifted(x, u, kk) if has_path else jnp.zeros((0,), dtype)
+        if has_path and options.ipddp.slack_soc:
+            # Slack second-order correction: the linear update leaves
+            # s_new + g_new = (linearization error of g), which for curved
+            # constraints (e.g. ||u|| <= u_max) grows quadratically in alpha
+            # and makes the filter pin alpha at the limit cycle documented
+            # in STATUS.md (fixed point inf_pr ~ alpha * |k_u|^2 *
+            # ||grad^2 g||). Re-close s at the TRIAL point (s := -g(x,u))
+            # on rows where that respects the fraction-to-boundary
+            # contract — the slack-variable analogue of IPOPT's SOC
+            # (Wächter & Biegler 2006, §2.4): a correction from constraint
+            # values re-evaluated at the trial point. Combine with
+            # use_constraint_hessians; the reference has no counterpart
+            # (it stalls at inf_pr ~ 0.6 on the rendezvous workload).
+            s_soc = -g_new
+            ok_soc = (s_soc >= (1.0 - tau) * s) & (s_soc > 0.0)
+            s_new = jnp.where(ok_soc, s_soc, s_new)
         if has_path:
             ok_ftb = jnp.all(s_new >= (1.0 - tau) * s) & jnp.all(
                 y_new >= (1.0 - tau) * y
@@ -939,10 +980,6 @@ def _forward_pass(
         else:
             ok_ftb = jnp.asarray(True)
             ok_fin = jnp.asarray(True)
-
-        u = Ub + alpha_pr * k_u + K_u @ dx
-        J = J + problem.objective.running_cost(x, u, kk)
-        g_new = stk.evaluate_shifted(x, u, kk) if has_path else jnp.zeros((0,), dtype)
         x_next = problem.model.discrete_dynamics(x, u, t, dt)
         ok_traj = jnp.all(jnp.isfinite(x_next)) & jnp.all(jnp.isfinite(u)) & jnp.all(
             jnp.isfinite(lam_new)

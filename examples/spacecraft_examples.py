@@ -33,14 +33,15 @@ def rendezvous():
         "MaxThrustMagnitudeConstraint", ct.max_thrust_magnitude_constraint(1.0)
     )
     # mu scaled to the problem's cost magnitude (terminal cost ~1e3-1e5).
-    # NOTE: the thrust-norm constraint's long inactive arcs make the formal
-    # inf_pr certificate converge slowly (see STATUS.md: filter pins alpha at
-    # 1/16 and the ADAPTIVE barrier then cannot reduce mu); the produced
-    # trajectory itself is feasible and reaches the goal.
+    # use_constraint_hessians + slack_soc break the alpha-pinned limit cycle
+    # that norm-type constraints with long inactive arcs otherwise cause
+    # (the reference stalls at inf_pr ~ 0.6 here; with these options the
+    # primal certificate is exact — see tests/test_norm_constraint_soc.py).
     opts = ct.CDDPOptions(max_iterations=400, tolerance=1e-5,
                           acceptable_tolerance=1e-6,
                           ipddp=ct.IPDDPOptions(
-                              barrier=ct.BarrierOptions(mu_initial=10.0)))
+                              barrier=ct.BarrierOptions(mu_initial=10.0),
+                              use_constraint_hessians=True, slack_soc=True))
     sol = ct.solve(prob, "IPDDP", opts)
     pos_err = float(jnp.linalg.norm(sol.state_trajectory[-1][:3]))
     vel_err = float(jnp.linalg.norm(sol.state_trajectory[-1][3:]))

@@ -1,0 +1,70 @@
+"""Norm-constraint stall fix (slack SOC + constraint Hessians).
+
+STATUS.md round-1 diagnosis: on norm-type constraints with long inactive
+arcs (HCW rendezvous, ||u|| <= u_max) the reference algorithm enters an
+alpha-pinned limit cycle — the curved constraint re-injects an O(alpha^2)
+slack residual every iteration (fixed point inf_pr ~ 0.6-1.6) and the
+ADAPTIVE barrier can never decrease mu. The reference stalls the same way
+(port verified line-identical).
+
+ipddp.use_constraint_hessians (exact Lagrangian curvature in the condensed
+backward) + ipddp.slack_soc (trial-point slack re-closure, the IPOPT-SOC
+analogue) break the cycle: primal feasibility is restored EXACTLY and the
+barrier decays. This beats the reference, which on this config returns a
+thrust-limit-violating trajectory (max||u|| ~ 2.5 > 1)."""
+
+import jax.numpy as jnp
+import pytest
+
+import cddp_tpu as ct
+from cddp_tpu.models import HCW
+from cddp_tpu.solvers import ipddp
+
+
+def _rendezvous(N=100):
+    model = HCW(mean_motion=0.00113, mass=100.0, integration_type="rk4")
+    goal = jnp.zeros(6)
+    Q = jnp.diag(jnp.asarray([1e-4, 1e-4, 1e-4, 1e-2, 1e-2, 1e-2]))
+    Qf = jnp.diag(jnp.asarray([1e3, 1e3, 1e3, 1e5, 1e5, 1e5]))
+    obj = ct.quadratic_objective(Q, jnp.eye(3), Qf, goal, 10.0)
+    prob = ct.problem(
+        model, obj, jnp.asarray([0.0, 500.0, 50.0, 0.0, 0.0, 0.0]), N, 10.0
+    )
+    return prob.add_constraint(
+        "MaxThrustMagnitudeConstraint", ct.max_thrust_magnitude_constraint(1.0)
+    )
+
+
+def _opts(fix: bool, iters=150):
+    return ct.CDDPOptions(
+        max_iterations=iters, tolerance=1e-5, acceptable_tolerance=1e-6,
+        ipddp=ct.IPDDPOptions(
+            barrier=ct.BarrierOptions(mu_initial=10.0),
+            use_constraint_hessians=fix, slack_soc=fix,
+        ),
+    )
+
+
+def test_soc_restores_exact_primal_feasibility():
+    prob = _rendezvous()
+    sol = ipddp.solve(prob, _opts(fix=True))
+    # Primal-feasibility certificate (the round-1 gap): inf_pr < tolerance.
+    assert float(sol.inf_pr) < 1e-5, float(sol.inf_pr)
+    # Goal reached and the thrust limit actually respected.
+    assert float(jnp.linalg.norm(sol.state_trajectory[-1][:3])) < 1e-2
+    umax = float(jnp.max(jnp.linalg.norm(sol.control_trajectory, axis=1)))
+    assert umax <= 1.0 + 1e-8, umax
+    # The barrier actually decayed (the deadlock kept it at mu_initial).
+    assert float(sol.barrier_mu) < 0.1
+
+
+def test_reference_semantics_stall_documented():
+    """The unfixed (reference-parity) configuration exhibits the limit
+    cycle: mu pinned at mu_initial and a constraint-violating trajectory.
+    This is the behavior the SOC options exist to beat; if this test ever
+    fails because the default STOPPED stalling, celebrate and update the
+    docs."""
+    prob = _rendezvous()
+    sol = ipddp.solve(prob, _opts(fix=False))
+    assert float(sol.inf_pr) > 0.1
+    assert float(sol.barrier_mu) >= 10.0 - 1e-9
