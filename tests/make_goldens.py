@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 import cddp_tpu as ct
-from cddp_tpu.models import Pendulum, Unicycle
+from cddp_tpu.models import CartPole, LTISystem, Pendulum, Unicycle, quadrotor
 
 OUT = Path(__file__).resolve().parent / "goldens"
 
@@ -35,6 +35,47 @@ def configs():
                                100.0 * jnp.eye(2), jnp.zeros(2), dt),
         jnp.array([jnp.pi, 0.0]), N, dt,
     ).add_constraint("ControlConstraint", ct.control_constraint([-20.0], [20.0]))
+
+    # BASELINE.json config 2: cart-pole swing-up, iLQR/CDDP, nx=4 nu=1, N=200.
+    cp_goal = jnp.array([0.0, jnp.pi, 0.0, 0.0])
+    cart = ct.problem(
+        CartPole(),
+        ct.quadratic_objective(jnp.diag(jnp.array([0.1, 1.0, 0.1, 0.1])),
+                               0.05 * jnp.eye(1),
+                               jnp.diag(jnp.array([100.0, 500.0, 10.0, 10.0])),
+                               cp_goal, 0.02),
+        jnp.zeros(4), 200, 0.02,
+    ).add_constraint("ControlConstraint", ct.control_constraint([-100.0], [100.0]))
+
+    # BASELINE.json config 4: quadrotor point-to-point IPDDP
+    # (test_ipddp_solver.cpp:1069-1080 configuration family).
+    qN, qdt = 60, 0.02
+    q_goal = jnp.zeros(13).at[0].set(1.5).at[2].set(1.0).at[3].set(1.0)
+    quad = ct.problem(
+        quadrotor(mass=1.0, inertia=jnp.diag(jnp.array([0.01, 0.01, 0.02])),
+                  arm_length=0.2, integration_type="rk4"),
+        ct.quadratic_objective(
+            jnp.zeros((13, 13)).at[4, 4].set(0.1).at[5, 5].set(0.1).at[6, 6].set(0.1),
+            0.1 * jnp.eye(4),
+            jnp.diag(jnp.array([500.0, 500.0, 500.0, 1.0, 1.0, 1.0, 1.0,
+                                10.0, 10.0, 10.0, 0.0, 0.0, 0.0])),
+            q_goal, qdt),
+        jnp.zeros(13).at[3].set(1.0), qN, qdt,
+    ).add_constraint(
+        "ControlConstraint", ct.control_constraint(jnp.zeros(4), jnp.full(4, 9.0))
+    )
+
+    # Reference's terminal-equality regime (scalar integrator,
+    # test_ipddp_solver.cpp:1256+): LTI x+ = x + u, terminal x_N = 0.6.
+    lti_goal = jnp.array([0.6])
+    lti = ct.problem(
+        LTISystem(state_dim=1, control_dim=1, A=jnp.eye(1), B=jnp.eye(1), timestep=1.0),
+        ct.quadratic_objective(jnp.zeros((1, 1)), 1e-2 * jnp.eye(1),
+                               100.0 * jnp.eye(1), lti_goal, 1.0),
+        jnp.zeros(1), 8, 1.0,
+    ).add_terminal_constraint(
+        "TerminalEqualityConstraint", ct.terminal_equality_constraint(lti_goal)
+    )
 
     uni = ct.problem(
         Unicycle(),
@@ -62,6 +103,27 @@ def configs():
         "unicycle_obstacle_ipddp": (
             uni, "IPDDP", opts_ipddp,
             {"U0": jnp.tile(jnp.array([0.5, 0.0]), (100, 1))},
+        ),
+        "cartpole_clddp": (
+            cart, "CLDDP", ct.CDDPOptions(max_iterations=300, tolerance=1e-4,
+                                          acceptable_tolerance=1e-6),
+            {},
+        ),
+        "quadrotor_ipddp": (
+            quad, "IPDDP",
+            ct.CDDPOptions(max_iterations=120, tolerance=1e-4,
+                           acceptable_tolerance=1e-5,
+                           regularization=ct.RegularizationOptions(
+                               initial_value=1e-4)),
+            {"U0": jnp.full((qN, 4), 9.81 / 4.0)},
+        ),
+        "scalar_terminal_eq_ipddp": (
+            lti, "IPDDP",
+            ct.CDDPOptions(max_iterations=60, tolerance=1e-6,
+                           acceptable_tolerance=1e-6,
+                           ipddp=ct.IPDDPOptions(
+                               barrier=ct.BarrierOptions(mu_initial=1e-1))),
+            {},
         ),
     }
 

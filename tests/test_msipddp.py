@@ -142,8 +142,18 @@ def test_use_controlled_rollout_seed():
     )
 
 
-@pytest.mark.parametrize("backend", ["parallel", "sharded"])
-@pytest.mark.parametrize("use_ilqr", [True, False])
+@pytest.mark.parametrize(
+    "backend,use_ilqr",
+    [
+        ("parallel", True),
+        ("parallel", False),
+        ("sharded", True),
+        # full-DDP x sharded pays a second shard_map compile (~80s on 1 CPU)
+        # for no new math: full-DDP is covered by "parallel", distribution by
+        # the iLQR "sharded" case. Kept, but out of the fast tier.
+        pytest.param("sharded", False, marks=pytest.mark.slow),
+    ],
+)
 def test_lqr_backend_backward_parity(backend, use_ilqr):
     """The parallel/sharded defect-aware backward matches the sequential
     scan at vanishing regularization (the backends differ by O(reg)):

@@ -39,7 +39,7 @@ def test_ipddp_terminal_eq_parallel_backend():
     from cddp_tpu.models import Pendulum
     from cddp_tpu.solvers import ipddp
 
-    dt, N = 0.02, 80
+    dt, N = 0.02, 48
     model = Pendulum(length=0.5, damping=0.01)
     goal = jnp.zeros(2)
     obj = ct.quadratic_objective(jnp.zeros((2, 2)), 0.1 * jnp.eye(1),
@@ -50,7 +50,7 @@ def test_ipddp_terminal_eq_parallel_backend():
     prob = prob.add_terminal_constraint(
         "TerminalEqualityConstraint", ct.terminal_equality_constraint(goal))
 
-    base_opts = dict(max_iterations=300, tolerance=1e-4, acceptable_tolerance=1e-5)
+    base_opts = dict(max_iterations=200, tolerance=1e-4, acceptable_tolerance=1e-5)
     sol_seq = ipddp.solve(prob, ct.CDDPOptions(**base_opts))
     sol_par = ipddp.solve(
         prob,
