@@ -105,6 +105,9 @@ class LogBarrierOptions:
     use_relaxed_log_barrier_penalty: bool = False
     relaxed_log_barrier_delta: float = 1e-10
     barrier: BarrierOptions = field(default_factory=BarrierOptions)
+    # JAX-only: "parallel" = O(log N) associative-scan Riccati for the
+    # barrier-folded backward (iLQR mode; ops/parallel_riccati.py).
+    lqr_backend: str = "sequential"
 
 
 @dataclass(frozen=True)

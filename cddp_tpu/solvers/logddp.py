@@ -91,8 +91,9 @@ def _backward_pass(problem, options, barrier, X, U, reg):
     V_xx = _sym(problem.objective.terminal_cost_hessian(X[-1]))
     eye_u = jnp.eye(nu, dtype=dtype)
 
-    def step(carry, inp):
-        Vx, Vxx, dV, Qu_err, ok = carry
+    def step_math(inp, Vx, Vxx):
+        """One barrier-folded Riccati step given the NEXT value function —
+        shared between the sequential scan and the parallel recovery vmap."""
         if options.use_ilqr:
             A_t, B_t, lx_t, lu_t, lxx_t, luu_t, lux_t, bx, bu, bxx, buu, bux = inp
         else:
@@ -121,6 +122,11 @@ def _backward_pass(problem, options, barrier, X, U, reg):
         dV_step = jnp.stack([Qu @ k_t, 0.5 * k_t @ Quu @ k_t])
         Vx_new = Qx + K_t.T @ Quu @ k_t + Qux.T @ k_t + K_t.T @ Qu
         Vxx_new = _sym(Qxx + K_t.T @ Quu @ K_t + Qux.T @ K_t + K_t.T @ Qux)
+        return k_t, K_t, Vx_new, Vxx_new, dV_step, Qu, fail
+
+    def step(carry, inp):
+        Vx, Vxx, dV, Qu_err, ok = carry
+        k_t, K_t, Vx_new, Vxx_new, dV_step, Qu, fail = step_math(inp, Vx, Vxx)
         return (
             Vx_new,
             Vxx_new,
@@ -132,11 +138,48 @@ def _backward_pass(problem, options, barrier, X, U, reg):
     inputs = (A, B, lx, lu, lxx, luu, lux, Bx, Bu, Bxx, Buu, Bux)
     if not options.use_ilqr:
         inputs = inputs + (Fxx, Fuu, Fux)
-    init = (V_x, V_xx, jnp.zeros((2,), dtype), jnp.zeros((), dtype), jnp.asarray(True))
-    (_, _, dV, Qu_err, ok), (ks_out, Ks_out) = jax.lax.scan(
-        step, init, inputs, reverse=True
-    )
+
+    if options.use_ilqr and options.log_barrier.lqr_backend == "parallel":
+        # O(log N)-depth variant (same pattern as IPDDP/MSIPDDP's parallel
+        # backends): the barrier terms are per-step stage data, so the
+        # recursion is a pure LQR — run the associative-scan Riccati for
+        # the value functions, then recover gains/diagnostics by
+        # re-evaluating the step math at V_{t+1} in one vmap. Differs from
+        # the scan by O(reg) (the associative combine propagates through
+        # the regularized R).
+        from cddp_tpu.ops.parallel_riccati import parallel_lqr_backward
+
+        _, _, P_all, v_all = parallel_lqr_backward(
+            jnp.concatenate([_sym3(lxx + Bxx), V_xx[None]], axis=0),
+            jnp.concatenate([lx + Bx, V_x[None]], axis=0),
+            _sym3(luu + Buu) + reg * eye_u[None],
+            lu + Bu,
+            (lux + Bux).swapaxes(-1, -2),
+            A, B,
+        )
+        Vx_next, Vxx_next = -v_all[1:], P_all[1:]
+        (ks_out, Ks_out, _, _, dV_steps, Qu_all, fail_all) = jax.vmap(
+            step_math
+        )(inputs, Vx_next, Vxx_next)
+        dV = dV_steps.sum(axis=0)
+        Qu_err = jnp.max(jnp.abs(Qu_all)) if Qu_all.size else jnp.zeros((), dtype)
+        ok = (
+            ~jnp.any(fail_all)
+            & jnp.all(jnp.isfinite(ks_out))
+            & jnp.all(jnp.isfinite(P_all))
+            & jnp.all(jnp.isfinite(v_all))
+        )
+    else:
+        init = (V_x, V_xx, jnp.zeros((2,), dtype), jnp.zeros((), dtype),
+                jnp.asarray(True))
+        (_, _, dV, Qu_err, ok), (ks_out, Ks_out) = jax.lax.scan(
+            step, init, inputs, reverse=True
+        )
     return _BP(k=ks_out, K=Ks_out, dV=dV, inf_du=Qu_err, ok=ok)
+
+
+def _sym3(M):
+    return 0.5 * (M + M.swapaxes(-1, -2))
 
 
 def _sym(M):

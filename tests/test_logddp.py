@@ -133,3 +133,26 @@ def test_unicycle_box_default_options():
     err = float(jnp.linalg.norm(sol.state_trajectory[-1] - goal))
     assert err < 0.01, (sol.status_message, err)
     assert float(sol.final_objective) < 0.9, float(sol.final_objective)
+
+
+def test_logddp_parallel_backend():
+    """lqr_backend='parallel' (associative-scan Riccati over the
+    barrier-folded stage data) matches the sequential scan's solution."""
+    dt, N = 0.05, 100
+    goal = jnp.array([0.0, 0.0])
+    obj = ct.quadratic_objective(
+        jnp.zeros((2, 2)), 0.1 * jnp.eye(1), 100.0 * jnp.eye(2), goal, dt
+    )
+    prob = ct.problem(Pendulum(length=1.0, damping=0.0), obj,
+                      jnp.array([jnp.pi, 0.0]), N, dt)
+    prob = prob.add_constraint(
+        "ControlConstraint",
+        ct.control_constraint(jnp.array([-10.0]), jnp.array([10.0])),
+    )
+    base = dict(max_iterations=300, tolerance=1e-4, acceptable_tolerance=1e-5)
+    sol_seq = logddp.solve(prob, ct.CDDPOptions(**base))
+    sol_par = logddp.solve(prob, ct.CDDPOptions(
+        **base, log_barrier=ct.LogBarrierOptions(lqr_backend="parallel")))
+    assert float(jnp.linalg.norm(sol_par.state_trajectory[-1] - goal)) < 0.1
+    np.testing.assert_allclose(float(sol_par.final_objective),
+                               float(sol_seq.final_objective), rtol=1e-3)
