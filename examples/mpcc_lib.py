@@ -237,6 +237,8 @@ class MpccConfig:
     tolerance: float = 1e-4
     acceptable_tolerance: float = 5e-4
     initial_regularization: float = 1e-4
+    # JAX-only: IPDDP Riccati engine ("sequential" or "parallel").
+    lqr_backend: str = "sequential"
     line_search_iters: int = 12
 
 
@@ -352,6 +354,7 @@ def solver_options(cfg: MpccConfig) -> ct.CDDPOptions:
         ),
         line_search=ct.LineSearchOptions(max_iterations=cfg.line_search_iters),
         use_ilqr=True,
+        ipddp=ct.IPDDPOptions(lqr_backend=cfg.lqr_backend),
     )
 
 

@@ -19,3 +19,14 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 assert jax.default_backend() == "cpu", jax.default_backend()
+
+# Persistent XLA compilation cache: the suite is compile-bound (every
+# (problem-shape x options) pair is one XLA program), so repeated runs and
+# re-runs after edits skip unchanged compiles entirely.
+import tempfile
+from pathlib import Path
+
+_cache = Path(tempfile.gettempdir()) / "cddp_tpu_xla_cache"
+_cache.mkdir(exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", str(_cache))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -33,7 +33,7 @@ def _pendulum_problem(N=100, dt=0.02, bound=20.0):
 
 def test_pendulum_swingup_ipddp():
     prob, goal = _pendulum_problem()
-    opts = ct.CDDPOptions(max_iterations=300, tolerance=1e-4, acceptable_tolerance=1e-5)
+    opts = ct.CDDPOptions(max_iterations=400, tolerance=1e-4, acceptable_tolerance=1e-5)
     sol = ipddp.solve(prob, opts)
     assert sol.status_message in (
         "OptimalSolutionFound",
@@ -135,7 +135,7 @@ def test_warm_start_fewer_iterations():
     # test_ipddp_solver.cpp:470-549: warm start should not take many more
     # iterations than cold start from the solved point.
     prob, goal = _pendulum_problem(N=100, dt=0.02)
-    opts = ct.CDDPOptions(max_iterations=300, tolerance=1e-4, acceptable_tolerance=1e-5)
+    opts = ct.CDDPOptions(max_iterations=400, tolerance=1e-4, acceptable_tolerance=1e-5)
     cold, state = ipddp.solve(prob, opts, return_state=True)
     warm_opts = opts.replace(warm_start=True)
     warm = ipddp.solve(
