@@ -106,6 +106,8 @@ def test_terminal_equality():
     assert "TerminalEqualityConstraint" in sol.terminal_duals
 
 
+# slow tier: compile-heavy warm-start/batching regressions
+@pytest.mark.slow
 def test_terminal_inequality():
     # Terminal box |x_N| <= 0.05 via A=[I;-I].
     prob, goal = _pendulum_problem(N=100, dt=0.02)
@@ -148,6 +150,8 @@ def test_warm_start_fewer_iterations():
     assert int(warm.iterations_completed) <= int(cold.iterations_completed) + 5
 
 
+# slow tier: compile-heavy warm-start/batching regressions
+@pytest.mark.slow
 def test_warmstart_reset_x0_threshold():
     """warmstart_reset_x0_threshold discards the warm state on x0 drift
     (declared semantics of ipddp_solver.cpp:844-866 /
@@ -186,6 +190,8 @@ def test_warmstart_reset_x0_threshold():
     )
 
 
+# slow tier: compile-heavy warm-start/batching regressions
+@pytest.mark.slow
 def test_warmstart_preserves_path_dual_slack_exactly():
     """test_ipddp_solver.cpp:1306-1335: warm-start initialization preserves
     fabricated interior path slack/dual values EXACTLY (1e-12). A
@@ -204,6 +210,8 @@ def test_warmstart_preserves_path_dual_slack_exactly():
     np.testing.assert_allclose(np.asarray(out.S), 0.42, atol=1e-12)
 
 
+# slow tier: compile-heavy warm-start/batching regressions
+@pytest.mark.slow
 def test_warmstart_preserves_terminal_state_exactly():
     """test_ipddp_solver.cpp:1337-1380: terminal-inequality slack/dual and
     terminal-equality multipliers survive warm-start init at 1e-12."""
@@ -242,6 +250,8 @@ def test_warmstart_stale_slack_reinit():
     assert float(np.asarray(out.S).min()) > 1.0  # reinit to ~20, not 0.42
 
 
+# slow tier: compile-heavy warm-start/batching regressions
+@pytest.mark.slow
 def test_vmap_batched_ipddp():
     prob, goal = _pendulum_problem(N=50)
     opts = ct.CDDPOptions(max_iterations=50, tolerance=1e-3)

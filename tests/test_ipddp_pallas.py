@@ -41,7 +41,9 @@ def _random_stage_data(key, B, N, nx, nu, m, dtype):
 
 @pytest.mark.parametrize("dtype,rtol,atol", [
     (jnp.float64, 1e-9, 1e-11),
-    (jnp.float32, 2e-3, 2e-3),
+    # interpret-mode f32 costs a second full interpret run for a looser
+    # tolerance check — slow tier.
+    pytest.param(jnp.float32, 2e-3, 2e-3, marks=pytest.mark.slow),
 ])
 def test_ipddp_fused_matches_scan(dtype, rtol, atol):
     args = _random_stage_data(

@@ -29,8 +29,11 @@ def _prob(dtype=jnp.float64):
 
 
 @pytest.mark.parametrize(
-    "solve", [clddp.solve, logddp.solve, ipddp.solve, msipddp.solve],
-    ids=["CLDDP", "LogDDP", "IPDDP", "MSIPDDP"],
+    "solve",
+    [clddp.solve, ipddp.solve,
+     pytest.param(logddp.solve, marks=pytest.mark.slow),
+     pytest.param(msipddp.solve, marks=pytest.mark.slow)],
+    ids=["CLDDP", "IPDDP", "LogDDP", "MSIPDDP"],
 )
 def test_tiny_limit_aborts_with_max_cpu_time_status(solve):
     prob = _prob()

@@ -5,6 +5,7 @@ import sys
 from pathlib import Path
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -46,6 +47,8 @@ def test_single_mpc_tick():
     assert int(sol.iterations_completed) > 0
 
 
+# slow tier: closed-loop / fleet integration
+@pytest.mark.slow
 def test_closed_loop_progress():
     track = mpcc.synthetic_track(n_points=200)
     cfg = mpcc.MpccConfig(max_iterations=40)
@@ -61,6 +64,8 @@ def test_closed_loop_progress():
     assert max(e_c) < float(track.width), max(e_c)
 
 
+# slow tier: closed-loop / fleet integration
+@pytest.mark.slow
 def test_warm_fleet_tick():
     """Warm-started fleet tick API: shapes, state threading, finite states.
     (No iteration-count claim: the barrier mu restarts at mu0*0.1 on warm
@@ -107,6 +112,8 @@ def test_real_track_fourier_fit():
     assert abs(float(track.length) - 17.8424) < 0.01
 
 
+# slow tier: closed-loop / fleet integration
+@pytest.mark.slow
 def test_real_track_mpc_ticks():
     """Closed-loop MPC advances on the reference circuit with per-tick
     iteration counts in the reference's anecdotal band (~15-40, up to the

@@ -146,7 +146,7 @@ def test_use_controlled_rollout_seed():
     "backend,use_ilqr",
     [
         ("parallel", True),
-        ("parallel", False),
+        pytest.param("parallel", False, marks=pytest.mark.slow),
         ("sharded", True),
         # full-DDP x sharded pays a second shard_map compile (~80s on 1 CPU)
         # for no new math: full-DDP is covered by "parallel", distribution by

@@ -33,7 +33,7 @@ def _setup(B=8, N=12, dtype=jnp.float32):
 
 @pytest.mark.parametrize("dtype,rtol,atol", [
     (jnp.float64, 1e-9, 1e-11),
-    (jnp.float32, 1e-3, 5e-4),
+    pytest.param(jnp.float32, 1e-3, 5e-4, marks=pytest.mark.slow),
 ])
 def test_fused_matches_scan(dtype, rtol, atol):
     prob, cc, X, U = _setup(dtype=dtype)

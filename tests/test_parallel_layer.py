@@ -59,6 +59,8 @@ def test_sharded_solve_matches_batched():
     )
 
 
+# slow tier: fleet MPC integration (sharded solve parity stays fast)
+@pytest.mark.slow
 def test_mpc_controller_fleet():
     prob = _prob(N=15)
     init_fn, step_fn = make_mpc_controller(
@@ -97,6 +99,8 @@ def test_solver_error_surfaces():
         s.solve("CLDDP")
 
 
+# slow tier: fleet MPC integration (sharded solve parity stays fast)
+@pytest.mark.slow
 def test_warm_start_mpc_controller():
     # IPDDP MPC with solver-state threading between ticks.
     prob = _prob(N=15)
