@@ -29,4 +29,4 @@ from pathlib import Path
 _cache = Path(tempfile.gettempdir()) / "cddp_tpu_xla_cache"
 _cache.mkdir(exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", str(_cache))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)

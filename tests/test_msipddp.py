@@ -147,7 +147,7 @@ def test_use_controlled_rollout_seed():
     [
         ("parallel", True),
         pytest.param("parallel", False, marks=pytest.mark.slow),
-        ("sharded", True),
+        pytest.param("sharded", True, marks=pytest.mark.slow),
         # full-DDP x sharded pays a second shard_map compile (~80s on 1 CPU)
         # for no new math: full-DDP is covered by "parallel", distribution by
         # the iLQR "sharded" case. Kept, but out of the fast tier.

@@ -21,9 +21,9 @@ def test_parallel_matches_sequential(seed, N, n, m):
     B = rng.normal(size=(N, n, m)) * 0.1
 
     args = [jnp.asarray(v) for v in (Q, q, R, r, M, A, B)]
-    K_s, k_s, P_s, p_s, ok = _solve_sequential_lqr(*args)
+    K_s, k_s, P_s, p_s, ok = jax.jit(_solve_sequential_lqr)(*args)
     assert bool(ok)
-    K_p, k_p, S_p, v_p = parallel_lqr_backward(*args)
+    K_p, k_p, S_p, v_p = jax.jit(parallel_lqr_backward)(*args)
 
     np.testing.assert_allclose(np.asarray(K_p), np.asarray(K_s), rtol=1e-8, atol=1e-9)
     np.testing.assert_allclose(np.asarray(k_p), np.asarray(k_s), rtol=1e-8, atol=1e-9)
@@ -159,6 +159,6 @@ def test_parallel_lqr_with_drift():
         P = 0.5 * (Pn + Pn.T)
         Ks[t], ks_[t] = Kt, kt
 
-    K, k, S, v = parallel_lqr_backward(Q, q, R, r, M, A, B, d=d)
+    K, k, S, v = jax.jit(lambda *a: parallel_lqr_backward(*a, d=d))(Q, q, R, r, M, A, B)
     np.testing.assert_allclose(np.asarray(K), Ks, rtol=1e-8, atol=1e-10)
     np.testing.assert_allclose(np.asarray(k), ks_, rtol=1e-8, atol=1e-10)

@@ -25,7 +25,11 @@ def _random_lqr(key, N, n, m, dtype=jnp.float64):
     return Q, q, R, r, M, A, B
 
 
-@pytest.mark.parametrize("N", [16, 23, 40])  # 23: P=24 = 8*3; 40: P=41 needs padding
+@pytest.mark.parametrize("N", [16, pytest.param(23, marks=pytest.mark.slow),
+                               pytest.param(40, marks=pytest.mark.slow)])
+# 23: P=24 = 8*3; 40: P=41 needs padding — each sharded variant pays a
+# fresh ~30s shard_map compile (not covered by the persistent cache), so
+# one representative stays in the fast tier
 def test_sharded_matches_sequential(N):
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
@@ -34,7 +38,7 @@ def test_sharded_matches_sequential(N):
 
     # reference: single-device associative scan (itself parity-tested vs the
     # sequential scan in test_parallel_riccati.py)
-    K_r, k_r, S_r, v_r = parallel_lqr_backward(*args)
+    K_r, k_r, S_r, v_r = jax.jit(parallel_lqr_backward)(*args)
     K, k, S, v = jax.jit(
         lambda *a: sharded_lqr_backward(*a, mesh=mesh)
     )(*args)
@@ -44,6 +48,7 @@ def test_sharded_matches_sequential(N):
     np.testing.assert_allclose(np.asarray(v), np.asarray(v_r), rtol=1e-9, atol=1e-10)
 
 
+@pytest.mark.slow  # ~3 min shard_map compile on 1 CPU
 def test_sharded_matches_ipddp_sequential_lqr():
     """End-to-end against the IPDDP sequential-LQR recursion (the workload
     ipddp_solver.cpp:413-476 — gains must agree)."""
@@ -65,7 +70,7 @@ def test_sharded_with_drift_matches_single_device():
     mesh = horizon_mesh(8)
     Q, q, R, r, M, A, B = _random_lqr(jax.random.PRNGKey(2), 24, n=3, m=2)
     d = 0.2 * jax.random.normal(jax.random.PRNGKey(9), (24, 3))
-    K_r, k_r, S_r, v_r = parallel_lqr_backward(Q, q, R, r, M, A, B, d=d)
+    K_r, k_r, S_r, v_r = jax.jit(lambda *a: parallel_lqr_backward(*a, d=d))(Q, q, R, r, M, A, B)
     K, k, S, v = jax.jit(
         lambda *a: sharded_lqr_backward(*a, mesh=mesh)
     )(Q, q, R, r, M, A, B, d)
