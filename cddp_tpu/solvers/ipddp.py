@@ -148,6 +148,12 @@ class _Carry(NamedTuple):
     it: jax.Array
     status: jax.Array
     done: jax.Array
+    # One-way latch for the slack SOC (ipddp.slack_soc): True while the
+    # correction is active; cleared permanently the first time a line
+    # search fails at (near-)primal-feasibility, because past that point
+    # the re-closure's merit offset is larger than the remaining descent
+    # and would block the certificate endgame (STATUS.md analysis).
+    soc_on: jax.Array
     hist: base.HistoryArrays
 
 
@@ -970,7 +976,7 @@ def _forward_pass(
             # use_constraint_hessians; the reference has no counterpart
             # (it stalls at inf_pr ~ 0.6 on the rendezvous workload).
             s_soc = -g_new
-            ok_soc = (s_soc >= (1.0 - tau) * s) & (s_soc > 0.0)
+            ok_soc = (s_soc >= (1.0 - tau) * s) & (s_soc > 0.0) & c.soc_on
             s_new = jnp.where(ok_soc, s_soc, s_new)
         if has_path:
             ok_ftb = jnp.all(s_new >= (1.0 - tau) * s) & jnp.all(
@@ -1451,6 +1457,7 @@ def _solve(problem: Problem, options: CDDPOptions, X0, U0,
         alpha_du=jnp.asarray(1.0, dtype), it=jnp.asarray(0, jnp.int32),
         status=jnp.asarray(Status.MAX_ITERATIONS_REACHED, jnp.int32),
         done=jnp.asarray(False),
+        soc_on=jnp.asarray(True),
         hist=hist0,
     )
 
@@ -1695,6 +1702,18 @@ def _solve(problem: Problem, options: CDDPOptions, X0, U0,
                         limit, Status.REGULARIZATION_LIMIT_NOT_CONVERGED, ci.status
                     ),
                 ).astype(jnp.int32)
+                # SOC latch: a rejected line search while primal-feasible
+                # means the re-closure itself is blocking progress — switch
+                # it off for the rest of the solve (and retry without the
+                # regularization escalation counting against this attempt).
+                if options.ipddp.slack_soc:
+                    drop_soc = ci.soc_on & (ci.inf_pr < 10.0 * options.tolerance)
+                    return ci._replace(
+                        reg=jnp.where(drop_soc, ci.reg, reg_n),
+                        status=jnp.where(drop_soc, ci.status, status).astype(jnp.int32),
+                        done=jnp.where(drop_soc, False, limit),
+                        soc_on=ci.soc_on & ~drop_soc,
+                    )
                 return ci._replace(reg=reg_n, status=status, done=limit)
 
             c_next = jax.lax.cond(fp_ok, commit, fail, c1)
