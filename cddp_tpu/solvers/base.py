@@ -262,6 +262,28 @@ def print_ip_iteration(it, cost, inf_pr, inf_du, inf_comp, mu, step_norm, reg,
     )
 
 
+def print_debug_backward(solver: str, it, reg, bp_ok):
+    """options.debug backward-pass internals (the reference prints its
+    regularization events under the same flag, e.g. clddp_solver.cpp:135,
+    logddp_solver.cpp:464)."""
+    jax.debug.print(
+        "[debug:{s}] it={it} backward ok={ok} reg={reg:9.2e}",
+        s=solver, it=it, ok=bp_ok, reg=reg,
+    )
+
+
+def print_debug_barrier(solver: str, it, mu_old, mu_new, inf_pr, inf_du,
+                        inf_comp):
+    """options.debug barrier-update trace (ipddp_solver.cpp:2548-2660
+    decisions; logddp_solver.cpp:239-250)."""
+    jax.debug.print(
+        "[debug:{s}] it={it} mu {mo:9.2e} -> {mn:9.2e}  "
+        "inf_pr={pr:8.1e} inf_du={du:8.1e} inf_comp={co:8.1e}",
+        s=solver, it=it, mo=mu_old, mn=mu_new, pr=inf_pr, du=inf_du,
+        co=inf_comp,
+    )
+
+
 def print_ddp_iteration(it, cost, inf_du, reg, alpha):
     """CLDDP-style iteration line (clddp_solver.cpp:279-293)."""
     jax.debug.print(

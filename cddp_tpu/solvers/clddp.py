@@ -252,6 +252,8 @@ def _solve(problem: Problem, options: CDDPOptions, X0, U0, k0, K0):
         bp, reg, _, bp_limit = jax.lax.while_loop(
             bp_cond, bp_body, (bp_init, reg1, bp_init.ok | limit0, limit0)
         )
+        if options.debug:
+            base.print_debug_backward("CLDDP", it, reg, bp.ok)
 
         # Backward-pass regularization exhausted -> not converged
         # (handleBackwardPassRegularizationLimit, cddp_solver_base.cpp:200-204).

@@ -1500,6 +1500,8 @@ def _solve(problem: Problem, options: CDDPOptions, X0, U0,
         bp, reg, _, bp_limit = jax.lax.while_loop(
             bp_cond, bp_body, (bp_i, reg1, bp_i.ok | lim0, lim0)
         )
+        if options.debug:
+            base.print_debug_backward("IPDDP", it, reg, bp.ok)
 
         inf_du_eff = (
             jnp.maximum(bp.inf_du, bp.state_stationarity)

@@ -310,6 +310,8 @@ def _solve(problem: Problem, options: CDDPOptions, X0, U0, k0, K0):
         bp, reg, _, bp_limit = jax.lax.while_loop(
             bp_cond, bp_body, (bp_i, reg1, bp_i.ok | lim0, lim0)
         )
+        if options.debug:
+            base.print_debug_backward("LogDDP", it, reg, bp.ok)
 
         # Regularization exhaustion counts as CONVERGED for LogDDP
         # (logddp_solver.cpp:216-222).

@@ -692,6 +692,8 @@ def _solve(problem: Problem, options: CDDPOptions, X0, U0, warm):
         bp, reg, _, bp_limit = jax.lax.while_loop(
             bp_cond, bp_body, (bp_i, reg1, bp_i.ok | lim0, lim0)
         )
+        if options.debug:
+            base.print_debug_backward("MSIPDDP", it, reg, bp.ok)
 
         c1 = c._replace(
             bp=bp, reg=reg, inf_pr=bp.inf_pr, inf_du=bp.inf_du,

@@ -43,3 +43,18 @@ def test_logddp_full_ddp_second_order():
     assert jnp.isfinite(cd)
     # Full DDP must reach (about) the same optimum as iLQR on this problem.
     assert abs(cd - ci) < 0.05 * max(1.0, abs(ci))
+
+
+def test_debug_flag_prints_backward_internals(capfd):
+    """options.debug emits the backward-pass internals line per iteration
+    (the reference's debug prints, clddp_solver.cpp:135,155)."""
+    import cddp_tpu as ct
+    from cddp_tpu.models import Unicycle
+    import jax.numpy as jnp
+
+    obj = ct.quadratic_objective(0.1 * jnp.eye(3), 0.05 * jnp.eye(2),
+                                 100.0 * jnp.eye(3), jnp.ones(3), 0.05)
+    prob = ct.problem(Unicycle(), obj, jnp.zeros(3), 10, 0.05)
+    sol = ct.solve(prob, "CLDDP", ct.CDDPOptions(max_iterations=2, debug=True))
+    out = capfd.readouterr().out
+    assert "[debug:CLDDP]" in out and "backward ok=" in out
