@@ -102,7 +102,9 @@ def test_terminal_equality():
     opts = ct.CDDPOptions(max_iterations=400, tolerance=1e-4, acceptable_tolerance=1e-5)
     sol = ipddp.solve(prob, opts)
     residual = float(jnp.linalg.norm(sol.state_trajectory[-1] - goal))
-    assert residual < 1e-2, (sol.status_message, residual)
+    # reference bound: residual <= 1e-4 (test_ipddp_solver.cpp:1205-1206);
+    # measured 2e-7 here.
+    assert residual < 1e-4, (sol.status_message, residual)
     assert "TerminalEqualityConstraint" in sol.terminal_duals
 
 
