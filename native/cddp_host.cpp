@@ -1471,3 +1471,417 @@ int cddp_ipddp_solve(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Full LogDDP solver engine — relaxed log-barrier DDP with the (merit,
+// violation) filter acceptance (logddp_solver.cpp / cddp_tpu/solvers/
+// logddp.py semantics). Control-box barrier only (the doubled one-sided
+// distances u - lb and ub - u), iLQR, sequential first-success line search.
+// With CLDDP and IPDDP this completes the native cross-language oracle for
+// three of the four solver strategies.
+// ---------------------------------------------------------------------------
+
+namespace logddp_native {
+
+// (beta, beta', beta'') of the relaxed log barrier
+// (barrier.hpp:274-296 incl. the z <= 1e-12 log-branch guard).
+inline void beta_derivs(double z, double delta, double* b, double* bp,
+                        double* bpp) {
+  if (z > delta) {
+    const double zl = std::max(z, 1e-12);
+    *b = -std::log(zl);
+    *bp = -1.0 / zl;
+    *bpp = 1.0 / (zl * zl);
+  } else {
+    const double term = (z - 2.0 * delta) / delta;
+    *b = 0.5 * (term * term - 1.0) - std::log(delta);
+    *bp = term / delta;
+    *bpp = 1.0 / (delta * delta);
+  }
+}
+
+}  // namespace logddp_native
+
+extern "C" {
+
+// Options layout (doubles):
+//  [0] max_iterations [1] tolerance [2] acceptable_tolerance
+//  [3] reg_init [4] reg_min [5] reg_max [6] reg_factor
+//  [7] ls_max_iterations [8] ls_initial [9] ls_min [10] ls_reduction
+//  [11] mu_initial [12] mu_min [13] mu_update_factor
+//  [14] relaxed_log_barrier_delta
+//  [15] filter.merit_acceptance [16] filter.violation_acceptance
+//  [17] filter.max_violation [18] filter.min_violation_for_armijo
+//  [19] filter.armijo_constant
+// Writes [cost, cv (=inf_pr), inf_du, mu, iterations] to out_stats and
+// returns a cddp_tpu.solution.Status code.
+int cddp_logddp_solve(
+    int model_id, const double* params, int N, double dt,
+    const double* Qs, const double* Rs, const double* Qf, const double* goal,
+    const double* x0, const double* lower, const double* upper,
+    const double* opts, const double* U0,
+    double* X, double* U, double* out_stats) {
+  using logddp_native::beta_derivs;
+  const Model mdl{model_id == 0 ? 3 : 2, model_id == 0 ? 2 : 1};
+  const int nx = mdl.nx, nu = mdl.nu;
+
+  const int max_iterations = (int)opts[0];
+  const double tolerance = opts[1], acceptable_tolerance = opts[2];
+  const double reg_init = opts[3], reg_min = opts[4], reg_max = opts[5],
+               reg_factor = opts[6];
+  const int ls_max = (int)opts[7];
+  const double ls_initial = opts[8], ls_min = opts[9], ls_red = opts[10];
+  const double mu_initial = opts[11], mu_min = opts[12],
+               mu_update_factor = opts[13];
+  const double delta = opts[14];
+  const double f_merit_acc = opts[15], f_viol_acc = opts[16],
+               f_max_viol = opts[17], f_min_viol_armijo = opts[18],
+               f_armijo = opts[19];
+
+  std::vector<double> alphas;
+  {
+    double a = ls_initial;
+    for (int i = 0; i < std::max(1, ls_max); ++i) {
+      alphas.push_back(a);
+      a *= ls_red;
+      if (a < ls_min && i < ls_max - 1) {
+        alphas.push_back(ls_min);
+        break;
+      }
+    }
+  }
+
+  std::vector<double> xdot(nx), Fx(nx * nx), Fu(nx * nu);
+  auto rollout = [&](const double* Uc, double* Xc) {
+    std::memcpy(Xc, x0, sizeof(double) * nx);
+    for (int t = 0; t < N; ++t) {
+      mdl.f(&Xc[t * nx], &Uc[t * nu], params, xdot.data());
+      for (int i = 0; i < nx; ++i)
+        Xc[(t + 1) * nx + i] = Xc[t * nx + i] + dt * xdot[i];
+    }
+  };
+  auto run_cost = [&](const double* x, const double* u) {
+    double J = 0.0;
+    for (int i = 0; i < nx; ++i) {
+      double e_i = x[i] - goal[i];
+      for (int j = 0; j < nx; ++j) J += e_i * Qs[i * nx + j] * (x[j] - goal[j]);
+    }
+    for (int i = 0; i < nu; ++i)
+      for (int j = 0; j < nu; ++j) J += u[i] * Rs[i * nu + j] * u[j];
+    return J;
+  };
+  auto term_cost = [&](const double* x) {
+    double J = 0.0;
+    for (int i = 0; i < nx; ++i) {
+      double e_i = x[i] - goal[i];
+      for (int j = 0; j < nx; ++j) J += e_i * Qf[i * nx + j] * (x[j] - goal[j]);
+    }
+    return J;
+  };
+  // Barrier penalty + l1 violation over the whole trajectory
+  // (_merit_and_violation).
+  auto barrier_and_violation = [&](const double* Uc, double mu_, double* bc,
+                                   double* cv) {
+    *bc = 0.0;
+    *cv = 0.0;
+    for (int t = 0; t < N; ++t)
+      for (int j = 0; j < nu; ++j) {
+        const double u = Uc[t * nu + j];
+        double b, bp, bpp;
+        beta_derivs(u - lower[j], delta, &b, &bp, &bpp);
+        *bc += mu_ * b;
+        beta_derivs(upper[j] - u, delta, &b, &bp, &bpp);
+        *bc += mu_ * b;
+        *cv += std::max(lower[j] - u, 0.0) + std::max(u - upper[j], 0.0);
+      }
+  };
+
+  std::memcpy(U, U0, sizeof(double) * N * nu);
+  rollout(U, X);
+  double cost = 0.0;
+  for (int t = 0; t < N; ++t) cost += run_cost(&X[t * nx], &U[t * nu]);
+  cost += term_cost(&X[N * nx]);
+  double mu = mu_initial;
+  double bc0, cv;
+  barrier_and_violation(U, mu, &bc0, &cv);
+  double merit = cost + bc0;
+
+  double reg = reg_init;
+  double inf_du = 1e300;
+  int status = 0;  // MAX_ITERATIONS_REACHED
+  int it = 0;
+
+  std::vector<double> ks(N * nu), Ks(N * nu * nx);
+  std::vector<double> Vx(nx), Vxx(nx * nx),
+      work(std::max(nx, nu) * std::max(nx, nu));
+  std::vector<double> A(nx * nx), B(nx * nu);
+  std::vector<double> Xtry((N + 1) * nx), Utry(N * nu);
+
+  for (it = 0; it < max_iterations;) {
+    ++it;
+    // preIterationSetup (logddp_solver.cpp:209-214): re-evaluate the
+    // nominal merit/violation under the CURRENT mu.
+    barrier_and_violation(U, mu, &bc0, &cv);
+    merit = cost + bc0;
+
+    // ---- backward pass with regularization retry -------------------------
+    double dV0 = 0.0, dV1 = 0.0, Qu_err = 0.0;
+    bool bp_ok = false, bp_limit = false;
+    while (true) {
+      bool ok = true;
+      dV0 = dV1 = Qu_err = 0.0;
+      for (int i = 0; i < nx; ++i) {
+        double s = 0.0;
+        for (int j = 0; j < nx; ++j)
+          s += 2.0 * Qf[i * nx + j] * (X[N * nx + j] - goal[j]);
+        Vx[i] = s;
+        for (int j = 0; j < nx; ++j) Vxx[i * nx + j] = 2.0 * Qf[i * nx + j];
+      }
+      for (int t = N - 1; t >= 0 && ok; --t) {
+        const double* xt = &X[t * nx];
+        const double* ut = &U[t * nu];
+        mdl.jac(xt, ut, params, Fx.data(), Fu.data());
+        for (int i = 0; i < nx; ++i)
+          for (int j = 0; j < nx; ++j)
+            A[i * nx + j] = (i == j ? 1.0 : 0.0) + dt * Fx[i * nx + j];
+        for (int i = 0; i < nx; ++i)
+          for (int j = 0; j < nu; ++j) B[i * nu + j] = dt * Fu[i * nu + j];
+
+        std::vector<double> Qx(nx), Qu(nu), Qxx(nx * nx), Qux(nu * nx),
+            Quu(nu * nu);
+        for (int i = 0; i < nx; ++i) {
+          double s = 0.0;
+          for (int j = 0; j < nx; ++j)
+            s += 2.0 * Qs[i * nx + j] * (xt[j] - goal[j]);
+          for (int k2 = 0; k2 < nx; ++k2) s += A[k2 * nx + i] * Vx[k2];
+          Qx[i] = s;
+        }
+        // barrier gradient/Hessian in u (box rows only; bx/bxx/bux = 0)
+        for (int i = 0; i < nu; ++i) {
+          double bL, bLp, bLpp, bU, bUp, bUpp;
+          beta_derivs(ut[i] - lower[i], delta, &bL, &bLp, &bLpp);
+          beta_derivs(upper[i] - ut[i], delta, &bU, &bUp, &bUpp);
+          double s = mu * (bLp - bUp);
+          for (int j = 0; j < nu; ++j) s += 2.0 * Rs[i * nu + j] * ut[j];
+          for (int k2 = 0; k2 < nx; ++k2) s += B[k2 * nu + i] * Vx[k2];
+          Qu[i] = s;
+          for (int j = 0; j < nu; ++j) Quu[i * nu + j] = 0.0;
+          Quu[i * nu + i] = mu * (bLpp + bUpp);
+        }
+        std::vector<double> VA(nx * nx), VB(nx * nu);
+        for (int i = 0; i < nx; ++i)
+          for (int j = 0; j < nx; ++j) {
+            double s = 0.0;
+            for (int k2 = 0; k2 < nx; ++k2)
+              s += Vxx[i * nx + k2] * A[k2 * nx + j];
+            VA[i * nx + j] = s;
+          }
+        for (int i = 0; i < nx; ++i)
+          for (int j = 0; j < nu; ++j) {
+            double s = 0.0;
+            for (int k2 = 0; k2 < nx; ++k2)
+              s += Vxx[i * nx + k2] * B[k2 * nu + j];
+            VB[i * nu + j] = s;
+          }
+        for (int i = 0; i < nx; ++i)
+          for (int j = 0; j < nx; ++j) {
+            double s = 2.0 * Qs[i * nx + j];
+            for (int k2 = 0; k2 < nx; ++k2)
+              s += A[k2 * nx + i] * VA[k2 * nx + j];
+            Qxx[i * nx + j] = s;
+          }
+        for (int i = 0; i < nu; ++i)
+          for (int j = 0; j < nx; ++j) {
+            double s = 0.0;
+            for (int k2 = 0; k2 < nx; ++k2)
+              s += B[k2 * nu + i] * VA[k2 * nx + j];
+            Qux[i * nx + j] = s;
+          }
+        for (int i = 0; i < nu; ++i)
+          for (int j = 0; j < nu; ++j) {
+            double s = Quu[i * nu + j] + 2.0 * Rs[i * nu + j];
+            for (int k2 = 0; k2 < nx; ++k2)
+              s += B[k2 * nu + i] * VB[k2 * nu + j];
+            Quu[i * nu + j] = s;
+          }
+        std::vector<double> Quu_reg(Quu), rhs(nu * (1 + nx)), kK(nu * (1 + nx));
+        for (int i = 0; i < nu; ++i)
+          for (int j = 0; j < nu; ++j)
+            Quu_reg[i * nu + j] =
+                0.5 * (Quu[i * nu + j] + Quu[j * nu + i]) +
+                (i == j ? reg : 0.0);
+        for (int i = 0; i < nu; ++i) {
+          rhs[i * (1 + nx) + 0] = Qu[i];
+          for (int j = 0; j < nx; ++j) rhs[i * (1 + nx) + 1 + j] = Qux[i * nx + j];
+        }
+        if (!chol_solve(Quu_reg.data(), rhs.data(), kK.data(), nu, 1 + nx,
+                        work.data())) {
+          ok = false;
+          break;
+        }
+        double* kt = &ks[t * nu];
+        double* Kt = &Ks[t * nu * nx];
+        for (int i = 0; i < nu; ++i) {
+          kt[i] = -kK[i * (1 + nx) + 0];
+          for (int j = 0; j < nx; ++j) Kt[i * nx + j] = -kK[i * (1 + nx) + 1 + j];
+        }
+        for (int i = 0; i < nu; ++i) dV0 += Qu[i] * kt[i];
+        for (int i = 0; i < nu; ++i)
+          for (int j = 0; j < nu; ++j)
+            dV1 += 0.5 * kt[i] * Quu[i * nu + j] * kt[j];
+
+        std::vector<double> Quu_k(nu, 0.0), QuuK(nu * nx, 0.0);
+        for (int i = 0; i < nu; ++i)
+          for (int j = 0; j < nu; ++j) Quu_k[i] += Quu[i * nu + j] * kt[j];
+        for (int i = 0; i < nu; ++i)
+          for (int j = 0; j < nx; ++j) {
+            double s = 0.0;
+            for (int k2 = 0; k2 < nu; ++k2)
+              s += Quu[i * nu + k2] * Kt[k2 * nx + j];
+            QuuK[i * nx + j] = s;
+          }
+        std::vector<double> Vx_new(nx), Vxx_new(nx * nx);
+        for (int i = 0; i < nx; ++i) {
+          double s = Qx[i];
+          for (int k2 = 0; k2 < nu; ++k2) {
+            s += Kt[k2 * nx + i] * Quu_k[k2];
+            s += Qux[k2 * nx + i] * kt[k2];
+            s += Kt[k2 * nx + i] * Qu[k2];
+          }
+          Vx_new[i] = s;
+        }
+        for (int i = 0; i < nx; ++i)
+          for (int j = 0; j < nx; ++j) {
+            double s = Qxx[i * nx + j];
+            for (int k2 = 0; k2 < nu; ++k2) {
+              s += Kt[k2 * nx + i] * QuuK[k2 * nx + j];
+              s += Qux[k2 * nx + i] * Kt[k2 * nx + j];
+              s += Qux[k2 * nx + j] * Kt[k2 * nx + i];
+            }
+            Vxx_new[i * nx + j] = s;
+          }
+        for (int i = 0; i < nx; ++i)
+          for (int j = 0; j < nx; ++j)
+            Vxx[i * nx + j] = 0.5 * (Vxx_new[i * nx + j] + Vxx_new[j * nx + i]);
+        std::memcpy(Vx.data(), Vx_new.data(), sizeof(double) * nx);
+        for (int i = 0; i < nu; ++i)
+          Qu_err = std::max(Qu_err, std::fabs(Qu[i]));
+      }
+      if (ok) {
+        bp_ok = true;
+        break;
+      }
+      const double reg_next = std::min(reg * reg_factor, reg_max);
+      if (reg_next >= reg_max) {
+        reg = reg_next;
+        bp_limit = true;
+        break;
+      }
+      reg = reg_next;
+    }
+    inf_du = Qu_err;
+    if (bp_limit) {
+      status = 4;  // REGULARIZATION_LIMIT_CONVERGED (LogDDP quirk)
+      break;
+    }
+
+    // ---- sequential first-success filter line search ----------------------
+    bool fp_ok = false;
+    double J_new = cost, merit_new = merit, cv_new = cv;
+    for (double a : alphas) {
+      std::memcpy(Xtry.data(), x0, sizeof(double) * nx);
+      double J = 0.0;
+      bool finite = true;
+      for (int t = 0; t < N && finite; ++t) {
+        const double* xt = &Xtry[t * nx];
+        double u_t[8];
+        for (int i = 0; i < nu; ++i) {
+          double du = a * ks[t * nu + i];
+          for (int j = 0; j < nx; ++j)
+            du += Ks[t * nu * nx + i * nx + j] * (xt[j] - X[t * nx + j]);
+          u_t[i] = U[t * nu + i] + du;  // NOT clamped (logddp rollout)
+          if (!std::isfinite(u_t[i])) finite = false;
+        }
+        J += run_cost(xt, u_t);
+        mdl.f(xt, u_t, params, xdot.data());
+        for (int i = 0; i < nx; ++i) {
+          const double xn = xt[i] + dt * xdot[i];
+          if (!std::isfinite(xn)) finite = false;
+          Xtry[(t + 1) * nx + i] = xn;
+        }
+        std::memcpy(&Utry[t * nu], u_t, sizeof(double) * nu);
+      }
+      if (!finite) continue;
+      J += term_cost(&Xtry[N * nx]);
+      double bc_t, cv_t;
+      barrier_and_violation(Utry.data(), mu, &bc_t, &cv_t);
+      const double m_t = J + bc_t;
+
+      // Filter acceptance (logddp_solver.cpp:666-698).
+      const double expected_improvement = a * dV0;
+      bool accept;
+      if (cv_t > f_max_viol) {
+        accept = cv_t < (1.0 - f_viol_acc) * cv;
+      } else if (std::max(cv_t, cv) < f_min_viol_armijo &&
+                 expected_improvement < 0.0) {
+        accept = m_t < merit + f_armijo * expected_improvement;
+      } else {
+        accept = (m_t < merit - f_merit_acc * cv) ||
+                 (cv_t < (1.0 - f_viol_acc) * cv);
+      }
+      if (accept) {
+        fp_ok = true;
+        J_new = J;
+        merit_new = m_t;
+        cv_new = cv_t;
+        std::memcpy(X, Xtry.data(), sizeof(double) * (N + 1) * nx);
+        std::memcpy(U, Utry.data(), sizeof(double) * N * nu);
+        break;
+      }
+    }
+
+    const double dJ = cost - J_new;
+    const double dL = merit - merit_new;
+    if (fp_ok) {
+      cost = J_new;
+      merit = merit_new;
+      cv = cv_new;
+      reg = std::max(reg / reg_factor, reg_min);
+    } else {
+      reg = std::min(reg * reg_factor, reg_max);
+    }
+    const bool fp_limit = !fp_ok && reg >= reg_max;
+
+    // Convergence (logddp_solver.cpp:232-259): metric = max(inf_du, cv).
+    const double metric = std::max(inf_du, cv);
+    const bool conv_opt = fp_ok && metric <= tolerance;
+    const bool conv_acc = fp_ok && std::fabs(dJ) < acceptable_tolerance &&
+                          std::fabs(dL) < acceptable_tolerance;
+
+    // Barrier update (postIterationUpdate, :264-276).
+    mu = fp_ok ? std::max(mu_min, mu * mu_update_factor)
+               : std::min(mu_initial, mu * 5.0);
+
+    if (conv_opt) {
+      status = 1;
+      break;
+    }
+    if (conv_acc) {
+      status = 2;
+      break;
+    }
+    if (fp_limit) {
+      status = 3;
+      break;
+    }
+  }
+
+  out_stats[0] = cost;
+  out_stats[1] = cv;
+  out_stats[2] = inf_du;
+  out_stats[3] = mu;
+  out_stats[4] = double(it);
+  return status;
+}
+
+}  // extern "C"
