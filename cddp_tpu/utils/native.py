@@ -315,3 +315,63 @@ def logddp_solve(model_id, params, N, dt, Qs, Rs, Qf, goal, x0,
     info = dict(cost=stats[0], cv=stats[1], inf_du=stats[2], mu=stats[3],
                 iters=int(stats[4]))
     return status, X, U, info
+
+
+def msipddp_solve(model_id, params, N, dt, Qs, Rs, Qf, goal, x0,
+                  lower, upper, U0=None,
+                  max_iterations=100, tolerance=1e-5,
+                  acceptable_tolerance=1e-6, reg_init=1e-6, reg_min=1e-10,
+                  reg_max=1e7, reg_factor=10.0,
+                  ls_max_iterations=11, ls_initial=1.0, ls_min=1e-8,
+                  ls_reduction=0.5,
+                  mu_initial=1.0, mu_min=1e-10, mu_update_factor=0.5,
+                  mu_update_power=1.2, min_fraction_to_boundary=0.99,
+                  filter_merit_acceptance=1e-6,
+                  filter_violation_acceptance=1e-6,
+                  filter_max_violation=1e4, filter_min_violation_armijo=1e-7,
+                  filter_armijo_constant=1e-4,
+                  dual_var_init_scale=1e-1, slack_var_init_scale=1e-2,
+                  segment_length=5, costate_var_init_scale=1e-6):
+    """Full native MSIPDDP solve (cddp_msipddp_solve in cddp_host.cpp) —
+    multiple-shooting interior-point oracle (msipddp_solver.cpp semantics:
+    defect-aware backward with costates, nonlinear segment gap-closing,
+    separate dual alpha ladder, l1-defect filter, sd-scaled inf_du,
+    ADAPTIVE barrier). Control box, iLQR, cold start. Returns
+    (status, X, U, dict(cost, inf_pr, inf_du, inf_comp, mu, iters))."""
+    lib = load()
+    nx = 3 if model_id == 0 else 2
+    nu = 2 if model_id == 0 else 1
+    params = np.ascontiguousarray(
+        params if params is not None else np.zeros(3), dtype=np.float64
+    )
+    arrs = [np.ascontiguousarray(a, dtype=np.float64)
+            for a in (Qs, Rs, Qf, goal, x0, lower, upper)]
+    Qs, Rs, Qf, goal, x0, lower, upper = arrs
+    opts = np.asarray([
+        max_iterations, tolerance, acceptable_tolerance,
+        reg_init, reg_min, reg_max, reg_factor,
+        ls_max_iterations, ls_initial, ls_min, ls_reduction,
+        mu_initial, mu_min, mu_update_factor, mu_update_power,
+        min_fraction_to_boundary,
+        filter_merit_acceptance, filter_violation_acceptance,
+        filter_max_violation, filter_min_violation_armijo,
+        filter_armijo_constant,
+        dual_var_init_scale, slack_var_init_scale,
+        segment_length, costate_var_init_scale,
+    ], dtype=np.float64)
+    X = np.zeros((N + 1, nx))
+    U0 = np.ascontiguousarray(
+        U0 if U0 is not None else np.zeros((N, nu)), dtype=np.float64
+    )
+    U = np.zeros((N, nu))
+    stats = np.zeros(6)
+    lib.cddp_msipddp_solve.restype = ctypes.c_int
+    status = lib.cddp_msipddp_solve(
+        ctypes.c_int(model_id), _cptr(params), ctypes.c_int(N),
+        ctypes.c_double(dt), _cptr(Qs), _cptr(Rs), _cptr(Qf), _cptr(goal),
+        _cptr(x0), _cptr(lower), _cptr(upper), _cptr(opts), _cptr(U0),
+        _cptr(X), _cptr(U), _cptr(stats),
+    )
+    info = dict(cost=stats[0], inf_pr=stats[1], inf_du=stats[2],
+                inf_comp=stats[3], mu=stats[4], iters=int(stats[5]))
+    return status, X, U, info

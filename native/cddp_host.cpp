@@ -1885,3 +1885,630 @@ int cddp_logddp_solve(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Full MSIPDDP solver engine — multiple-shooting interior-point DDP
+// (msipddp_solver.cpp / cddp_tpu/solvers/msipddp.py semantics): defect-aware
+// condensed backward with costates, segment gap-closing "nonlinear" rollout,
+// separate dual step-size ladder, l1-defect filter violation, IPOPT
+// sd-scaled dual infeasibility, ADAPTIVE barrier with the slow-progress
+// rule, filter restoration before regularization. Control box only, iLQR,
+// cold start. Completes the native cross-language oracle for all FOUR
+// solver strategies.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// Options layout (doubles):
+//  [0] max_iterations [1] tolerance [2] acceptable_tolerance
+//  [3] reg_init [4] reg_min [5] reg_max [6] reg_factor
+//  [7] ls_max_iterations [8] ls_initial [9] ls_min [10] ls_reduction
+//  [11] mu_initial [12] mu_min [13] mu_update_factor [14] mu_update_power
+//  [15] min_fraction_to_boundary
+//  [16] filter.merit_acceptance [17] filter.violation_acceptance
+//  [18] filter.max_violation(unused) [19] filter.min_violation_for_armijo
+//  [20] filter.armijo_constant
+//  [21] dual_var_init_scale [22] slack_var_init_scale
+//  [23] segment_length [24] costate_var_init_scale
+// Writes [cost, inf_pr, inf_du, inf_comp, mu, iterations] to out_stats.
+int cddp_msipddp_solve(
+    int model_id, const double* params, int N, double dt,
+    const double* Qs, const double* Rs, const double* Qf, const double* goal,
+    const double* x0, const double* lower, const double* upper,
+    const double* opts, const double* U0,
+    double* X, double* U, double* out_stats) {
+  using ipddp_native::Filter;
+  const Model mdl{model_id == 0 ? 3 : 2, model_id == 0 ? 2 : 1};
+  const int nx = mdl.nx, nu = mdl.nu;
+  const int m = 2 * nu;
+
+  const int max_iterations = (int)opts[0];
+  const double tolerance = opts[1], acceptable_tolerance = opts[2];
+  const double reg_init = opts[3], reg_min = opts[4], reg_max = opts[5],
+               reg_factor = opts[6];
+  const int ls_max = (int)opts[7];
+  const double ls_initial = opts[8], ls_min = opts[9], ls_red = opts[10];
+  const double mu_initial = opts[11], mu_update_factor = opts[13],
+               mu_update_power = opts[14], min_ftb = opts[15];
+  const double f_merit_acc = opts[16], f_viol_acc = opts[17],
+               f_min_viol_armijo = opts[19], f_armijo = opts[20];
+  const double y0_scale = opts[21], s0_scale = opts[22];
+  const int seg = (int)opts[23];
+  const double costate_init = opts[24];
+
+  std::vector<double> alphas;
+  {
+    double a = ls_initial;
+    for (int i = 0; i < std::max(1, ls_max); ++i) {
+      alphas.push_back(a);
+      a *= ls_red;
+      if (a < ls_min && i < ls_max - 1) {
+        alphas.push_back(ls_min);
+        break;
+      }
+    }
+  }
+
+  auto eval_g = [&](const double* u, double* g) {
+    for (int i = 0; i < nu; ++i) g[i] = -u[i] + lower[i];
+    for (int i = 0; i < nu; ++i) g[nu + i] = u[i] - upper[i];
+  };
+  // Gu rows: [-I; I]; Gx = 0.
+  std::vector<double> xdot(nx), Fx(nx * nx), Fu(nx * nu);
+  auto run_cost = [&](const double* x, const double* u) {
+    double J = 0.0;
+    for (int i = 0; i < nx; ++i) {
+      double e_i = x[i] - goal[i];
+      for (int j = 0; j < nx; ++j) J += e_i * Qs[i * nx + j] * (x[j] - goal[j]);
+    }
+    for (int i = 0; i < nu; ++i)
+      for (int j = 0; j < nu; ++j) J += u[i] * Rs[i * nu + j] * u[j];
+    return J;
+  };
+  auto term_cost = [&](const double* x) {
+    double J = 0.0;
+    for (int i = 0; i < nx; ++i) {
+      double e_i = x[i] - goal[i];
+      for (int j = 0; j < nx; ++j) J += e_i * Qf[i * nx + j] * (x[j] - goal[j]);
+    }
+    return J;
+  };
+
+  // --- cold-start init (msipddp_solver.cpp:192-265, 644-707) --------------
+  std::memcpy(U, U0, sizeof(double) * N * nu);
+  std::memcpy(X, x0, sizeof(double) * nx);
+  for (int t = 0; t < N; ++t) {
+    mdl.f(&X[t * nx], &U[t * nu], params, xdot.data());
+    for (int i = 0; i < nx; ++i)
+      X[(t + 1) * nx + i] = X[t * nx + i] + dt * xdot[i];
+  }
+  std::vector<double> F(N * nx);
+  std::memcpy(F.data(), &X[nx], sizeof(double) * N * nx);
+  double mu = mu_initial;
+  std::vector<double> Lambda(N * nx, costate_init);
+  std::vector<double> G(N * m), S(N * m), Y(N * m);
+  for (int t = 0; t < N; ++t) eval_g(&U[t * nu], &G[t * m]);
+  for (int i = 0; i < N * m; ++i) {
+    S[i] = std::max(s0_scale, -G[i]);
+    Y[i] = std::min(std::max(mu / std::max(S[i], 1e-12), y0_scale * 0.01),
+                    y0_scale * 100.0);
+  }
+
+  double cost = 0.0;
+  for (int t = 0; t < N; ++t) cost += run_cost(&X[t * nx], &U[t * nu]);
+  cost += term_cost(&X[N * nx]);
+
+  // resetBarrierFilter quantities (merit, inf_pr incl defects, cv, comp).
+  auto reset_quantities = [&](double mu_, double* merit, double* inf_pr,
+                              double* inf_comp, double* cv) {
+    *merit = cost;
+    *inf_pr = 0.0;
+    *inf_comp = 0.0;
+    *cv = 0.0;
+    double inf_defect = 0.0, cv_defect = 0.0;
+    for (int i = 0; i < N * m; ++i) {
+      *merit -= mu_ * std::log(S[i]);
+      const double rp = G[i] + S[i];
+      *inf_pr = std::max(*inf_pr, std::fabs(rp));
+      *cv += std::fabs(rp);
+      *inf_comp = std::max(*inf_comp, std::fabs(Y[i] * S[i] - mu_));
+    }
+    for (int t = 0; t < N; ++t)
+      for (int i = 0; i < nx; ++i) {
+        const double d = F[t * nx + i] - X[(t + 1) * nx + i];
+        inf_defect = std::max(inf_defect, std::fabs(d));
+        cv_defect += std::fabs(d);
+      }
+    *inf_pr = std::max(*inf_pr, inf_defect);
+    *cv += cv_defect;
+  };
+
+  double merit, inf_pr, inf_comp, cv;
+  reset_quantities(mu, &merit, &inf_pr, &inf_comp, &cv);
+  Filter filt;
+  filt.accept(merit, cv);
+
+  auto sd_scale = [&](double raw_inf_du) {
+    double y_l1 = 0.0, s_l1 = 0.0;
+    for (int i = 0; i < N * m; ++i) {
+      y_l1 += std::fabs(Y[i]);
+      s_l1 += std::fabs(S[i]);
+    }
+    const double sd =
+        std::max(100.0, (y_l1 + s_l1) / double(N * m + N * nu)) / 100.0;
+    return raw_inf_du / sd;
+  };
+
+  // MSIPDDP filter acceptance (isFilterAcceptable, :789-827).
+  auto filter_ok = [&](double mf, double cvn, double expected) {
+    if (filt.size() == 0) return true;
+    for (int i = 0; i < filt.size(); ++i)
+      if (filt.mf[i] <= mf && filt.cv[i] <= cvn) return false;  // dominated
+    int ibv = 0;
+    for (int i = 1; i < filt.size(); ++i)
+      if (filt.cv[i] < filt.cv[ibv]) ibv = i;
+    const double best_violation = filt.cv[ibv];
+    const double best_merit = filt.mf[ibv];
+    const bool violation_improvement =
+        cvn < best_violation * (1.0 - f_viol_acc);
+    const bool merit_improvement = mf < best_merit - f_merit_acc * cvn;
+    if (cvn < f_min_viol_armijo && expected < 0.0)
+      return mf < best_merit + f_armijo * expected;
+    const bool tiny_ok = (cvn < 1e-6) && (mf <= best_merit * (1.0 + 1e-8));
+    return tiny_ok || violation_improvement || merit_improvement;
+  };
+
+  double reg = reg_init;
+  double inf_du = 0.0, step_norm = 0.0, alpha_pr_acc = 1.0;
+  int status = 0;
+  int it = 0;
+
+  std::vector<double> k_u(N * nu), K_u(N * nu * nx), k_y(N * m),
+      K_y(N * m * nx), k_s(N * m), K_s(N * m * nx), k_lam(N * nx),
+      K_lam(N * nx * nx);
+  std::vector<double> Vx(nx), Vxx(nx * nx),
+      work(std::max(nx, nu) * std::max(nx, nu));
+  std::vector<double> A(nx * nx), B(nx * nu);
+  std::vector<double> Xtry((N + 1) * nx), Utry(N * nu), Stry(N * m),
+      Ytry(N * m), Gtry(N * m), Ftry(N * nx), Lamtry(N * nx),
+      dX_real(N * nx);
+
+  for (it = 0; it < max_iterations;) {
+    ++it;
+    // ---- defect-aware backward with regularization retry -----------------
+    double dV0 = 0.0, dV1 = 0.0;
+    double bp_inf_du = 0.0, bp_inf_pr = 0.0, bp_inf_comp = 0.0,
+           bp_inf_defect = 0.0, bp_step_norm = 0.0;
+    bool bp_ok = false, bp_limit = false;
+    while (true) {
+      bool ok = true;
+      dV0 = dV1 = 0.0;
+      bp_inf_du = bp_inf_pr = bp_inf_comp = bp_inf_defect = bp_step_norm = 0.0;
+      for (int i = 0; i < nx; ++i) {
+        double s = 0.0;
+        for (int j = 0; j < nx; ++j)
+          s += 2.0 * Qf[i * nx + j] * (X[N * nx + j] - goal[j]);
+        Vx[i] = s;
+        for (int j = 0; j < nx; ++j) Vxx[i * nx + j] = 2.0 * Qf[i * nx + j];
+      }
+      for (int t = N - 1; t >= 0 && ok; --t) {
+        const double* xt = &X[t * nx];
+        const double* ut = &U[t * nu];
+        const double* gt = &G[t * m];
+        const double* st = &S[t * m];
+        const double* yt = &Y[t * m];
+        double d[8];
+        for (int i = 0; i < nx; ++i)
+          d[i] = F[t * nx + i] - X[(t + 1) * nx + i];
+        mdl.jac(xt, ut, params, Fx.data(), Fu.data());
+        for (int i = 0; i < nx; ++i)
+          for (int j = 0; j < nx; ++j)
+            A[i * nx + j] = (i == j ? 1.0 : 0.0) + dt * Fx[i * nx + j];
+        for (int i = 0; i < nx; ++i)
+          for (int j = 0; j < nu; ++j) B[i * nu + j] = dt * Fu[i * nu + j];
+
+        double drift[8];
+        for (int i = 0; i < nx; ++i) {
+          double s = Vx[i];
+          for (int j = 0; j < nx; ++j) s += Vxx[i * nx + j] * d[j];
+          drift[i] = s;
+        }
+        std::vector<double> Qx(nx), Qu(nu), Qxx(nx * nx), Qux(nu * nx),
+            Quu(nu * nu);
+        for (int i = 0; i < nx; ++i) {
+          double s = 0.0;
+          for (int j = 0; j < nx; ++j)
+            s += 2.0 * Qs[i * nx + j] * (xt[j] - goal[j]);
+          for (int k2 = 0; k2 < nx; ++k2) s += A[k2 * nx + i] * drift[k2];
+          Qx[i] = s;  // Gx = 0 for the box
+        }
+        for (int i = 0; i < nu; ++i) {
+          double s = 0.0;
+          for (int j = 0; j < nu; ++j) s += 2.0 * Rs[i * nu + j] * ut[j];
+          // Gu' y rows: -y[i] + y[nu+i]
+          s += -yt[i] + yt[nu + i];
+          for (int k2 = 0; k2 < nx; ++k2) s += B[k2 * nu + i] * drift[k2];
+          Qu[i] = s;
+        }
+        std::vector<double> VA(nx * nx), VB(nx * nu);
+        for (int i = 0; i < nx; ++i)
+          for (int j = 0; j < nx; ++j) {
+            double s = 0.0;
+            for (int k2 = 0; k2 < nx; ++k2)
+              s += Vxx[i * nx + k2] * A[k2 * nx + j];
+            VA[i * nx + j] = s;
+          }
+        for (int i = 0; i < nx; ++i)
+          for (int j = 0; j < nu; ++j) {
+            double s = 0.0;
+            for (int k2 = 0; k2 < nx; ++k2)
+              s += Vxx[i * nx + k2] * B[k2 * nu + j];
+            VB[i * nu + j] = s;
+          }
+        for (int i = 0; i < nx; ++i)
+          for (int j = 0; j < nx; ++j) {
+            double s = 2.0 * Qs[i * nx + j];
+            for (int k2 = 0; k2 < nx; ++k2)
+              s += A[k2 * nx + i] * VA[k2 * nx + j];
+            Qxx[i * nx + j] = s;
+          }
+        for (int i = 0; i < nu; ++i)
+          for (int j = 0; j < nx; ++j) {
+            double s = 0.0;
+            for (int k2 = 0; k2 < nx; ++k2)
+              s += B[k2 * nu + i] * VA[k2 * nx + j];
+            Qux[i * nx + j] = s;
+          }
+        for (int i = 0; i < nu; ++i)
+          for (int j = 0; j < nu; ++j) {
+            double s = 2.0 * Rs[i * nu + j];
+            for (int k2 = 0; k2 < nx; ++k2)
+              s += B[k2 * nu + i] * VB[k2 * nu + j];
+            Quu[i * nu + j] = s;
+          }
+
+        // condensation — UNCLIPPED ratios (msipddp_solver.cpp:1330-1345)
+        std::vector<double> ys_inv(m), pr_res(m), comp_res(m), rhat(m),
+            s_inv_rhat(m);
+        for (int r = 0; r < m; ++r) {
+          ys_inv[r] = yt[r] / st[r];
+          pr_res[r] = gt[r] + st[r];
+          comp_res[r] = yt[r] * st[r] - mu;
+          rhat[r] = yt[r] * pr_res[r] - comp_res[r];
+          s_inv_rhat[r] = rhat[r] / st[r];
+          bp_inf_pr = std::max(bp_inf_pr, std::fabs(pr_res[r]));
+          bp_inf_comp = std::max(bp_inf_comp, std::fabs(comp_res[r]));
+        }
+        for (int i = 0; i < nx; ++i)
+          bp_inf_defect = std::max(bp_inf_defect, std::fabs(d[i]));
+
+        // Quu_reg = sym(Quu) + Gu' YS^-1 Gu + reg I; Gu'diag rows give
+        // diagonal ys_inv[i] + ys_inv[nu+i].
+        std::vector<double> Quu_reg(nu * nu), rhs(nu * (1 + nx)),
+            kK(nu * (1 + nx));
+        for (int i = 0; i < nu; ++i)
+          for (int j = 0; j < nu; ++j)
+            Quu_reg[i * nu + j] =
+                0.5 * (Quu[i * nu + j] + Quu[j * nu + i]) +
+                (i == j ? ys_inv[i] + ys_inv[nu + i] + reg : 0.0);
+        std::vector<double> Qu_c(nu);
+        for (int i = 0; i < nu; ++i) {
+          Qu_c[i] = Qu[i] - s_inv_rhat[i] + s_inv_rhat[nu + i];
+          rhs[i * (1 + nx) + 0] = Qu_c[i];
+          for (int j = 0; j < nx; ++j)
+            rhs[i * (1 + nx) + 1 + j] = Qux[i * nx + j];  // Gx = 0
+        }
+        if (!chol_solve(Quu_reg.data(), rhs.data(), kK.data(), nu, 1 + nx,
+                        work.data())) {
+          ok = false;
+          break;
+        }
+        double* kt = &k_u[t * nu];
+        double* Kt = &K_u[t * nu * nx];
+        for (int i = 0; i < nu; ++i) {
+          kt[i] = -kK[i * (1 + nx) + 0];
+          for (int j = 0; j < nx; ++j)
+            Kt[i * nx + j] = -kK[i * (1 + nx) + 1 + j];
+        }
+        // dual/slack gains (UNCLIPPED)
+        for (int r = 0; r < m; ++r) {
+          const double gu_k = (r < nu) ? -kt[r] : kt[r - nu];
+          k_y[t * m + r] = (rhat[r] + yt[r] * gu_k) / st[r];
+          k_s[t * m + r] = -pr_res[r] - gu_k;
+          for (int j = 0; j < nx; ++j) {
+            const double guK =
+                (r < nu) ? -Kt[r * nx + j] : Kt[(r - nu) * nx + j];
+            K_y[(t * m + r) * nx + j] = ys_inv[r] * guK;
+            K_s[(t * m + r) * nx + j] = -guK;
+          }
+        }
+        // costate gains
+        for (int i = 0; i < nx; ++i) {
+          k_lam[t * nx + i] = -Lambda[t * nx + i] + drift[i];
+          for (int j = 0; j < nx; ++j)
+            K_lam[(t * nx + i) * nx + j] =
+                0.5 * (Vxx[i * nx + j] + Vxx[j * nx + i]);
+        }
+        // condensed expansions + value update
+        std::vector<double> Qxx_c(Qxx), Quu_c(nu * nu);
+        for (int i = 0; i < nu; ++i)
+          for (int j = 0; j < nu; ++j)
+            Quu_c[i * nu + j] =
+                Quu[i * nu + j] +
+                (i == j ? ys_inv[i] + ys_inv[nu + i] : 0.0);
+        std::vector<double> Qx_c(Qx);  // Gx = 0
+        for (int i = 0; i < nu; ++i) dV0 += kt[i] * Qu_c[i];
+        for (int i = 0; i < nu; ++i)
+          for (int j = 0; j < nu; ++j)
+            dV1 += 0.5 * kt[i] * Quu_c[i * nu + j] * kt[j];
+
+        std::vector<double> Quu_k(nu, 0.0), QuuK(nu * nx, 0.0);
+        for (int i = 0; i < nu; ++i)
+          for (int j = 0; j < nu; ++j) Quu_k[i] += Quu_c[i * nu + j] * kt[j];
+        for (int i = 0; i < nu; ++i)
+          for (int j = 0; j < nx; ++j) {
+            double s = 0.0;
+            for (int k2 = 0; k2 < nu; ++k2)
+              s += Quu_c[i * nu + k2] * Kt[k2 * nx + j];
+            QuuK[i * nx + j] = s;
+          }
+        std::vector<double> Vx_new(nx), Vxx_new(nx * nx);
+        for (int i = 0; i < nx; ++i) {
+          double s = Qx_c[i];
+          for (int k2 = 0; k2 < nu; ++k2) {
+            s += Kt[k2 * nx + i] * Qu_c[k2];
+            s += Qux[k2 * nx + i] * kt[k2];
+            s += Kt[k2 * nx + i] * Quu_k[k2];
+          }
+          Vx_new[i] = s;
+        }
+        for (int i = 0; i < nx; ++i)
+          for (int j = 0; j < nx; ++j) {
+            double s = Qxx_c[i * nx + j];
+            for (int k2 = 0; k2 < nu; ++k2) {
+              s += Kt[k2 * nx + i] * QuuK[k2 * nx + j];
+              s += Qux[k2 * nx + i] * Kt[k2 * nx + j];
+              s += Qux[k2 * nx + j] * Kt[k2 * nx + i];
+            }
+            Vxx_new[i * nx + j] = s;
+          }
+        for (int i = 0; i < nx; ++i)
+          for (int j = 0; j < nx; ++j)
+            Vxx[i * nx + j] = 0.5 * (Vxx_new[i * nx + j] + Vxx_new[j * nx + i]);
+        std::memcpy(Vx.data(), Vx_new.data(), sizeof(double) * nx);
+        for (int i = 0; i < nu; ++i) {
+          bp_inf_du = std::max(bp_inf_du, std::fabs(Qu_c[i]));
+          bp_step_norm = std::max(bp_step_norm, std::fabs(kt[i]));
+        }
+      }
+      if (ok) {
+        bp_ok = true;
+        break;
+      }
+      const double reg_next = std::min(reg * reg_factor, reg_max);
+      if (reg_next >= reg_max) {
+        reg = reg_next;
+        bp_limit = true;
+        break;
+      }
+      reg = reg_next;
+    }
+    inf_pr = std::max(bp_inf_pr, bp_inf_defect);
+    inf_du = bp_inf_du;
+    inf_comp = bp_inf_comp;
+    step_norm = bp_step_norm;
+    if (bp_limit) {
+      status = 3;
+      break;
+    }
+
+    // ---- sequential first-success line search (nonlinear gap closing) ----
+    const double tau = std::max(min_ftb, 1.0 - mu);
+    bool fp_ok = false;
+    double J_new = cost, merit_new = merit, cv_new = cv, inf_pr_new = inf_pr,
+           inf_comp_new = inf_comp, alpha_sel = alphas[0];
+    for (double a : alphas) {
+      bool s_feasible = true, finite = true;
+      std::memcpy(Xtry.data(), x0, sizeof(double) * nx);
+      for (int t = 0; t < N && s_feasible && finite; ++t) {
+        const double* xt = &Xtry[t * nx];
+        double dx[8];
+        for (int i = 0; i < nx; ++i) dx[i] = xt[i] - X[t * nx + i];
+        std::memcpy(&dX_real[t * nx], dx, sizeof(double) * nx);
+        for (int r = 0; r < m; ++r) {
+          double sn = S[t * m + r] + a * k_s[t * m + r];
+          for (int j = 0; j < nx; ++j)
+            sn += K_s[(t * m + r) * nx + j] * dx[j];
+          if (sn < (1.0 - tau) * S[t * m + r]) {
+            s_feasible = false;
+            break;
+          }
+          Stry[t * m + r] = sn;
+        }
+        if (!s_feasible) break;
+        double u_t[8];
+        for (int i = 0; i < nu; ++i) {
+          double s = U[t * nu + i] + a * k_u[t * nu + i];
+          for (int j = 0; j < nx; ++j)
+            s += K_u[(t * nu + i) * nx + j] * dx[j];
+          u_t[i] = s;
+          if (!std::isfinite(s)) finite = false;
+        }
+        mdl.f(xt, u_t, params, xdot.data());
+        double f_new[8];
+        for (int i = 0; i < nx; ++i) {
+          f_new[i] = xt[i] + dt * xdot[i];
+          if (!std::isfinite(f_new[i])) finite = false;
+          Ftry[t * nx + i] = f_new[i];
+        }
+        const bool is_boundary = (seg > 1) && ((t + 1) % seg == 0) && (t + 1 < N);
+        for (int i = 0; i < nx; ++i) {
+          const double f_old = F[t * nx + i];
+          const double xb_next = X[(t + 1) * nx + i];
+          const double gap_x =
+              xb_next + (f_new[i] - f_old) + a * (f_old - xb_next);
+          Xtry[(t + 1) * nx + i] = is_boundary ? gap_x : f_new[i];
+        }
+        for (int i = 0; i < nx; ++i) {
+          double s = Lambda[t * nx + i] + a * k_lam[t * nx + i];
+          for (int j = 0; j < nx; ++j)
+            s += K_lam[(t * nx + i) * nx + j] * dx[j];
+          Lamtry[t * nx + i] = s;
+        }
+        std::memcpy(&Utry[t * nu], u_t, sizeof(double) * nu);
+        eval_g(u_t, &Gtry[t * m]);
+      }
+      if (!s_feasible || !finite) continue;
+
+      // Separate dual step-size ladder (first feasible alpha_y, :1618-1676).
+      bool any_y = false;
+      for (double ay : alphas) {
+        bool feas = true;
+        for (int t = 0; t < N && feas; ++t)
+          for (int r = 0; r < m; ++r) {
+            double yn = Y[t * m + r] + ay * k_y[t * m + r];
+            for (int j = 0; j < nx; ++j)
+              yn += K_y[(t * m + r) * nx + j] * dX_real[t * nx + j];
+            if (yn < (1.0 - tau) * Y[t * m + r]) {
+              feas = false;
+              break;
+            }
+            Ytry[t * m + r] = yn;
+          }
+        if (feas) {
+          any_y = true;
+          break;
+        }
+      }
+      if (!any_y) continue;
+
+      double J = 0.0;
+      for (int t = 0; t < N; ++t) J += run_cost(&Xtry[t * nx], &Utry[t * nu]);
+      J += term_cost(&Xtry[N * nx]);
+      double m_t = J, cv_t = 0.0, ipr_t = 0.0, ico_t = 0.0, def_t = 0.0;
+      for (int i = 0; i < N * m; ++i) {
+        m_t -= mu * std::log(Stry[i]);
+        const double rp = Gtry[i] + Stry[i];
+        cv_t += std::fabs(rp);
+        ipr_t = std::max(ipr_t, std::fabs(rp));
+        ico_t = std::max(ico_t, std::fabs(Ytry[i] * Stry[i] - mu));
+      }
+      for (int t = 0; t < N; ++t)
+        for (int i = 0; i < nx; ++i) {
+          const double dd = Ftry[t * nx + i] - Xtry[(t + 1) * nx + i];
+          cv_t += std::fabs(dd);
+          def_t = std::max(def_t, std::fabs(dd));
+        }
+      ipr_t = std::max(ipr_t, def_t);
+
+      if (!filter_ok(m_t, cv_t, a * dV0)) continue;
+
+      fp_ok = true;
+      J_new = J;
+      merit_new = m_t;
+      cv_new = cv_t;
+      inf_pr_new = ipr_t;
+      inf_comp_new = ico_t;
+      alpha_sel = a;
+      std::memcpy(X, Xtry.data(), sizeof(double) * (N + 1) * nx);
+      std::memcpy(U, Utry.data(), sizeof(double) * N * nu);
+      S.swap(Stry);
+      Y.swap(Ytry);
+      G.swap(Gtry);
+      F.swap(Ftry);
+      Lambda.swap(Lamtry);
+      Stry.resize(N * m);
+      Ytry.resize(N * m);
+      Gtry.resize(N * m);
+      Ftry.resize(N * nx);
+      Lamtry.resize(N * nx);
+      break;
+    }
+
+    if (fp_ok) {
+      const double dJ = cost - J_new;
+      cost = J_new;
+      merit = merit_new;
+      cv = cv_new;
+      inf_pr = inf_pr_new;
+      inf_comp = inf_comp_new;
+      alpha_pr_acc = alpha_sel;
+      filt.accept(merit, cv);
+      reg = std::max(reg / reg_factor, reg_min);
+
+      // Convergence (msipddp_solver.cpp:311-364).
+      const double metric =
+          std::max(std::max(sd_scale(inf_du), inf_pr), inf_comp);
+      if (metric <= tolerance) {
+        status = 1;
+        break;
+      }
+      const double sqrt_atol = std::sqrt(acceptable_tolerance);
+      const bool acc = (std::fabs(dJ) < acceptable_tolerance && it > 10 &&
+                        inf_pr < sqrt_atol && inf_comp < sqrt_atol) ||
+                       (step_norm < tolerance * 10.0 && inf_pr < 1e-4);
+      if (acc) {
+        status = 2;
+        break;
+      }
+    } else {
+      // Filter restoration before regularization (:829-862).
+      bool bad = filt.size() > 5;
+      for (int i = 0; i < filt.size() && !bad; ++i)
+        if (!std::isfinite(filt.mf[i]) || !std::isfinite(filt.cv[i]))
+          bad = true;
+      if (bad) {
+        filt.prune_to_best();
+      } else {
+        reg = std::min(reg * reg_factor, reg_max);
+        if (reg >= reg_max) {
+          status = 3;
+          break;
+        }
+      }
+    }
+
+    // ---- ADAPTIVE barrier update (updateBarrierParameters, :1766-1878) ---
+    {
+      const double sdu = sd_scale(inf_du);
+      const double metric = std::max(std::max(sdu, inf_pr), inf_comp);
+      const double threshold =
+          (mu < 1e-5) ? std::max(metric * 10.0, mu * 100.0)
+                      : std::max(mu_update_factor * mu, mu * 2.0);
+      const bool slow_progress = fp_ok && alpha_pr_acc > 0.0 && metric < 1e-3;
+      const double ratio = metric / mu;
+      double factor;
+      if (mu > 1e-12) {
+        factor = ratio < 0.01 ? mu_update_factor * 0.1
+                 : ratio < 0.1 ? mu_update_factor * 0.3
+                 : ratio < 0.5 ? mu_update_factor * 0.6
+                               : mu_update_factor;
+      } else {
+        factor = mu_update_factor;
+      }
+      const double linear = factor * mu;
+      const double superlinear = std::pow(mu, mu_update_power);
+      const double cand =
+          (slow_progress && mu > tolerance)
+              ? std::min(linear, superlinear)
+              : std::max(tolerance / 100.0, std::min(linear, superlinear));
+      const bool changed = (metric <= threshold) || slow_progress;
+      if (changed) {
+        mu = cand;
+        reset_quantities(mu, &merit, &inf_pr, &inf_comp, &cv);
+        filt.clear();
+        filt.accept(merit, cv);
+      }
+    }
+  }
+
+  out_stats[0] = cost;
+  out_stats[1] = inf_pr;
+  out_stats[2] = inf_du;
+  out_stats[3] = inf_comp;
+  out_stats[4] = mu;
+  out_stats[5] = double(it);
+  return status;
+}
+
+}  // extern "C"

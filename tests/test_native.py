@@ -289,3 +289,56 @@ def test_native_logddp_matches_jax_pendulum_box():
         Xn, np.asarray(sol.state_trajectory), rtol=1e-4, atol=1e-4
     )
     assert np.max(np.abs(Un)) <= 10.0 + 0.2  # barrier keeps controls near box
+
+
+def test_native_msipddp_matches_jax_pendulum_box():
+    """MSIPDDP cross-language check: the C++ multiple-shooting engine and
+    the JAX solver walk the same iteration path on the control-limited
+    pendulum swing-up (cost at 1e-6 / trajectory at 1e-4). Completes the
+    native oracle tier for all four solver strategies."""
+    import cddp_tpu as ct
+    from cddp_tpu.models import Pendulum
+    from cddp_tpu.solvers import msipddp
+    from cddp_tpu.utils import native
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+
+    dt, N = 0.02, 100
+    l, m, b = 0.5, 1.0, 0.01
+    goal = np.zeros(2)
+    Q = np.zeros((2, 2))
+    R = 0.1 * np.eye(1)
+    Qf = 100.0 * np.eye(2)
+    lo, hi = np.asarray([-10.0]), np.asarray([10.0])
+    x0 = np.asarray([np.pi, 0.0])
+
+    status, Xn, Un, info = native.msipddp_solve(
+        1, np.asarray([l, m, b]), N, dt, Q * dt, R * dt, Qf, goal, x0,
+        lower=lo, upper=hi, max_iterations=200, tolerance=1e-4,
+        acceptable_tolerance=1e-5,
+    )
+
+    obj = ct.quadratic_objective(
+        jnp.asarray(Q), jnp.asarray(R), jnp.asarray(Qf), jnp.asarray(goal), dt
+    )
+    prob = ct.problem(
+        Pendulum(length=l, mass=m, damping=b), obj, jnp.asarray(x0), N, dt
+    )
+    prob = prob.add_constraint(
+        "ControlConstraint", ct.control_constraint(jnp.asarray(lo), jnp.asarray(hi))
+    )
+    sol = msipddp.solve(
+        prob,
+        ct.CDDPOptions(max_iterations=200, tolerance=1e-4,
+                       acceptable_tolerance=1e-5),
+    )
+
+    assert status == int(sol.status_code), (status, sol.status_message, info)
+    np.testing.assert_allclose(info["cost"], float(sol.final_objective), rtol=1e-6)
+    np.testing.assert_allclose(
+        Un, np.asarray(sol.control_trajectory), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        Xn, np.asarray(sol.state_trajectory), rtol=1e-4, atol=1e-4
+    )
