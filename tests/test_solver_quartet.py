@@ -5,6 +5,7 @@ improvement plus loose goal-error bounds (test_{clddp,logddp,ipddp,
 msipddp}_solver.cpp)."""
 
 import jax.numpy as jnp
+import numpy as np
 import pytest
 
 import cddp_tpu as ct
@@ -154,3 +155,31 @@ def test_quadrotor_warm_start_iteration_bound():
         X0=cold.state_trajectory, U0=cold.control_trajectory, state=state,
     )
     assert int(warm.iterations_completed) <= int(cold.iterations_completed) + 20
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", ["LogDDP", "MSIPDDP"])
+def test_vmap_batching_invariance_ip_solvers(name):
+    """Batched solve row i == unbatched solve i (SURVEY.md §4 new tier) for
+    the two solvers not covered by their own files' invariance tests."""
+    import jax
+
+    prob = _car_problem(N=40)
+    solve = _SOLVERS[name]
+    opts = ct.CDDPOptions(max_iterations=30, tolerance=1e-4)
+
+    x0s = jnp.stack([
+        jnp.array([1.0, 1.0, 1.5 * jnp.pi, 0.0]),
+        jnp.array([0.8, 1.2, 1.4 * jnp.pi, 0.0]),
+        jnp.array([1.2, 0.8, 1.6 * jnp.pi, 0.0]),
+    ])
+
+    def solve_from(x0):
+        return solve(prob.replace(x0=x0), opts).control_trajectory
+
+    batched = jax.vmap(solve_from)(x0s)
+    for i in range(x0s.shape[0]):
+        single = solve_from(x0s[i])
+        np.testing.assert_allclose(
+            np.asarray(batched[i]), np.asarray(single), rtol=1e-6, atol=1e-8
+        )
