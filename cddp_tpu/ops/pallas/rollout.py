@@ -1,0 +1,440 @@
+"""Pallas-fused CLDDP forward pass (closed-loop rollout + cost).
+
+The profiled anatomy of the batched CLDDP iteration at B=16384 (bench.py
+workload) after the fused backward landed: backward+derivatives ~4.4 ms,
+forward line-search rollout ~4.5 ms — the rollout's ``lax.scan`` lowers to
+~20 ops per timestep, each paying fixed per-op overhead (~11 us at this
+shape; the HBM traffic itself is ~30 us total). This kernel runs the WHOLE
+closed-loop rollout — feedback law, control clamp, running cost, dynamics
+integration — inside one ``pallas_call`` with the batch axis on the vector
+lanes, mirroring the layout of :mod:`cddp_tpu.ops.pallas.riccati` (grid
+(batch_tile, time), per-state lane vectors, VMEM carry).
+
+Model dynamics run inside the kernel through a small *lane-function
+registry*: a model class maps to a function over per-state lane vectors
+(``x_list, u_list, param_list -> xdot_list``) — the TPU-kernel analogue of
+the native engine's C++ model registry. Model parameters and the timestep
+enter as lane inputs (they are traced pytree leaves, not static). Models
+without a lane function (or non-quadratic objectives, or reference
+trajectories) keep the reference-parity ``lax.scan`` forward; dispatch
+happens in :mod:`cddp_tpu.solvers.clddp` under the same
+``backward_engine="auto"`` rules as the backward kernel.
+
+Parity with the scan forward is asserted in tests (1e-9, f64, interpreter
+mode; clddp_solver.cpp:217-262 is the semantics being fused).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_TILE_B = 1024
+
+
+# --- lane-function model registry ------------------------------------------
+# Each entry: (n_params, param_vector(model) -> (n_params,), f(x, u, p)).
+
+
+def _unicycle_f(x, u, p):
+    return [u[0] * jnp.cos(x[2]), u[0] * jnp.sin(x[2]), u[1]]
+
+
+def _pendulum_f(x, u, p):
+    l, m, b = p[0], p[1], p[2]
+    g = 9.81
+    return [x[1], (u[0] - b * x[1] + m * g * l * jnp.sin(x[0])) / (m * l * l)]
+
+
+_REGISTRY = {
+    "Unicycle": (
+        0,
+        lambda mdl: jnp.zeros((0,)),
+        _unicycle_f,
+    ),
+    "Pendulum": (
+        3,
+        lambda mdl: jnp.stack(
+            [jnp.asarray(mdl.length), jnp.asarray(mdl.mass),
+             jnp.asarray(mdl.damping)]
+        ),
+        _pendulum_f,
+    ),
+}
+
+
+def lane_spec(model):
+    """(n_params, param_vector_fn, lane_fn) for a registered model, else
+    None."""
+    return _REGISTRY.get(type(model).__name__)
+
+
+def _integrate_lane(f, kind, x, u, p, dt):
+    """One explicit step over lane vectors (ops/integrators.py semantics);
+    ``dt`` is itself a lane vector."""
+    nx = len(x)
+    if kind == "euler":
+        k1 = f(x, u, p)
+        return [x[i] + dt * k1[i] for i in range(nx)]
+    if kind == "heun":
+        k1 = f(x, u, p)
+        x2 = [x[i] + dt * k1[i] for i in range(nx)]
+        k2 = f(x2, u, p)
+        return [x[i] + 0.5 * dt * (k1[i] + k2[i]) for i in range(nx)]
+    if kind == "rk3":
+        k1 = f(x, u, p)
+        x2 = [x[i] + 0.5 * dt * k1[i] for i in range(nx)]
+        k2 = f(x2, u, p)
+        x3 = [x[i] + dt * (2.0 * k2[i] - k1[i]) for i in range(nx)]
+        k3 = f(x3, u, p)
+        return [
+            x[i] + dt / 6.0 * (k1[i] + 4.0 * k2[i] + k3[i]) for i in range(nx)
+        ]
+    if kind == "rk4":
+        k1 = f(x, u, p)
+        x2 = [x[i] + 0.5 * dt * k1[i] for i in range(nx)]
+        k2 = f(x2, u, p)
+        x3 = [x[i] + 0.5 * dt * k2[i] for i in range(nx)]
+        k3 = f(x3, u, p)
+        x4 = [x[i] + dt * k3[i] for i in range(nx)]
+        k4 = f(x4, u, p)
+        return [
+            x[i] + dt / 6.0 * (k1[i] + 2.0 * k2[i] + 2.0 * k3[i] + k4[i])
+            for i in range(nx)
+        ]
+    raise ValueError(f"unknown integrator {kind!r}")
+
+
+def make_forward_kernel(nx: int, nu: int, N: int, n_params: int, lane_f,
+                        integrator: str, clamp: bool,
+                        tile_b: int = DEFAULT_TILE_B):
+    """Build the fused forward-pass pallas_call for static problem structure.
+
+    Inputs (batch-last, lane-folded): Xb (N,nx,B), Ub (N,nu,B), k (N,nu,B),
+    K (N,nu,nx,B), x0 (nx,B), alpha (1,B), dt (1,B),
+    params (max(n_params,1),B), Qg (nx,nx,B) [dt-scaled Q], Rg (nu,nu,B),
+    Qfg (nx,nx,B), goal (nx,B), lb (nu,B), ub (nu,B).
+
+    Outputs: X tail (N,nx,B) [x_1..x_N], U_new (N,nu,B), J (1,B).
+    """
+    n_carry = nx + 1  # x, J
+
+    def kernel(Xb_ref, Ub_ref, k_ref, K_ref, x0_ref, alpha_ref, dt_ref,
+               p_ref, Q_ref, R_ref, Qf_ref, goal_ref, lb_ref, ub_ref,
+               Xo_ref, Uo_ref, J_ref, carry_ref):
+        tt = pl.program_id(1)
+        alpha = alpha_ref[0]
+        dt = dt_ref[0]
+        p = [p_ref[i] for i in range(n_params)]
+
+        @pl.when(tt == 0)
+        def _init():
+            for i in range(nx):
+                carry_ref[i] = x0_ref[i]
+            carry_ref[nx] = jnp.zeros_like(alpha)
+
+        x = [carry_ref[i] for i in range(nx)]
+        J = carry_ref[nx]
+        goal = [goal_ref[i] for i in range(nx)]
+
+        # u = clamp(Ub + alpha*k + K (x - Xb))
+        dx = [x[i] - Xb_ref[0, i] for i in range(nx)]
+        u = []
+        for i in range(nu):
+            ui = Ub_ref[0, i] + alpha * k_ref[0, i]
+            for j in range(nx):
+                ui = ui + K_ref[0, i, j] * dx[j]
+            if clamp:
+                ui = jnp.minimum(jnp.maximum(ui, lb_ref[i]), ub_ref[i])
+            u.append(ui)
+
+        # running cost: e'Q e + u'R u (QuadraticObjective, dt-prescaled)
+        e = [x[i] - goal[i] for i in range(nx)]
+        for i in range(nx):
+            for j in range(nx):
+                J = J + e[i] * Q_ref[i, j] * e[j]
+        for i in range(nu):
+            for j in range(nu):
+                J = J + u[i] * R_ref[i, j] * u[j]
+
+        x_next = _integrate_lane(lane_f, integrator, x, u, p, dt)
+
+        for i in range(nx):
+            Xo_ref[0, i] = x_next[i]
+            carry_ref[i] = x_next[i]
+        for i in range(nu):
+            Uo_ref[0, i] = u[i]
+
+        # terminal cost folded in on the last step
+        @pl.when(tt == N - 1)
+        def _final():
+            Jf = J
+            for i in range(nx):
+                for j in range(nx):
+                    Jf = Jf + (x_next[i] - goal[i]) * Qf_ref[i, j] * (
+                        x_next[j] - goal[j]
+                    )
+            J_ref[0] = Jf
+            carry_ref[nx] = Jf
+
+        @pl.when(tt != N - 1)
+        def _not_final():
+            carry_ref[nx] = J
+
+    assert tile_b % 1024 == 0, tile_b
+    tbs = tile_b // 128
+    np_eff = max(n_params, 1)
+
+    def call(Xb, Ub, k, K, x0, alpha, dtv, params, Q, R, Qf, goal, lb, ub,
+             interpret=False):
+        Btot = Xb.shape[-1]
+        assert Btot % tile_b == 0, (Btot, tile_b)
+        grid = (Btot // tile_b, N)
+        dtype = Xb.dtype
+        rows = Btot // 128
+
+        def fold(x):
+            return x.reshape(*x.shape[:-1], rows, 128)
+
+        def stage_spec(*dims):
+            blk = (1,) + tuple(dims) + (tbs, 128)
+            nd = len(dims)
+            return pl.BlockSpec(
+                blk,
+                lambda b, t, _nd=nd: (t,) + (0,) * _nd + (b, 0),
+                memory_space=pltpu.VMEM,
+            )
+
+        def const_spec(*dims):
+            blk = tuple(dims) + (tbs, 128)
+            nd = len(dims)
+            return pl.BlockSpec(
+                blk, lambda b, t, _nd=nd: (0,) * _nd + (b, 0),
+                memory_space=pltpu.VMEM,
+            )
+
+        in_specs = [
+            stage_spec(nx), stage_spec(nu), stage_spec(nu),
+            stage_spec(nu, nx), const_spec(nx), const_spec(1),
+            const_spec(1), const_spec(np_eff),
+            const_spec(nx, nx), const_spec(nu, nu), const_spec(nx, nx),
+            const_spec(nx), const_spec(nu), const_spec(nu),
+        ]
+        out_specs = (stage_spec(nx), stage_spec(nu), const_spec(1))
+        out_shape = (
+            jax.ShapeDtypeStruct((N, nx, rows, 128), dtype),
+            jax.ShapeDtypeStruct((N, nu, rows, 128), dtype),
+            jax.ShapeDtypeStruct((1, rows, 128), dtype),
+        )
+        args = [fold(v) for v in (Xb, Ub, k, K, x0, alpha, dtv, params, Q, R,
+                                  Qf, goal, lb, ub)]
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=[pltpu.VMEM((n_carry, tbs, 128), dtype)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=(pltpu.PARALLEL, pltpu.ARBITRARY)
+            ),
+            interpret=interpret,
+        )(*args)
+        return tuple(o.reshape(*o.shape[:-2], Btot) for o in outs)
+
+    return call
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kind", "integrator", "clamp", "tile_b", "interpret"),
+)
+def _forward_fused_impl(Xb, Ub, k, K, x0, alpha, dtv, params, Q, R, Qf, goal,
+                        lb, ub, kind, integrator, clamp, tile_b, interpret):
+    n_params, _, lane_f = _REGISTRY[kind]
+    B0, N = Xb.shape[0], Xb.shape[1]
+    nx, nu = Xb.shape[2], Ub.shape[2]
+    pad = (-B0) % tile_b
+
+    def prep(x):
+        if pad:
+            x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, 0)], 0)
+        return jnp.moveaxis(x, 0, -1)
+
+    args = [prep(v) for v in (Xb, Ub, k, K, x0, alpha[:, None], dtv[:, None],
+                              params, Q, R, Qf, goal, lb, ub)]
+    call = make_forward_kernel(nx, nu, N, n_params, lane_f, integrator,
+                               clamp, tile_b)
+    Xt, U, J = call(*args, interpret=interpret)
+    unprep = lambda x: jnp.moveaxis(x, -1, 0)[:B0]
+    return unprep(Xt), unprep(U), unprep(J)[:, 0]
+
+
+def forward_rollout_fused(problem, cc, Xb, Ub, k, K, alpha,
+                          tile_b: int = DEFAULT_TILE_B,
+                          interpret: bool = False):
+    """Batched fused closed-loop rollout.
+
+    Batch-first inputs: Xb (B,N+1,nx) nominal states, Ub (B,N,nu), gains
+    k (B,N,nu) / K (B,N,nu,nx), alpha (B,). Each batch element rolls from
+    its own Xb[:, 0] (CLDDP keeps X[0] = x0).
+
+    Returns (X_new (B,N+1,nx), U_new (B,N,nu), J (B,)).
+    """
+    B = Xb.shape[0]
+    obj = problem.objective
+    dtype = Xb.dtype
+
+    def bc(a):
+        a = jnp.asarray(a, dtype)
+        return jnp.broadcast_to(a, (B,) + a.shape)
+
+    Q = bc(obj.Q)
+    R = bc(obj.R)
+    Qf = bc(obj.Qf)
+    goal = bc(obj.reference_state)
+    nu = Ub.shape[2]
+    if cc is not None:
+        lb = bc(jnp.asarray(cc.lower, dtype))
+        ub = bc(jnp.asarray(cc.upper, dtype))
+        clamp = True
+    else:
+        lb = jnp.zeros((B, nu), dtype)
+        ub = jnp.zeros((B, nu), dtype)
+        clamp = False
+
+    model = problem.model
+    kind = type(model).__name__
+    n_params, param_fn, _ = _REGISTRY[kind]
+    params = bc(jnp.asarray(param_fn(model), dtype))
+    if n_params == 0:  # keep the lane shape >= 1
+        params = jnp.zeros((B, 1), dtype)
+
+    dtv = jnp.broadcast_to(jnp.asarray(problem.timestep, dtype), (B,))
+    x0 = Xb[:, 0]
+    Xt, U_new, J = _forward_fused_impl(
+        Xb[:, :-1], Ub, k, K, x0, jnp.asarray(alpha, dtype), dtv, params, Q,
+        R, Qf, goal, lb, ub, kind, model.integration_type, clamp, tile_b,
+        interpret,
+    )
+    X_new = jnp.concatenate([x0[:, None, :], Xt], axis=1)
+    return X_new, U_new, J
+
+
+# ---------------------------------------------------------------------------
+# custom_vmap op: scan for single instances, fused kernel for batches
+# ---------------------------------------------------------------------------
+
+
+def _scan_forward_single(kind, integrator, clamp, Xb, Ub, k, K, alpha, dtv,
+                         params, Q, R, Qf, goal, lb, ub):
+    """Single-instance reference path (identical math to the kernel):
+    closed-loop rollout + quadratic cost as a lax.scan."""
+    n_params, _, lane_f = _REGISTRY[kind]
+    N, nx = Xb.shape[0], Xb.shape[1]
+    nu = Ub.shape[1]
+
+    def step(carry, inp):
+        x, J = carry
+        Xb_t, Ub_t, k_t, K_t = inp
+        u = Ub_t + alpha * k_t + K_t @ (x - Xb_t)
+        if clamp:
+            u = jnp.clip(u, lb, ub)
+        e = x - goal
+        J = J + e @ Q @ e + u @ R @ u
+        xs = [x[i] for i in range(nx)]
+        us = [u[i] for i in range(nu)]
+        ps = [params[i] for i in range(n_params)]
+        x_next = jnp.stack(_integrate_lane(lane_f, integrator, xs, us, ps, dtv))
+        return (x_next, J), (x_next, u)
+
+    (x_last, J), (Xt, Un) = jax.lax.scan(
+        step, (Xb[0], jnp.zeros((), Xb.dtype)), (Xb, Ub, k, K)
+    )
+    ef = x_last - goal
+    return Xt, Un, J + ef @ Qf @ ef
+
+
+@functools.lru_cache(maxsize=None)
+def _forward_op(kind: str, integrator: str, clamp: bool):
+    @jax.custom_batching.custom_vmap
+    def op(Xb, Ub, k, K, alpha, dtv, params, Q, R, Qf, goal, lb, ub):
+        return _scan_forward_single(kind, integrator, clamp, Xb, Ub, k, K,
+                                    alpha, dtv, params, Q, R, Qf, goal, lb, ub)
+
+    @op.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        def ensure(x, b):
+            return x if b else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+
+        args = [ensure(x, b) for x, b in zip(args, in_batched)]
+        (Xb, Ub, k, K, alpha, dtv, params, Q, R, Qf, goal, lb, ub) = args
+        use_kernel = (
+            Xb.dtype == jnp.float32
+            and jax.default_backend() in ("tpu", "axon")
+        )
+        if use_kernel:
+            Xt, Un, J = _forward_fused_impl(
+                Xb, Ub, k, K, Xb[:, 0], alpha,
+                dtv[:, 0] if dtv.ndim > 1 else dtv,
+                params, Q, R, Qf, goal, lb, ub, kind=kind,
+                integrator=integrator, clamp=clamp, tile_b=DEFAULT_TILE_B,
+                interpret=False,
+            )
+        else:
+            Xt, Un, J = jax.vmap(
+                lambda *a: _scan_forward_single(kind, integrator, clamp, *a)
+            )(Xb, Ub, k, K, alpha, dtv, params, Q, R, Qf, goal, lb, ub)
+        return (Xt, Un, J), (True, True, True)
+
+    return op
+
+
+def forward_rollout_op(problem, cc, Xb, Ub, k, K, alpha):
+    """Single-instance closed-loop rollout through the batch-aware op: plain
+    scan unbatched, the fused Pallas kernel under vmap on TPU f32. Returns
+    (X_new (N+1,nx), U_new (N,nu), J)."""
+    obj = problem.objective
+    dtype = Xb.dtype
+    model = problem.model
+    kind = type(model).__name__
+    n_params, param_fn, _ = _REGISTRY[kind]
+    params = jnp.asarray(param_fn(model), dtype)
+    if n_params == 0:
+        params = jnp.zeros((1,), dtype)
+    nu = Ub.shape[1]
+    if cc is not None:
+        lb = jnp.asarray(cc.lower, dtype)
+        ub = jnp.asarray(cc.upper, dtype)
+    else:
+        lb = jnp.zeros((nu,), dtype)
+        ub = jnp.zeros((nu,), dtype)
+    op = _forward_op(kind, model.integration_type, cc is not None)
+    Xt, Un, J = op(
+        Xb[:-1], Ub, k, K, jnp.asarray(alpha, dtype),
+        jnp.asarray(problem.timestep, dtype), params,
+        jnp.asarray(obj.Q, dtype), jnp.asarray(obj.R, dtype),
+        jnp.asarray(obj.Qf, dtype), jnp.asarray(obj.reference_state, dtype),
+        lb, ub,
+    )
+    X_new = jnp.concatenate([Xb[:1], Xt], axis=0)
+    return X_new, Un, J
+
+
+def forward_eligible(problem) -> bool:
+    """Same dispatch philosophy as the backward kernel: quadratic objective
+    tracking a single reference state, registered model, explicit
+    integrator."""
+    from cddp_tpu.costs.objective import QuadraticObjective
+
+    obj = problem.objective
+    return (
+        isinstance(obj, QuadraticObjective)
+        and obj.reference_states is None
+        and lane_spec(problem.model) is not None
+        and problem.model.integration_type in ("euler", "heun", "rk3", "rk4")
+    )

@@ -149,24 +149,42 @@ def _forward_pass(problem: Problem, options: CDDPOptions, X, U, k, K, dV, cost, 
     (clddp_solver.cpp:217-262). vmapped over the alpha ladder by the driver."""
     dt = problem.timestep
     cc = problem.get_constraint("ControlConstraint")
-    ks_idx = jnp.arange(problem.horizon)
-    ts = jnp.arange(problem.horizon, dtype=X.dtype) * dt
 
-    def step(carry, inp):
-        x, J = carry
-        Xb, Ub, k_t, K_t, idx, t = inp
-        u = Ub + alpha * k_t + K_t @ (x - Xb)
-        if cc is not None:
-            u = cc.clamp(u)
-        J = J + problem.objective.running_cost(x, u, idx)
-        x_next = problem.model.discrete_dynamics(x, u, t, dt)
-        return (x_next, J), (x_next, u)
+    # Fused-engine path (same dispatch rules as the backward kernel): the
+    # whole rollout + cost through a custom_vmap op — plain scan unbatched,
+    # one Pallas kernel for vmapped TPU f32 batches (~1.8x the scan forward
+    # at B=16384). Eligibility is static (registered model lane function,
+    # quadratic single-reference objective).
+    from cddp_tpu.ops.pallas import rollout as fused_rollout
 
-    (x_last, J), (X_tail, U_new) = jax.lax.scan(
-        step, (problem.x0, jnp.zeros((), X.dtype)), (X[:-1], U, k, K, ks_idx, ts)
-    )
-    J = J + problem.objective.terminal_cost(x_last)
-    X_new = jnp.concatenate([problem.x0[None], X_tail], axis=0)
+    if (
+        options.backward_engine != "scan"
+        and fused_rollout.forward_eligible(problem)
+    ):
+        X_new, U_new, J = fused_rollout.forward_rollout_op(
+            problem, cc, X, U, k, K, alpha
+        )
+        x_last = X_new[-1]
+    else:
+        ks_idx = jnp.arange(problem.horizon)
+        ts = jnp.arange(problem.horizon, dtype=X.dtype) * dt
+
+        def step(carry, inp):
+            x, J = carry
+            Xb, Ub, k_t, K_t, idx, t = inp
+            u = Ub + alpha * k_t + K_t @ (x - Xb)
+            if cc is not None:
+                u = cc.clamp(u)
+            J = J + problem.objective.running_cost(x, u, idx)
+            x_next = problem.model.discrete_dynamics(x, u, t, dt)
+            return (x_next, J), (x_next, u)
+
+        (x_last, J), (X_tail, U_new) = jax.lax.scan(
+            step, (problem.x0, jnp.zeros((), X.dtype)),
+            (X[:-1], U, k, K, ks_idx, ts)
+        )
+        J = J + problem.objective.terminal_cost(x_last)
+        X_new = jnp.concatenate([problem.x0[None], X_tail], axis=0)
 
     dJ = cost - J
     expected = -alpha * (dV[0] + 0.5 * alpha * dV[1])

@@ -1,0 +1,104 @@
+"""Fused CLDDP forward-rollout Pallas kernel vs the lax.scan reference
+(interpreter mode on CPU; the real TPU path is exercised by bench.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import cddp_tpu as ct
+from cddp_tpu.models import Pendulum, Unicycle
+from cddp_tpu.models.base import rollout as open_loop_rollout
+from cddp_tpu.ops.pallas.rollout import (
+    forward_eligible,
+    forward_rollout_fused,
+)
+from cddp_tpu.solvers import clddp
+
+
+def _problem(model, nx, nu, x0, goal, lo, hi, N=20, dt=0.05):
+    obj = ct.quadratic_objective(
+        0.1 * jnp.eye(nx), 0.05 * jnp.eye(nu), 100.0 * jnp.eye(nx), goal, dt
+    )
+    prob = ct.problem(model, obj, x0, N, dt)
+    return prob.add_constraint(
+        "ControlConstraint",
+        ct.control_constraint(jnp.asarray(lo), jnp.asarray(hi)),
+    )
+
+
+@pytest.mark.parametrize(
+    "model,nx,nu,x0,goal,lo,hi",
+    [
+        (Unicycle(), 3, 2, jnp.zeros(3), jnp.array([2.0, 2.0, jnp.pi / 2]),
+         [-2.0, -jnp.pi], [2.0, jnp.pi]),
+        (Pendulum(length=0.5, damping=0.01, integration_type="rk4"), 2, 1,
+         jnp.array([jnp.pi, 0.0]), jnp.zeros(2), [-10.0], [10.0]),
+    ],
+    ids=["unicycle-euler", "pendulum-rk4"],
+)
+def test_fused_forward_matches_scan(model, nx, nu, x0, goal, lo, hi):
+    prob = _problem(model, nx, nu, x0, goal, lo, hi)
+    cc = prob.get_constraint("ControlConstraint")
+    assert forward_eligible(prob)
+
+    B, N = 4, prob.horizon
+    key = jax.random.PRNGKey(0)
+    x0s = x0[None] + 0.1 * jax.random.normal(key, (B, nx))
+    U0 = 0.2 * jax.random.normal(key, (B, N, nu))
+    Xb = jax.vmap(lambda x, u: open_loop_rollout(prob.model, x, u,
+                                                 prob.timestep))(x0s, U0)
+    k = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (B, N, nu))
+    K = 0.1 * jax.random.normal(jax.random.PRNGKey(2), (B, N, nu, nx))
+    alpha = jnp.asarray([1.0, 0.5, 0.25, 0.125])
+
+    def ref_one(Xb_, Ub_, k_, K_, a, x0_):
+        p = prob.replace(x0=x0_)
+        cost = p.objective.evaluate(Xb_, Ub_)
+        ok, J, Xn, Un = clddp._forward_pass(
+            p, ct.CDDPOptions(backward_engine="scan"), Xb_, Ub_, k_, K_,
+            jnp.zeros(2, Xb_.dtype), cost, a,
+        )
+        return J, Xn, Un
+
+    Jr, Xr, Ur = jax.vmap(ref_one)(Xb, U0, k, K, alpha, x0s)
+    Xf, Uf, Jf = forward_rollout_fused(prob, cc, Xb, U0, k, K, alpha,
+                                       interpret=True)
+    np.testing.assert_allclose(np.asarray(Jf), np.asarray(Jr), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(Xf), np.asarray(Xr), rtol=1e-9,
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(Uf), np.asarray(Ur), rtol=1e-9,
+                               atol=1e-12)
+
+
+def test_forward_engine_dispatch_identical_on_cpu():
+    """On CPU the op falls back to the vmapped scan — full solves through
+    the dispatch path must be bit-identical to backward_engine='scan'."""
+    prob = _problem(Unicycle(), 3, 2, jnp.zeros(3),
+                    jnp.array([2.0, 2.0, jnp.pi / 2]),
+                    [-2.0, -jnp.pi], [2.0, jnp.pi])
+    s1 = clddp.solve(prob, ct.CDDPOptions(max_iterations=30, tolerance=1e-6))
+    s2 = clddp.solve(
+        prob, ct.CDDPOptions(max_iterations=30, tolerance=1e-6,
+                             backward_engine="scan")
+    )
+    np.testing.assert_array_equal(
+        np.asarray(s1.control_trajectory), np.asarray(s2.control_trajectory)
+    )
+
+
+def test_ineligible_objective_keeps_scan():
+    """NonlinearObjective problems must not dispatch to the fused forward."""
+    from cddp_tpu.costs.objective import NonlinearObjective
+
+    class Obj(NonlinearObjective):
+        def running_cost(self, x, u, k):
+            return jnp.sum(x ** 2) * 0.01 + jnp.sum(u ** 2) * 0.01
+
+        def terminal_cost(self, x):
+            return jnp.sum(x ** 2)
+
+    prob = ct.problem(Unicycle(), Obj(), jnp.zeros(3), 10, 0.05)
+    assert not forward_eligible(prob)
+    sol = clddp.solve(prob, ct.CDDPOptions(max_iterations=5))
+    assert np.isfinite(float(sol.final_objective))
