@@ -50,6 +50,23 @@ def _pendulum_f(x, u, p):
     return [x[1], (u[0] - b * x[1] + m * g * l * jnp.sin(x[0])) / (m * l * l)]
 
 
+def _cartpole_f(x, u, p):
+    mc, mp, l, g, b = p[0], p[1], p[2], p[3], p[4]
+    theta, x_dot, theta_dot = x[1], x[2], x[3]
+    force = u[0]
+    sin_t = jnp.sin(theta)
+    cos_t = jnp.cos(theta)
+    den = mc + mp * sin_t * sin_t
+    x_ddot = (force + mp * sin_t * (l * theta_dot * theta_dot + g * cos_t)) / den
+    theta_ddot = (
+        -force * cos_t
+        - mp * l * theta_dot * theta_dot * cos_t * sin_t
+        - (mc + mp) * g * sin_t
+        - b * theta_dot
+    ) / (l * den)
+    return [x_dot, theta_dot, x_ddot, theta_ddot]
+
+
 _REGISTRY = {
     "Unicycle": (
         0,
@@ -63,6 +80,15 @@ _REGISTRY = {
              jnp.asarray(mdl.damping)]
         ),
         _pendulum_f,
+    ),
+    "CartPole": (
+        5,
+        lambda mdl: jnp.stack(
+            [jnp.asarray(mdl.cart_mass), jnp.asarray(mdl.pole_mass),
+             jnp.asarray(mdl.pole_length), jnp.asarray(mdl.gravity),
+             jnp.asarray(mdl.damping)]
+        ),
+        _cartpole_f,
     ),
 }
 

@@ -7,7 +7,7 @@ import numpy as np
 import pytest
 
 import cddp_tpu as ct
-from cddp_tpu.models import Pendulum, Unicycle
+from cddp_tpu.models import CartPole, Pendulum, Unicycle
 from cddp_tpu.models.base import rollout as open_loop_rollout
 from cddp_tpu.ops.pallas.rollout import (
     forward_eligible,
@@ -34,8 +34,10 @@ def _problem(model, nx, nu, x0, goal, lo, hi, N=20, dt=0.05):
          [-2.0, -jnp.pi], [2.0, jnp.pi]),
         (Pendulum(length=0.5, damping=0.01, integration_type="rk4"), 2, 1,
          jnp.array([jnp.pi, 0.0]), jnp.zeros(2), [-10.0], [10.0]),
+        (CartPole(), 4, 1, jnp.zeros(4),
+         jnp.array([0.0, jnp.pi, 0.0, 0.0]), [-100.0], [100.0]),
     ],
-    ids=["unicycle-euler", "pendulum-rk4"],
+    ids=["unicycle-euler", "pendulum-rk4", "cartpole-euler"],
 )
 def test_fused_forward_matches_scan(model, nx, nu, x0, goal, lo, hi):
     prob = _problem(model, nx, nu, x0, goal, lo, hi)
