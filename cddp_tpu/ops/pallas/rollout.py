@@ -67,6 +67,69 @@ def _cartpole_f(x, u, p):
     return [x_dot, theta_dot, x_ddot, theta_ddot]
 
 
+def _quadrotor_f(x, u, p):
+    # p = [mass, arm_length, I (9, row-major)]; matches models/quadrotor.py
+    # (quaternion-normalized attitude, rotor-force controls, r_col3 thrust
+    # mapping, explicit 3x3 inertia inverse via adjugate).
+    mass, arm = p[0], p[1]
+    I = [[p[2 + 3 * i + j] for j in range(3)] for i in range(3)]
+    px, py, pz = x[0], x[1], x[2]
+    qw, qx, qy, qz = x[3], x[4], x[5], x[6]
+    vx, vy, vz = x[7], x[8], x[9]
+    wx, wy, wz = x[10], x[11], x[12]
+
+    nrm = jnp.sqrt(qw * qw + qx * qx + qy * qy + qz * qz)
+    safe = nrm > 1e-6
+    inv = 1.0 / jnp.maximum(nrm, 1e-6)
+    qw = jnp.where(safe, qw * inv, 1.0)
+    qx = jnp.where(safe, qx * inv, 0.0)
+    qy = jnp.where(safe, qy * inv, 0.0)
+    qz = jnp.where(safe, qz * inv, 0.0)
+
+    qdw = 0.5 * (-(qx * wx + qy * wy + qz * wz))
+    qdx = 0.5 * (qw * wx + qy * wz - qz * wy)
+    qdy = 0.5 * (qw * wy - qx * wz + qz * wx)
+    qdz = 0.5 * (qw * wz + qx * wy - qy * wx)
+
+    f1, f2, f3, f4 = u[0], u[1], u[2], u[3]
+    thrust = f1 + f2 + f3 + f4
+    tau = [arm * (f1 - f3), arm * (f2 - f4), 0.1 * (f1 - f2 + f3 - f4)]
+
+    tm = thrust / mass
+    ax = tm * (2.0 * (qx * qz + qw * qy))
+    ay = tm * (2.0 * (qy * qz - qw * qx))
+    az = tm * (1.0 - 2.0 * (qx * qx + qy * qy)) - 9.81
+
+    # I w, cross(w, Iw), and I^{-1} via the adjugate (3x3).
+    Iw = [I[i][0] * wx + I[i][1] * wy + I[i][2] * wz for i in range(3)]
+    cx = wy * Iw[2] - wz * Iw[1]
+    cy = wz * Iw[0] - wx * Iw[2]
+    cz = wx * Iw[1] - wy * Iw[0]
+    r = [tau[0] - cx, tau[1] - cy, tau[2] - cz]
+    det = (
+        I[0][0] * (I[1][1] * I[2][2] - I[1][2] * I[2][1])
+        - I[0][1] * (I[1][0] * I[2][2] - I[1][2] * I[2][0])
+        + I[0][2] * (I[1][0] * I[2][1] - I[1][1] * I[2][0])
+    )
+    inv_det = 1.0 / det
+    adj = [
+        [I[1][1] * I[2][2] - I[1][2] * I[2][1],
+         I[0][2] * I[2][1] - I[0][1] * I[2][2],
+         I[0][1] * I[1][2] - I[0][2] * I[1][1]],
+        [I[1][2] * I[2][0] - I[1][0] * I[2][2],
+         I[0][0] * I[2][2] - I[0][2] * I[2][0],
+         I[0][2] * I[1][0] - I[0][0] * I[1][2]],
+        [I[1][0] * I[2][1] - I[1][1] * I[2][0],
+         I[0][1] * I[2][0] - I[0][0] * I[2][1],
+         I[0][0] * I[1][1] - I[0][1] * I[1][0]],
+    ]
+    aa = [
+        inv_det * (adj[i][0] * r[0] + adj[i][1] * r[1] + adj[i][2] * r[2])
+        for i in range(3)
+    ]
+    return [vx, vy, vz, qdw, qdx, qdy, qdz, ax, ay, az, aa[0], aa[1], aa[2]]
+
+
 _REGISTRY = {
     "Unicycle": (
         0,
@@ -89,6 +152,14 @@ _REGISTRY = {
              jnp.asarray(mdl.damping)]
         ),
         _cartpole_f,
+    ),
+    "Quadrotor": (
+        11,
+        lambda mdl: jnp.concatenate(
+            [jnp.stack([jnp.asarray(mdl.mass), jnp.asarray(mdl.arm_length)]),
+             jnp.asarray(mdl.inertia).reshape(-1)]
+        ),
+        _quadrotor_f,
     ),
 }
 
@@ -389,6 +460,10 @@ def _scan_forward_single(kind, integrator, clamp, Xb, Ub, k, K, alpha, dtv,
 def _forward_op(kind: str, integrator: str, clamp: bool):
     @jax.custom_batching.custom_vmap
     def op(Xb, Ub, k, K, alpha, dtv, params, Q, R, Qf, goal, lb, ub):
+        # Unbatched primal: the reference scan. (A batch-of-one kernel was
+        # measured a net LOSS for single solves — no lane parallelism to
+        # amortize the grid, e.g. quadrotor N=100 init rollout 111 -> 120 ms
+        # end-to-end — so the kernel engages only under vmap.)
         return _scan_forward_single(kind, integrator, clamp, Xb, Ub, k, K,
                                     alpha, dtv, params, Q, R, Qf, goal, lb, ub)
 
@@ -449,6 +524,36 @@ def forward_rollout_op(problem, cc, Xb, Ub, k, K, alpha):
     )
     X_new = jnp.concatenate([Xb[:1], Xt], axis=0)
     return X_new, Un, J
+
+
+def open_loop_rollout_op(model, x0, U, dt):
+    """Open-loop rollout X[t+1] = f_d(X[t], U[t]) through the batch-aware op
+    (zero gains, zero cost matrices): the fused kernel on TPU f32 —
+    including the batch-of-one single-solve path — the scan elsewhere.
+    Returns the (N, nx) tail (x_1..x_N)."""
+    dtype = U.dtype
+    N, nu = U.shape
+    nx = x0.shape[0]
+    kind = type(model).__name__
+    n_params, param_fn, _ = _REGISTRY[kind]
+    params = jnp.asarray(param_fn(model), dtype)
+    if n_params == 0:
+        params = jnp.zeros((1,), dtype)
+    Z = lambda *s: jnp.zeros(s, dtype)
+    op = _forward_op(kind, model.integration_type, False)
+    Xt, _, _ = op(
+        jnp.broadcast_to(x0, (N, nx)).astype(dtype), U, Z(N, nu),
+        Z(N, nu, nx), jnp.asarray(1.0, dtype), jnp.asarray(dt, dtype),
+        params, Z(nx, nx), Z(nu, nu), Z(nx, nx), Z(nx), Z(nu), Z(nu),
+    )
+    return Xt
+
+
+def rollout_eligible(model) -> bool:
+    return (
+        lane_spec(model) is not None
+        and model.integration_type in ("euler", "heun", "rk3", "rk4")
+    )
 
 
 def forward_eligible(problem) -> bool:
