@@ -164,7 +164,6 @@ def _forward_pass(problem: Problem, options: CDDPOptions, X, U, k, K, dV, cost, 
         X_new, U_new, J = fused_rollout.forward_rollout_op(
             problem, cc, X, U, k, K, alpha
         )
-        x_last = X_new[-1]
     else:
         ks_idx = jnp.arange(problem.horizon)
         ts = jnp.arange(problem.horizon, dtype=X.dtype) * dt
