@@ -164,10 +164,53 @@ _REGISTRY = {
 }
 
 
+def _hcw_f(x, u, p):
+    n, mass = p[0], p[1]
+    px, pz = x[0], x[2]
+    vx, vy, vz = x[3], x[4], x[5]
+    return [vx, vy, vz,
+            2.0 * n * vy + 3.0 * n * n * px + u[0] / mass,
+            -2.0 * n * vx + u[1] / mass,
+            -n * n * pz + u[2] / mass]
+
+
+def _car_discrete_f(x, u, p, dt):
+    # Tassa's exact car map (models/car.py discrete_dynamics) — a DISCRETE
+    # lane function (4th registry slot True): no integrator composition.
+    d = p[0]
+    theta, v = x[2], x[3]
+    delta, a = u[0], u[1]
+    f = dt * v
+    sd = jnp.sin(delta)
+    b = d + f * jnp.cos(delta) - jnp.sqrt(d * d - (f * sd) * (f * sd))
+    dtheta = jnp.arcsin(sd * f / d)
+    return [x[0] + b * jnp.cos(theta), x[1] + b * jnp.sin(theta),
+            x[2] + dtheta, x[3] + dt * a]
+
+
+_REGISTRY["HCW"] = (
+    2,
+    lambda mdl: jnp.stack(
+        [jnp.asarray(mdl.mean_motion), jnp.asarray(mdl.mass)]
+    ),
+    _hcw_f,
+)
+_REGISTRY["Car"] = (
+    1,
+    lambda mdl: jnp.stack([jnp.asarray(mdl.wheelbase)]),
+    _car_discrete_f,
+    True,  # discrete lane map
+)
+
+
 def lane_spec(model):
-    """(n_params, param_vector_fn, lane_fn) for a registered model, else
-    None."""
+    """(n_params, param_vector_fn, lane_fn[, discrete]) for a registered
+    model, else None."""
     return _REGISTRY.get(type(model).__name__)
+
+
+def _is_discrete(entry):
+    return len(entry) > 3 and entry[3]
 
 
 def _integrate_lane(f, kind, x, u, p, dt):
@@ -207,7 +250,7 @@ def _integrate_lane(f, kind, x, u, p, dt):
 
 
 def make_forward_kernel(nx: int, nu: int, N: int, n_params: int, lane_f,
-                        integrator: str, clamp: bool,
+                        integrator: str, clamp: bool, discrete: bool = False,
                         tile_b: int = DEFAULT_TILE_B):
     """Build the fused forward-pass pallas_call for static problem structure.
 
@@ -258,7 +301,10 @@ def make_forward_kernel(nx: int, nu: int, N: int, n_params: int, lane_f,
             for j in range(nu):
                 J = J + u[i] * R_ref[i, j] * u[j]
 
-        x_next = _integrate_lane(lane_f, integrator, x, u, p, dt)
+        if discrete:
+            x_next = lane_f(x, u, p, dt)
+        else:
+            x_next = _integrate_lane(lane_f, integrator, x, u, p, dt)
 
         for i in range(nx):
             Xo_ref[0, i] = x_next[i]
@@ -352,7 +398,9 @@ def make_forward_kernel(nx: int, nu: int, N: int, n_params: int, lane_f,
 )
 def _forward_fused_impl(Xb, Ub, k, K, x0, alpha, dtv, params, Q, R, Qf, goal,
                         lb, ub, kind, integrator, clamp, tile_b, interpret):
-    n_params, _, lane_f = _REGISTRY[kind]
+    entry = _REGISTRY[kind]
+    n_params, lane_f = entry[0], entry[2]
+    discrete = _is_discrete(entry)
     B0, N = Xb.shape[0], Xb.shape[1]
     nx, nu = Xb.shape[2], Ub.shape[2]
     pad = (-B0) % tile_b
@@ -365,7 +413,7 @@ def _forward_fused_impl(Xb, Ub, k, K, x0, alpha, dtv, params, Q, R, Qf, goal,
     args = [prep(v) for v in (Xb, Ub, k, K, x0, alpha[:, None], dtv[:, None],
                               params, Q, R, Qf, goal, lb, ub)]
     call = make_forward_kernel(nx, nu, N, n_params, lane_f, integrator,
-                               clamp, tile_b)
+                               clamp, discrete, tile_b)
     Xt, U, J = call(*args, interpret=interpret)
     unprep = lambda x: jnp.moveaxis(x, -1, 0)[:B0]
     return unprep(Xt), unprep(U), unprep(J)[:, 0]
@@ -406,7 +454,8 @@ def forward_rollout_fused(problem, cc, Xb, Ub, k, K, alpha,
 
     model = problem.model
     kind = type(model).__name__
-    n_params, param_fn, _ = _REGISTRY[kind]
+    entry = _REGISTRY[kind]
+    n_params, param_fn = entry[0], entry[1]
     params = bc(jnp.asarray(param_fn(model), dtype))
     if n_params == 0:  # keep the lane shape >= 1
         params = jnp.zeros((B, 1), dtype)
@@ -431,7 +480,9 @@ def _scan_forward_single(kind, integrator, clamp, Xb, Ub, k, K, alpha, dtv,
                          params, Q, R, Qf, goal, lb, ub):
     """Single-instance reference path (identical math to the kernel):
     closed-loop rollout + quadratic cost as a lax.scan."""
-    n_params, _, lane_f = _REGISTRY[kind]
+    entry = _REGISTRY[kind]
+    n_params, lane_f = entry[0], entry[2]
+    discrete = _is_discrete(entry)
     N, nx = Xb.shape[0], Xb.shape[1]
     nu = Ub.shape[1]
 
@@ -446,7 +497,12 @@ def _scan_forward_single(kind, integrator, clamp, Xb, Ub, k, K, alpha, dtv,
         xs = [x[i] for i in range(nx)]
         us = [u[i] for i in range(nu)]
         ps = [params[i] for i in range(n_params)]
-        x_next = jnp.stack(_integrate_lane(lane_f, integrator, xs, us, ps, dtv))
+        if discrete:
+            x_next = jnp.stack(lane_f(xs, us, ps, dtv))
+        else:
+            x_next = jnp.stack(
+                _integrate_lane(lane_f, integrator, xs, us, ps, dtv)
+            )
         return (x_next, J), (x_next, u)
 
     (x_last, J), (Xt, Un) = jax.lax.scan(
@@ -503,7 +559,8 @@ def forward_rollout_op(problem, cc, Xb, Ub, k, K, alpha):
     dtype = Xb.dtype
     model = problem.model
     kind = type(model).__name__
-    n_params, param_fn, _ = _REGISTRY[kind]
+    entry = _REGISTRY[kind]
+    n_params, param_fn = entry[0], entry[1]
     params = jnp.asarray(param_fn(model), dtype)
     if n_params == 0:
         params = jnp.zeros((1,), dtype)
@@ -535,7 +592,8 @@ def open_loop_rollout_op(model, x0, U, dt):
     N, nu = U.shape
     nx = x0.shape[0]
     kind = type(model).__name__
-    n_params, param_fn, _ = _REGISTRY[kind]
+    entry = _REGISTRY[kind]
+    n_params, param_fn = entry[0], entry[1]
     params = jnp.asarray(param_fn(model), dtype)
     if n_params == 0:
         params = jnp.zeros((1,), dtype)

@@ -7,7 +7,7 @@ import numpy as np
 import pytest
 
 import cddp_tpu as ct
-from cddp_tpu.models import CartPole, Pendulum, Unicycle
+from cddp_tpu.models import Car, CartPole, HCW, Pendulum, Unicycle
 from cddp_tpu.models.base import rollout as open_loop_rollout
 from cddp_tpu.ops.pallas.rollout import (
     forward_eligible,
@@ -36,8 +36,15 @@ def _problem(model, nx, nu, x0, goal, lo, hi, N=20, dt=0.05):
          jnp.array([jnp.pi, 0.0]), jnp.zeros(2), [-10.0], [10.0]),
         (CartPole(), 4, 1, jnp.zeros(4),
          jnp.array([0.0, jnp.pi, 0.0, 0.0]), [-100.0], [100.0]),
+        (Car(wheelbase=2.0, timestep=0.05), 4, 2,
+         jnp.array([1.0, 1.0, 1.5, 0.0]), jnp.zeros(4),
+         [-0.5, -2.0], [0.5, 2.0]),
+        (HCW(mean_motion=0.00113, mass=100.0, integration_type="rk4"), 6, 3,
+         jnp.array([0.0, 50.0, 5.0, 0.0, 0.0, 0.0]), jnp.zeros(6),
+         [-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]),
     ],
-    ids=["unicycle-euler", "pendulum-rk4", "cartpole-euler"],
+    ids=["unicycle-euler", "pendulum-rk4", "cartpole-euler",
+         "car-discrete", "hcw-rk4"],
 )
 def test_fused_forward_matches_scan(model, nx, nu, x0, goal, lo, hi):
     prob = _problem(model, nx, nu, x0, goal, lo, hi)
