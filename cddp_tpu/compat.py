@@ -46,9 +46,25 @@ class CDDP:
 
     # --- builder methods (names match bind_solver.cpp:587-663) -------------
     def set_dynamical_system(self, system):
+        # Abstract-base rejection (bind_solver.cpp isExactCoreType guard;
+        # python/tests/test_solver_errors.py:76).
+        from cddp_tpu.models.base import DynamicalSystem
+
+        if type(system) is DynamicalSystem:
+            raise TypeError(
+                "DynamicalSystem is an abstract base; subclass it or use "
+                "cddp_tpu.models.custom_system(f, nx, nu)."
+            )
         self._system = system
 
     def set_objective(self, objective):
+        from cddp_tpu.costs.objective import Objective
+
+        if type(objective) is Objective:
+            raise TypeError(
+                "Objective is an abstract base; use QuadraticObjective, "
+                "NonlinearObjective, or ResidualObjective."
+            )
         self._objective = objective
 
     def set_options(self, options: CDDPOptions):
@@ -67,8 +83,35 @@ class CDDP:
         self._terminal_constraints[name] = constraint
 
     def set_initial_trajectory(self, X, U):
+        # Validation mirrors pycddp's validateInitialTrajectory
+        # (bind_solver.cpp:106-140; python/tests/test_solver_errors.py:67-121).
+        if self._system is None:
+            raise RuntimeError(
+                "Dynamical system must be set before setting the initial "
+                "trajectory."
+            )
         X = jnp.asarray(X)
         U = jnp.asarray(U)
+        if X.shape[0] != self.horizon + 1:
+            raise ValueError(
+                f"Initial state trajectory must have horizon+1 = "
+                f"{self.horizon + 1} entries, got {X.shape[0]}."
+            )
+        if U.shape[0] != self.horizon:
+            raise ValueError(
+                f"Initial control trajectory must have horizon = "
+                f"{self.horizon} entries, got {U.shape[0]}."
+            )
+        if X.ndim != 2 or X.shape[1] != self._system.state_dim:
+            raise ValueError(
+                f"Initial states must have dimension "
+                f"{self._system.state_dim}, got {X.shape[1:]}."
+            )
+        if U.ndim != 2 or U.shape[1] != self._system.control_dim:
+            raise ValueError(
+                f"Initial controls must have dimension "
+                f"{self._system.control_dim}, got {U.shape[1:]}."
+            )
         self._X0, self._U0 = X, U
         # setInitialTrajectory syncs x0 to X[0] (cddp_core.cpp:126-141).
         self.initial_state = X[0]
@@ -91,19 +134,21 @@ class CDDP:
         (system/objective must be set, cddp_core.cpp:277-283). Solver state
         is preserved per solver name so warm_start options work across calls.
         Wall-clock is measured host-side into solve_time_ms."""
+        from cddp_tpu.solvers import get_solver
+
+        # Solver-name validation comes FIRST, like pycddp's solve_by_name
+        # guard (bind_solver.cpp:638-651).
+        fn = get_solver(solver_type)
         if self._system is None:
             raise RuntimeError("Dynamical system must be set before solving.")
         if self._objective is None:
             raise RuntimeError("Objective function must be set before solving.")
-
-        from cddp_tpu.solvers import get_solver
 
         prob = _make_problem(
             self._system, self._objective, self.initial_state, self.horizon,
             self.timestep, constraints=self._constraints,
             terminal_constraints=self._terminal_constraints,
         )
-        fn = get_solver(solver_type)
         kw = {}
         if self._X0 is not None:
             kw["X0"] = self._X0

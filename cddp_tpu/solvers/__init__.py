@@ -26,11 +26,11 @@ def registered_solvers():
 def get_solver(name: str) -> Callable:
     if name in _EXTERNAL:
         return _EXTERNAL[name]
-    if name in ("CLDDP", "CDDP", "iLQR"):
+    if name in ("CLDDP", "CLCDDP", "CDDP", "iLQR"):
         from cddp_tpu.solvers import clddp
 
         return clddp.solve
-    if name == "LogDDP":
+    if name in ("LogDDP", "LOGDDP"):
         from cddp_tpu.solvers import logddp
 
         return logddp.solve

@@ -99,3 +99,44 @@ def test_pycddp_export_surface():
     assert compat.SolverType.MSIPDDP == "MSIPDDP"
     o = compat.InteriorPointOptions()
     assert o.dual_var_init_scale == 1e-1 and o.slack_var_init_scale == 1e-2
+
+
+def test_solver_name_aliases():
+    """CLCDDP -> CLDDP, LOGDDP -> LogDDP (bind_solver.cpp:96-100;
+    python/tests/test_solver_errors.py:26-64)."""
+    from cddp_tpu.solvers import clddp, logddp, get_solver
+
+    assert get_solver("CLCDDP") is clddp.solve
+    assert get_solver("LOGDDP") is logddp.solve
+
+
+def test_error_surfaces_match_reference():
+    """python/tests/test_solver_errors.py parity: unknown solver, abstract
+    bases, and initial-trajectory validation."""
+    import pytest as _pytest
+
+    import cddp_tpu as ct
+    from cddp_tpu.compat import CDDP
+    from cddp_tpu.models import Pendulum
+    from cddp_tpu.models.base import DynamicalSystem
+    from cddp_tpu.costs.objective import Objective
+
+    s = CDDP(jnp.zeros(2), jnp.zeros(2), 6, 0.1)
+    with _pytest.raises(ValueError, match="Unknown solver"):
+        s.solve_by_name("NONEXISTENT")
+    with _pytest.raises(TypeError, match="abstract base"):
+        s.set_dynamical_system(DynamicalSystem())
+    with _pytest.raises(TypeError, match="abstract base"):
+        s.set_objective(Objective())
+    with _pytest.raises(RuntimeError, match="must be set before"):
+        s.set_initial_trajectory(jnp.zeros((7, 2)), jnp.zeros((6, 1)))
+    s.set_dynamical_system(Pendulum())
+    with _pytest.raises(ValueError, match="horizon\\+1"):
+        s.set_initial_trajectory(jnp.zeros((5, 2)), jnp.zeros((6, 1)))
+    with _pytest.raises(ValueError, match="horizon = 6"):
+        s.set_initial_trajectory(jnp.zeros((7, 2)), jnp.zeros((5, 1)))
+    with _pytest.raises(ValueError, match="dimension 2"):
+        s.set_initial_trajectory(jnp.zeros((7, 3)), jnp.zeros((6, 1)))
+    with _pytest.raises(ValueError, match="dimension 1"):
+        s.set_initial_trajectory(jnp.zeros((7, 2)), jnp.zeros((6, 2)))
+    s.set_initial_trajectory(jnp.zeros((7, 2)), jnp.zeros((6, 1)))
