@@ -45,8 +45,7 @@ def _unicycle_f(x, u, p):
 
 
 def _pendulum_f(x, u, p):
-    l, m, b = p[0], p[1], p[2]
-    g = 9.81
+    l, m, b, g = p[0], p[1], p[2], p[3]
     return [x[1], (u[0] - b * x[1] + m * g * l * jnp.sin(x[0])) / (m * l * l)]
 
 
@@ -71,8 +70,8 @@ def _quadrotor_f(x, u, p):
     # p = [mass, arm_length, I (9, row-major)]; matches models/quadrotor.py
     # (quaternion-normalized attitude, rotor-force controls, r_col3 thrust
     # mapping, explicit 3x3 inertia inverse via adjugate).
-    mass, arm = p[0], p[1]
-    I = [[p[2 + 3 * i + j] for j in range(3)] for i in range(3)]
+    mass, arm, grav = p[0], p[1], p[2]
+    I = [[p[3 + 3 * i + j] for j in range(3)] for i in range(3)]
     px, py, pz = x[0], x[1], x[2]
     qw, qx, qy, qz = x[3], x[4], x[5], x[6]
     vx, vy, vz = x[7], x[8], x[9]
@@ -98,7 +97,7 @@ def _quadrotor_f(x, u, p):
     tm = thrust / mass
     ax = tm * (2.0 * (qx * qz + qw * qy))
     ay = tm * (2.0 * (qy * qz - qw * qx))
-    az = tm * (1.0 - 2.0 * (qx * qx + qy * qy)) - 9.81
+    az = tm * (1.0 - 2.0 * (qx * qx + qy * qy)) - grav
 
     # I w, cross(w, Iw), and I^{-1} via the adjugate (3x3).
     Iw = [I[i][0] * wx + I[i][1] * wy + I[i][2] * wz for i in range(3)]
@@ -137,10 +136,10 @@ _REGISTRY = {
         _unicycle_f,
     ),
     "Pendulum": (
-        3,
+        4,
         lambda mdl: jnp.stack(
             [jnp.asarray(mdl.length), jnp.asarray(mdl.mass),
-             jnp.asarray(mdl.damping)]
+             jnp.asarray(mdl.damping), jnp.asarray(mdl.gravity)]
         ),
         _pendulum_f,
     ),
@@ -154,9 +153,10 @@ _REGISTRY = {
         _cartpole_f,
     ),
     "Quadrotor": (
-        11,
+        12,
         lambda mdl: jnp.concatenate(
-            [jnp.stack([jnp.asarray(mdl.mass), jnp.asarray(mdl.arm_length)]),
+            [jnp.stack([jnp.asarray(mdl.mass), jnp.asarray(mdl.arm_length),
+                        jnp.asarray(mdl.gravity)]),
              jnp.asarray(mdl.inertia).reshape(-1)]
         ),
         _quadrotor_f,
@@ -203,10 +203,24 @@ _REGISTRY["Car"] = (
 )
 
 
+def _registry_key(model):
+    """Registry key only for EXACT registered classes: a user subclass (even
+    one reusing the name) keeps the reference scan path so its overridden
+    dynamics are honored."""
+    from cddp_tpu import models as _m
+
+    cls = type(model)
+    name = cls.__name__
+    if name in _REGISTRY and getattr(_m, name, None) is cls:
+        return name
+    return None
+
+
 def lane_spec(model):
     """(n_params, param_vector_fn, lane_fn[, discrete]) for a registered
     model, else None."""
-    return _REGISTRY.get(type(model).__name__)
+    key = _registry_key(model)
+    return _REGISTRY[key] if key is not None else None
 
 
 def _is_discrete(entry):
@@ -453,7 +467,7 @@ def forward_rollout_fused(problem, cc, Xb, Ub, k, K, alpha,
         clamp = False
 
     model = problem.model
-    kind = type(model).__name__
+    kind = _registry_key(model)
     entry = _REGISTRY[kind]
     n_params, param_fn = entry[0], entry[1]
     params = bc(jnp.asarray(param_fn(model), dtype))
@@ -558,7 +572,7 @@ def forward_rollout_op(problem, cc, Xb, Ub, k, K, alpha):
     obj = problem.objective
     dtype = Xb.dtype
     model = problem.model
-    kind = type(model).__name__
+    kind = _registry_key(model)
     entry = _REGISTRY[kind]
     n_params, param_fn = entry[0], entry[1]
     params = jnp.asarray(param_fn(model), dtype)
@@ -581,37 +595,6 @@ def forward_rollout_op(problem, cc, Xb, Ub, k, K, alpha):
     )
     X_new = jnp.concatenate([Xb[:1], Xt], axis=0)
     return X_new, Un, J
-
-
-def open_loop_rollout_op(model, x0, U, dt):
-    """Open-loop rollout X[t+1] = f_d(X[t], U[t]) through the batch-aware op
-    (zero gains, zero cost matrices): the fused kernel on TPU f32 —
-    including the batch-of-one single-solve path — the scan elsewhere.
-    Returns the (N, nx) tail (x_1..x_N)."""
-    dtype = U.dtype
-    N, nu = U.shape
-    nx = x0.shape[0]
-    kind = type(model).__name__
-    entry = _REGISTRY[kind]
-    n_params, param_fn = entry[0], entry[1]
-    params = jnp.asarray(param_fn(model), dtype)
-    if n_params == 0:
-        params = jnp.zeros((1,), dtype)
-    Z = lambda *s: jnp.zeros(s, dtype)
-    op = _forward_op(kind, model.integration_type, False)
-    Xt, _, _ = op(
-        jnp.broadcast_to(x0, (N, nx)).astype(dtype), U, Z(N, nu),
-        Z(N, nu, nx), jnp.asarray(1.0, dtype), jnp.asarray(dt, dtype),
-        params, Z(nx, nx), Z(nu, nu), Z(nx, nx), Z(nx), Z(nu), Z(nu),
-    )
-    return Xt
-
-
-def rollout_eligible(model) -> bool:
-    return (
-        lane_spec(model) is not None
-        and model.integration_type in ("euler", "heun", "rk3", "rk4")
-    )
 
 
 def forward_eligible(problem) -> bool:

@@ -1157,6 +1157,12 @@ def _update_barrier_and_filter(problem, options, stk, tstk, c: _Carry, has_path,
         mu_cand = jnp.maximum(bopt.mu_min_value, jnp.minimum(linear, superlinear))
         mu_new = jnp.where(kkt <= options.ipddp.mu_kappa_epsilon * mu_old, mu_cand, mu_old)
 
+    if options.debug:
+        base.print_debug_barrier(
+            "IPDDP", c.it, mu_old, mu_new, c.inf_pr, scaled_inf_du,
+            scaled_inf_comp,
+        )
+
     h_T = tstk.eq_evaluate(c.X[-1]) if has_te else jnp.zeros((0,), c.X.dtype)
     filter_theta = jnp.maximum(
         _theta(options, c.G, c.S, c.G_T, c.S_T, h_T), 1e-8

@@ -150,9 +150,9 @@ def _backward_pass(problem, options, barrier, X, U, reg):
         from cddp_tpu.ops.parallel_riccati import parallel_lqr_backward
 
         _, _, P_all, v_all = parallel_lqr_backward(
-            jnp.concatenate([_sym3(lxx + Bxx), V_xx[None]], axis=0),
+            jnp.concatenate([_sym(lxx + Bxx), V_xx[None]], axis=0),
             jnp.concatenate([lx + Bx, V_x[None]], axis=0),
-            _sym3(luu + Buu) + reg * eye_u[None],
+            _sym(luu + Buu) + reg * eye_u[None],
             lu + Bu,
             (lux + Bux).swapaxes(-1, -2),
             A, B,
@@ -178,12 +178,9 @@ def _backward_pass(problem, options, barrier, X, U, reg):
     return _BP(k=ks_out, K=Ks_out, dV=dV, inf_du=Qu_err, ok=ok)
 
 
-def _sym3(M):
-    return 0.5 * (M + M.swapaxes(-1, -2))
-
-
 def _sym(M):
-    return 0.5 * (M + M.T)
+    """Symmetrize (works for single matrices and batched stacks)."""
+    return 0.5 * (M + M.swapaxes(-1, -2))
 
 
 def _forward_pass(problem, options, barrier, X, U, k, K, dV, merit_old, cv_old, alpha):
@@ -388,6 +385,12 @@ def _solve(problem: Problem, options: CDDPOptions, X0, U0, k0, K0):
                 ),
                 jnp.minimum(options.log_barrier.barrier.mu_initial, c.mu * 5.0),
             )
+
+            if options.debug:
+                base.print_debug_barrier(
+                    "LogDDP", it, c.mu, mu_new, cv_new, bp.inf_du,
+                    jnp.zeros((), dtype),
+                )
 
             status = jnp.where(
                 conv_opt,

@@ -530,6 +530,11 @@ def _update_barrier(problem, options, stk, c: _Carry, fp_success, has_path: bool
         changed = (metric <= threshold) | slow_progress
         mu_new = jnp.where(changed, cand, c.mu)
 
+    if options.debug:
+        base.print_debug_barrier(
+            "MSIPDDP", c.it, c.mu, mu_new, c.inf_pr, sdu, c.inf_comp
+        )
+
     # resetFilter on update: recompute merit/infs with new mu, single entry.
     merit, inf_pr, inf_comp, cv = _reset_filter_quantities(
         problem, stk, options, c.X, c.U, c.Y, c.S, c.G, c.F, mu_new, c.cost

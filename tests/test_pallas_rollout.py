@@ -111,3 +111,42 @@ def test_ineligible_objective_keeps_scan():
     assert not forward_eligible(prob)
     sol = clddp.solve(prob, ct.CDDPOptions(max_iterations=5))
     assert np.isfinite(float(sol.final_objective))
+
+
+def test_nondefault_gravity_reaches_lane_function():
+    """Review regression: lane functions must consume the model's gravity
+    field (it was once hardcoded at 9.81, silently desynchronizing the
+    fused forward from the backward pass for e.g. lunar gravity)."""
+    m = Pendulum(length=0.5, mass=1.0, damping=0.01, gravity=1.62)
+    prob = _problem(m, 2, 1, jnp.array([jnp.pi, 0.0]), jnp.zeros(2),
+                    [-10.0], [10.0], N=12)
+    cc = prob.get_constraint("ControlConstraint")
+    x0s = jnp.array([[jnp.pi, 0.0]])
+    U0 = 0.3 * jnp.ones((1, 12, 1))
+    from cddp_tpu.models.base import rollout as olr
+
+    Xb = jax.vmap(lambda x, u: olr(prob.model, x, u, prob.timestep))(x0s, U0)
+    Z = jnp.zeros
+    Xf, Uf, Jf = forward_rollout_fused(
+        prob, cc, Xb, U0, Z((1, 12, 1)), Z((1, 12, 1, 2)), jnp.ones((1,)),
+        interpret=True,
+    )
+    # zero gains + alpha=1 -> open-loop: the kernel must reproduce the
+    # MODEL's rollout (gravity=1.62), not the Earth-gravity one.
+    np.testing.assert_allclose(np.asarray(Xf[0]), np.asarray(Xb[0]),
+                               rtol=1e-9, atol=1e-12)
+
+
+def test_subclass_keeps_reference_scan():
+    """Review regression: a user subclass (even reusing the name) must NOT
+    dispatch to the registry's lane dynamics."""
+    class Pendulum(  # noqa: F811 — deliberate same-name subclass
+        __import__("cddp_tpu.models", fromlist=["Pendulum"]).Pendulum
+    ):
+        def continuous_dynamics(self, x, u, t):
+            return super().continuous_dynamics(x, u, t) * 2.0
+
+    m = Pendulum(length=0.5, damping=0.01)
+    prob = _problem(m, 2, 1, jnp.array([jnp.pi, 0.0]), jnp.zeros(2),
+                    [-10.0], [10.0], N=10)
+    assert not forward_eligible(prob)
