@@ -88,15 +88,12 @@ def test_solver_error_surfaces():
     s = CDDP(jnp.zeros(3), jnp.zeros(3), 10, 0.1)
     with pytest.raises(RuntimeError, match="Dynamical system"):
         s.solve()
-    # Abstract model rejection: base class without dynamics raises on trace.
+    # Abstract model rejection at SET time (pycddp isExactCoreType guard;
+    # previously this surfaced later as NotImplementedError on trace).
     from cddp_tpu.models.base import DynamicalSystem
 
-    s.set_dynamical_system(DynamicalSystem(state_dim=3, control_dim=2))
-    s.set_objective(
-        ct.quadratic_objective(jnp.eye(3), jnp.eye(2), jnp.eye(3), jnp.zeros(3), 0.1)
-    )
-    with pytest.raises(NotImplementedError):
-        s.solve("CLDDP")
+    with pytest.raises(TypeError, match="abstract base"):
+        s.set_dynamical_system(DynamicalSystem(state_dim=3, control_dim=2))
 
 
 # slow tier: fleet MPC integration (sharded solve parity stays fast)
