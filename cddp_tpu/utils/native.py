@@ -161,11 +161,19 @@ def clddp_solve(model_id, params, N, dt, Qs, Rs, Qf, goal, x0,
     (status, X, U, cost, inf_du, iterations).
     """
     lib = load()
+    if model_id not in (0, 1):
+        raise ValueError(
+            f"native engines support model_id 0 (unicycle) or 1 (pendulum), "
+            f"got {model_id}"
+        )
     nx = 3 if model_id == 0 else 2
     nu = 2 if model_id == 0 else 1
     params = np.ascontiguousarray(
-        params if params is not None else np.zeros(3), dtype=np.float64
+        params if params is not None else np.zeros(4), dtype=np.float64
     )
+    if model_id == 1 and params.shape[0] == 3:
+        # legacy [l, m, b] -> append default gravity
+        params = np.concatenate([params, [9.81]])
     Qs = np.ascontiguousarray(Qs, dtype=np.float64)
     Rs = np.ascontiguousarray(Rs, dtype=np.float64)
     Qf = np.ascontiguousarray(Qf, dtype=np.float64)
@@ -220,11 +228,19 @@ def ipddp_solve(model_id, params, N, dt, Qs, Rs, Qf, goal, x0,
     Returns (status, X, U, dict(cost, inf_pr, inf_du, inf_comp, mu, iters)).
     """
     lib = load()
+    if model_id not in (0, 1):
+        raise ValueError(
+            f"native engines support model_id 0 (unicycle) or 1 (pendulum), "
+            f"got {model_id}"
+        )
     nx = 3 if model_id == 0 else 2
     nu = 2 if model_id == 0 else 1
     params = np.ascontiguousarray(
-        params if params is not None else np.zeros(3), dtype=np.float64
+        params if params is not None else np.zeros(4), dtype=np.float64
     )
+    if model_id == 1 and params.shape[0] == 3:
+        # legacy [l, m, b] -> append default gravity
+        params = np.concatenate([params, [9.81]])
     arrs = [np.ascontiguousarray(a, dtype=np.float64)
             for a in (Qs, Rs, Qf, goal, x0, lower, upper)]
     Qs, Rs, Qf, goal, x0, lower, upper = arrs
@@ -282,11 +298,19 @@ def logddp_solve(model_id, params, N, dt, Qs, Rs, Qf, goal, x0,
     barrier, iLQR, sequential filter line search). Defaults mirror
     CDDPOptions. Returns (status, X, U, dict(cost, cv, inf_du, mu, iters))."""
     lib = load()
+    if model_id not in (0, 1):
+        raise ValueError(
+            f"native engines support model_id 0 (unicycle) or 1 (pendulum), "
+            f"got {model_id}"
+        )
     nx = 3 if model_id == 0 else 2
     nu = 2 if model_id == 0 else 1
     params = np.ascontiguousarray(
-        params if params is not None else np.zeros(3), dtype=np.float64
+        params if params is not None else np.zeros(4), dtype=np.float64
     )
+    if model_id == 1 and params.shape[0] == 3:
+        # legacy [l, m, b] -> append default gravity
+        params = np.concatenate([params, [9.81]])
     arrs = [np.ascontiguousarray(a, dtype=np.float64)
             for a in (Qs, Rs, Qf, goal, x0, lower, upper)]
     Qs, Rs, Qf, goal, x0, lower, upper = arrs
@@ -339,11 +363,19 @@ def msipddp_solve(model_id, params, N, dt, Qs, Rs, Qf, goal, x0,
     ADAPTIVE barrier). Control box, iLQR, cold start. Returns
     (status, X, U, dict(cost, inf_pr, inf_du, inf_comp, mu, iters))."""
     lib = load()
+    if model_id not in (0, 1):
+        raise ValueError(
+            f"native engines support model_id 0 (unicycle) or 1 (pendulum), "
+            f"got {model_id}"
+        )
     nx = 3 if model_id == 0 else 2
     nu = 2 if model_id == 0 else 1
     params = np.ascontiguousarray(
-        params if params is not None else np.zeros(3), dtype=np.float64
+        params if params is not None else np.zeros(4), dtype=np.float64
     )
+    if model_id == 1 and params.shape[0] == 3:
+        # legacy [l, m, b] -> append default gravity
+        params = np.concatenate([params, [9.81]])
     arrs = [np.ascontiguousarray(a, dtype=np.float64)
             for a in (Qs, Rs, Qf, goal, x0, lower, upper)]
     Qs, Rs, Qf, goal, x0, lower, upper = arrs

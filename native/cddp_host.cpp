@@ -81,7 +81,7 @@ int cddp_boxqp_solve(const double* H, const double* g, const double* lower,
                      double armijo) {
   std::vector<double> grad(n), gradc(n), search(n), xnew(n);
   std::vector<double> Hff(n * n), rhs(n), sol(n), work(n * n);
-  std::vector<int> clamped(n, 0), old_clamped(n);
+  std::vector<int> clamped(n, 0);
 
   for (int i = 0; i < n; ++i)
     x[i] = std::min(std::max(x0[i], lower[i]), upper[i]);
@@ -104,7 +104,6 @@ int cddp_boxqp_solve(const double* H, const double* g, const double* lower,
       grad[i] = g[i] + Hx;
     }
 
-    old_clamped = clamped;
     int n_clamped = 0;
     for (int i = 0; i < n; ++i) {
       clamped[i] = ((x[i] == lower[i] && grad[i] > 0) ||
@@ -356,14 +355,15 @@ namespace {
 
 struct Model {
   int nx, nu;
-  // params: unicycle none; pendulum [l, m, b] with g = 9.81
+  // params: unicycle none; pendulum [l, m, b, g] (g as a parameter — same
+  // fix as the Python lane functions, which once hardcoded 9.81 too).
   void f(const double* x, const double* u, const double* p, double* out) const {
     if (nx == 3) {
       out[0] = u[0] * std::cos(x[2]);
       out[1] = u[0] * std::sin(x[2]);
       out[2] = u[1];
     } else {
-      const double l = p[0], m = p[1], b = p[2], g = 9.81;
+      const double l = p[0], m = p[1], b = p[2], g = p[3];
       out[0] = x[1];
       out[1] = (u[0] - b * x[1] + m * g * l * std::sin(x[0])) / (m * l * l);
     }
@@ -379,7 +379,7 @@ struct Model {
       Fu[1 * 2 + 0] = std::sin(x[2]);
       Fu[2 * 2 + 1] = 1.0;
     } else {
-      const double l = p[0], m = p[1], b = p[2], g = 9.81;
+      const double l = p[0], m = p[1], b = p[2], g = p[3];
       Fx[0 * 2 + 0] = 0.0; Fx[0 * 2 + 1] = 1.0;
       Fx[1 * 2 + 0] = g / l * std::cos(x[0]);
       Fx[1 * 2 + 1] = -b / (m * l * l);
@@ -409,6 +409,7 @@ int cddp_clddp_solve(
     double reg_init, double reg_min, double reg_max, double reg_factor,
     double armijo_constant, double scaling_max_factor,
     double* X, double* U, double* out_stats) {
+  if (model_id != 0 && model_id != 1) return -100;  // unknown model
   const Model mdl{model_id == 0 ? 3 : 2, model_id == 0 ? 2 : 1};
   const int nx = mdl.nx, nu = mdl.nu;
 
@@ -455,23 +456,30 @@ int cddp_clddp_solve(
   std::vector<double> qp_x(nu), qp_Hfree(nu * nu);
   std::vector<int> qp_free(nu);
 
-  // alpha ladder: a0=1, r=0.5, 11 entries, min tail 1e-8
+  // alpha ladder: a0=1, r=0.5, 11 entries (0.5^10 > 1e-8, so the
+  // min-step tail of buildLineSearchAlphas never fires at these defaults)
   std::vector<double> alphas;
   {
     double a = 1.0;
     for (int i = 0; i < 11; ++i) {
       alphas.push_back(a);
       a *= 0.5;
-      if (a < 1e-8 && i < 10) { alphas.push_back(1e-8); break; }
     }
   }
 
   int it = 0;
+  std::vector<double> ks_iter(N * nu);
   for (; it < max_iterations; ++it) {
     // ---- backward pass with regularization retry --------------------------
     double dV0 = 0.0, dV1 = 0.0, norm_Vx = 0.0, Qu_err = 0.0;
     bool bp_ok = false;
+    // Snapshot the previous iteration's gains: every retry of the backward
+    // pass warm-starts its BoxQPs from these, not from a failed attempt's
+    // partial overwrites (matches clddp.py, where bp_body always passes
+    // the carry's k).
+    std::memcpy(ks_iter.data(), ks.data(), sizeof(double) * N * nu);
     while (true) {
+      std::memcpy(ks.data(), ks_iter.data(), sizeof(double) * N * nu);
       // terminal value
       for (int i = 0; i < nx; ++i) {
         double s = 0.0;
@@ -636,7 +644,7 @@ int cddp_clddp_solve(
 
     // ---- sequential first-success line search -----------------------------
     bool fp_ok = false;
-    double J_new = cost, alpha_used = 1.0;
+    double J_new = cost;
     for (double a : alphas) {
       std::memcpy(Xtry.data(), x0, sizeof(double) * nx);
       double J = 0.0;
@@ -674,13 +682,11 @@ int cddp_clddp_solve(
       if (ratio > armijo_constant) {
         fp_ok = true;
         J_new = J;
-        alpha_used = a;
         std::memcpy(X, Xtry.data(), sizeof(double) * (N + 1) * nx);
         std::memcpy(U, Utry.data(), sizeof(double) * N * nu);
         break;
       }
     }
-    (void)alpha_used;
 
     const double dJ = cost - J_new;
     if (fp_ok) {
@@ -806,6 +812,7 @@ int cddp_ipddp_solve(
     const double* opts, const double* U0,
     double* X, double* U, double* out_stats) {
   using namespace ipddp_native;
+  if (model_id != 0 && model_id != 1) return -100;  // unknown model
   const Model mdl{model_id == 0 ? 3 : 2, model_id == 0 ? 2 : 1};
   const int nx = mdl.nx, nu = mdl.nu;
   const int mb = has_ball ? 1 : 0;
@@ -1522,6 +1529,7 @@ int cddp_logddp_solve(
     const double* opts, const double* U0,
     double* X, double* U, double* out_stats) {
   using logddp_native::beta_derivs;
+  if (model_id != 0 && model_id != 1) return -100;  // unknown model
   const Model mdl{model_id == 0 ? 3 : 2, model_id == 0 ? 2 : 1};
   const int nx = mdl.nx, nu = mdl.nu;
 
@@ -1918,6 +1926,7 @@ int cddp_msipddp_solve(
     const double* opts, const double* U0,
     double* X, double* U, double* out_stats) {
   using ipddp_native::Filter;
+  if (model_id != 0 && model_id != 1) return -100;  // unknown model
   const Model mdl{model_id == 0 ? 3 : 2, model_id == 0 ? 2 : 1};
   const int nx = mdl.nx, nu = mdl.nu;
   const int m = 2 * nu;

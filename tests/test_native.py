@@ -342,3 +342,55 @@ def test_native_msipddp_matches_jax_pendulum_box():
     np.testing.assert_allclose(
         Xn, np.asarray(sol.state_trajectory), rtol=1e-4, atol=1e-4
     )
+
+
+def test_native_pendulum_gravity_parameter():
+    """Review regression: the native Model once hardcoded g=9.81; gravity
+    now rides params[3]. Lunar-gravity CLDDP solves must agree across
+    engines (seeds matched: the native engine re-rolls X from U)."""
+    import cddp_tpu as ct
+    from cddp_tpu.models import Pendulum
+    from cddp_tpu.models.base import rollout as olr
+    from cddp_tpu.solvers import clddp
+    from cddp_tpu.utils import native
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+
+    dt, N = 0.02, 60
+    l, m, b, g = 0.5, 1.0, 0.01, 1.62
+    Q = np.zeros((2, 2))
+    R = 0.1 * np.eye(1)
+    Qf = 100.0 * np.eye(2)
+    lo, hi = np.asarray([-10.0]), np.asarray([10.0])
+    x0 = np.asarray([np.pi, 0.0])
+    status, Xn, Un, cost_n, _, _ = native.clddp_solve(
+        1, np.asarray([l, m, b, g]), N, dt, Q * dt, R * dt, Qf, np.zeros(2),
+        x0, lower=lo, upper=hi, max_iterations=200, tolerance=1e-6,
+    )
+    model = Pendulum(length=l, mass=m, damping=b, gravity=g)
+    obj = ct.quadratic_objective(
+        jnp.asarray(Q), jnp.asarray(R), jnp.asarray(Qf), jnp.zeros(2), dt
+    )
+    prob = ct.problem(model, obj, jnp.asarray(x0), N, dt)
+    prob = prob.add_constraint(
+        "ControlConstraint", ct.control_constraint(jnp.asarray(lo), jnp.asarray(hi))
+    )
+    X0 = olr(model, jnp.asarray(x0), jnp.zeros((N, 1)), dt)
+    sol = clddp.solve(
+        prob, ct.CDDPOptions(max_iterations=200, tolerance=1e-6), X0=X0
+    )
+    np.testing.assert_allclose(cost_n, float(sol.final_objective), rtol=1e-6)
+    np.testing.assert_allclose(
+        Un, np.asarray(sol.control_trajectory), rtol=1e-4, atol=1e-6
+    )
+
+
+def test_native_unknown_model_id_rejected():
+    from cddp_tpu.utils import native
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+    with pytest.raises(ValueError, match="model_id"):
+        native.clddp_solve(5, None, 10, 0.05, np.eye(2), np.eye(1),
+                           np.eye(2), np.zeros(2), np.zeros(2))
