@@ -124,6 +124,17 @@ def _step_element(A, B, Q, q, R, r, M, d=None):
     return _Elem(A=Abar, b=b, C=C, eta=eta, J=J)
 
 
+def lqr_gains(A_t, B_t, R_t, r_t, M_t, d_t, S_n, v_n):
+    """Per-step LQR gains from the NEXT value function V = 0.5 x'Sx - v'x
+    (shared by the single-device and horizon-sharded backends — the two must
+    stay in algebraic lockstep)."""
+    Quu = R_t + B_t.T @ S_n @ B_t
+    Qux = B_t.T @ S_n @ A_t + M_t.T
+    Qu = r_t - B_t.T @ v_n + B_t.T @ (S_n @ d_t)
+    kK = psd_solve(Quu, jnp.concatenate([Qu[:, None], Qux], axis=1))
+    return -kK[:, 1:], -kK[:, 0]
+
+
 def parallel_lqr_backward(Q, q, R, r, M, A, B, d=None):
     """O(log N)-depth LQR backward pass.
 
@@ -169,17 +180,7 @@ def parallel_lqr_backward(Q, q, R, r, M, A, B, d=None):
     v = tails.eta
 
     # Gains from the NEXT value function (standard Riccati):
-    # Quu = R + B'S+ B ; Qux = B'S+ A + M' ; Qu = r + B'( S+ b? ) - B'v+
-    S_next = S[1:]
-    v_next = v[1:]
-
-    def gains(A_t, B_t, R_t, r_t, M_t, d_t, S_n, v_n):
-        Quu = R_t + B_t.T @ S_n @ B_t
-        Qux = B_t.T @ S_n @ A_t + M_t.T
-        Qu = r_t - B_t.T @ v_n + B_t.T @ (S_n @ d_t)
-        kK = psd_solve(Quu, jnp.concatenate([Qu[:, None], Qux], axis=1))
-        return -kK[:, 1:], -kK[:, 0]
-
+    # Quu = R + B'S+ B ; Qux = B'S+ A + M' ; Qu = r - B'v+ + B'S+ d
     d_arr = d if d is not None else jnp.zeros((N, n), dtype)
-    K, k = jax.vmap(gains)(A, B, R, r, M, d_arr, S_next, v_next)
+    K, k = jax.vmap(lqr_gains)(A, B, R, r, M, d_arr, S[1:], v[1:])
     return K, k, S, v

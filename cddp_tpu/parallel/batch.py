@@ -34,8 +34,12 @@ def batched_solve(
     """Solve one problem structure for a batch of initial states.
 
     ``x0_batch``: (B, nx). Returns a Solution pytree with leading batch axis.
-    Row i equals the unbatched solve of instance i (batching-invariance is a
-    test guarantee, SURVEY.md §4).
+    Each instance is seeded with X0 = broadcast(x0) (a constant-state
+    nominal, the natural MPC cold seed). Row i equals the unbatched solve of
+    instance i GIVEN the same seed (batching-invariance is a test guarantee,
+    SURVEY.md §4); the unbatched solvers' default seed differs (zeros with
+    X[0]=x0, Problem.initial_trajectories), so compare against
+    ``solve(..., X0=jnp.broadcast_to(x0, ...))``.
     """
     from cddp_tpu.solvers import get_solver
 
@@ -87,7 +91,14 @@ def make_mpc_controller(
 
     solve_fn = get_solver(solver)
     N, nu, nx = problem.horizon, problem.control_dim, problem.state_dim
-    stateful = warm_start_solver_state and solver in ("IPDDP", "MSIPDDP")
+    if warm_start_solver_state and solver not in ("IPDDP", "MSIPDDP"):
+        raise ValueError(
+            "warm_start_solver_state requires IPDDP or MSIPDDP (the solvers "
+            f"with dual/slack state pytrees); got {solver!r}. CLDDP/LogDDP "
+            "warm start through the primal plan, which the controller "
+            "already threads."
+        )
+    stateful = warm_start_solver_state
     if stateful:
         options = options.replace(warm_start=True)
 
@@ -117,7 +128,15 @@ def make_mpc_controller(
         p = problem.replace(x0=x_current)
         if reference_fn is not None:
             refs = reference_fn(tick)
-            p = p.replace(objective=p.objective.replace(reference_states=refs))
+            # Keep the invariant quadratic_objective enforces (refs[-1] ==
+            # reference_state): the UNSCALED Qf terminal term must track the
+            # moving reference too, or the horizon endpoint drags back to
+            # the construction-time goal.
+            p = p.replace(
+                objective=p.objective.replace(
+                    reference_states=refs, reference_state=refs[-1]
+                )
+            )
         X0 = mpc.X_plan.at[0].set(x_current)
         if stateful:
             sol, new_sstate = solve_fn(p, options, X0=X0, U0=mpc.U_plan,

@@ -12,11 +12,21 @@ batched-MPC engine. Padding handles batch sizes not divisible by the mesh.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # jax >= 0.8: jax.shard_map (check_vma kwarg)
+    from jax import shard_map as _shard_map
+
+    def shard_map(f, **kw):
+        kw.pop("check_rep", None)
+        return _shard_map(f, check_vma=False, **kw)
+except ImportError:  # pragma: no cover — older jax
+    from jax.experimental.shard_map import shard_map
 
 from cddp_tpu.options import CDDPOptions
 from cddp_tpu.problem import Problem
@@ -43,11 +53,11 @@ def sharded_batched_solve(
     Each device solves its shard with the same fused program used on one
     chip; results come back sharded (device-local) and are usable directly or
     via jax.device_get. Batch is padded up to a mesh multiple and trimmed.
+
+    The jitted shard_map program is a module-level function of
+    (problem, x0_batch), so repeated calls — an MPC serving loop — hit the
+    jit cache instead of re-tracing a fresh closure every tick.
     """
-    from jax.experimental.shard_map import shard_map
-
-    from cddp_tpu.parallel.batch import batched_solve
-
     mesh = mesh if mesh is not None else dp_mesh()
     n_dev = mesh.devices.size
     B = x0_batch.shape[0]
@@ -55,17 +65,26 @@ def sharded_batched_solve(
     if pad:
         x0_batch = jnp.concatenate([x0_batch, jnp.repeat(x0_batch[-1:], pad, 0)], 0)
 
-    def local_solve(x0_shard):
-        return batched_solve(problem, x0_shard, solver=solver, options=options)
+    sols = _sharded_solve_jit(problem, x0_batch, mesh, solver, options,
+                              axis_name)
+    if pad:
+        sols = jax.tree.map(lambda a: a[:B], sols)
+    return sols
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "solver", "options", "axis_name")
+)
+def _sharded_solve_jit(problem, x0_batch, mesh, solver, options, axis_name):
+    from cddp_tpu.parallel.batch import batched_solve
+
+    def local_solve(prob, x0_shard):
+        return batched_solve(prob, x0_shard, solver=solver, options=options)
 
     fn = shard_map(
         local_solve,
         mesh=mesh,
-        in_specs=P(axis_name),
+        in_specs=(P(), P(axis_name)),  # problem replicated, batch sharded
         out_specs=P(axis_name),
-        check_rep=False,
     )
-    sols = jax.jit(fn)(x0_batch)
-    if pad:
-        sols = jax.tree.map(lambda a: a[:B], sols)
-    return sols
+    return fn(problem, x0_batch)

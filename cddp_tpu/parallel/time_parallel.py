@@ -37,7 +37,7 @@ from cddp_tpu.ops.parallel_riccati import (
     _Elem,
     _combine,
     _step_element,
-    psd_solve,
+    lqr_gains,
 )
 
 
@@ -50,18 +50,6 @@ def _identity_elem(n: int, dtype) -> _Elem:
         C=jnp.zeros((n, n), dtype),
         eta=jnp.zeros((n,), dtype),
         J=jnp.zeros((n, n), dtype),
-    )
-
-
-def _reverse_cumulative(elems: _Elem) -> _Elem:
-    """tails[i] = e_i ∘ e_{i+1} ∘ ... ∘ e_last (reverse cumulative combine).
-
-    With ``reverse=True`` associative_scan flips, scans forward, flips back,
-    so ``fn`` receives (later, earlier) in original-time terms — flip into
-    _combine(earlier, later).
-    """
-    return jax.lax.associative_scan(
-        lambda a, b: jax.vmap(_combine)(b, a), elems, reverse=True
     )
 
 
@@ -190,13 +178,6 @@ def sharded_lqr_backward(Q, q, R, r, M, A, B, d=None, *, mesh: Mesh,
     S = tails.J[: N + 1]
     v = tails.eta[: N + 1]
 
-    def gains(A_t, B_t, R_t, r_t, M_t, d_t, S_n, v_n):
-        Quu = R_t + B_t.T @ S_n @ B_t
-        Qux = B_t.T @ S_n @ A_t + M_t.T
-        Qu = r_t - B_t.T @ v_n + B_t.T @ (S_n @ d_t)
-        kK = psd_solve(Quu, jnp.concatenate([Qu[:, None], Qux], axis=1))
-        return -kK[:, 1:], -kK[:, 0]
-
     d_arr = d if d is not None else jnp.zeros((N, n), dtype)
-    K, k = jax.vmap(gains)(A, B, R, r, M, d_arr, S[1:], v[1:])
+    K, k = jax.vmap(lqr_gains)(A, B, R, r, M, d_arr, S[1:], v[1:])
     return K, k, S, v

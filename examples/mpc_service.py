@@ -46,6 +46,8 @@ def build_problem(dt=0.02, N=40):
 
 
 def main(ticks=10, ckpt_path=None):
+    if ticks < 1:
+        raise ValueError("ticks must be >= 1")
     prob, goal = build_problem()
     N, nu = prob.horizon, prob.control_dim
 
@@ -97,7 +99,7 @@ def main(ticks=10, ckpt_path=None):
         lat.append((time.perf_counter() - t0) * 1e3)
 
     err = float(jnp.linalg.norm(x[:3] - goal[:3]))
-    lat_arr = sorted(lat[1:])  # drop the compile tick
+    lat_arr = sorted(lat[1:]) or lat  # drop the compile tick if possible
     p50 = lat_arr[len(lat_arr) // 2]
     print(f"{ticks} ticks: p50 latency {p50:.1f} ms, "
           f"max {max(lat_arr):.1f} ms, position error {err:.3f} m")

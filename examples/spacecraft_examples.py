@@ -84,5 +84,10 @@ DEMOS = {"rendezvous": rendezvous, "attitude": attitude}
 
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which != "all" and which not in DEMOS:
+        raise SystemExit(
+            f"unknown demo {which!r}; choose from "
+            f"{['all'] + sorted(DEMOS)}"
+        )
     for name in (list(DEMOS) if which == "all" else [which]):
         DEMOS[name]()
