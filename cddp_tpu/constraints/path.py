@@ -78,10 +78,6 @@ class PathConstraint(struct.PyTreeNode):
         return self.violation_from_value(self.evaluate(x, u, k))
 
 
-def _box_constraint_fields(cls):
-    return cls
-
-
 class _BoxConstraint(PathConstraint):
     """BoxConstraint<Var> (constraint.hpp:144-251): lb <= var <= ub expressed
     as the doubled one-sided form g = scale*[-var; var] <= scale*[-lb; ub]."""
@@ -153,7 +149,11 @@ def state_constraint(lower, upper, scale_factor: float = 1.0) -> StateConstraint
 
 
 class LinearConstraint(PathConstraint):
-    """A x <= b (constraint.hpp:253-311)."""
+    """A x <= b (constraint.hpp:253-311).
+
+    ``scale_factor`` is stored but (matching the reference, which also never
+    reads its scale_factor_ member in evaluate) does not scale the rows —
+    a preserved parity quirk."""
 
     A: jax.Array = None  # (m, nx)
     b: jax.Array = None  # (m,)
@@ -251,7 +251,7 @@ class PoleConstraint(PathConstraint):
         diff = p - self.center
         d_axis = diff @ axis
         radial = diff - d_axis * axis
-        d_rad = jnp.sqrt(jnp.sum(radial * radial) + 1e-300)
+        d_rad = jnp.sqrt(jnp.sum(radial * radial) + 1e-30)
         dx = d_rad - self.radius
         dy = jnp.abs(d_axis) - 0.5 * self.length
         outside = jnp.sqrt(jnp.maximum(dx, 0.0) ** 2 + jnp.maximum(dy, 0.0) ** 2)

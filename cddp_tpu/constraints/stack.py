@@ -18,6 +18,16 @@ import jax.numpy as jnp
 from cddp_tpu.problem import Problem
 
 
+def _split_blocks(names, dims, stacked):
+    """Per-name blocks along the last axis — one layout rule shared by the
+    path and terminal stackers (Solution dual/slack maps)."""
+    out, off = {}, 0
+    for name, d in zip(names, dims):
+        out[name] = stacked[..., off : off + d]
+        off += d
+    return out
+
+
 class PathStacker:
     """Stacked view of a problem's path constraints (static layout)."""
 
@@ -54,10 +64,7 @@ class PathStacker:
 
     def split(self, stacked: jax.Array) -> Dict[str, jax.Array]:
         """Per-name blocks along the last axis (for Solution maps)."""
-        out = {}
-        for name, off, d in zip(self.names, self.offsets, self.dims):
-            out[name] = stacked[..., off : off + d]
-        return out
+        return _split_blocks(self.names, self.dims, stacked)
 
 
 class TerminalStacker:
@@ -103,11 +110,7 @@ class TerminalStacker:
         return jnp.concatenate([c.state_jacobian(x) for _, c in self.ineq_items])
 
     def split_ineq(self, stacked: jax.Array) -> Dict[str, jax.Array]:
-        out, off = {}, 0
-        for name, d in zip(self.ineq_names, self.ineq_dims):
-            out[name] = stacked[..., off : off + d]
-            off += d
-        return out
+        return _split_blocks(self.ineq_names, self.ineq_dims, stacked)
 
     # --- equalities: h_T(x_N) = 0 stacked ---------------------------------
     def eq_evaluate(self, x) -> jax.Array:
@@ -120,8 +123,4 @@ class TerminalStacker:
         return jnp.concatenate([c.state_jacobian(x) for _, c in self.eq_items])
 
     def split_eq(self, stacked: jax.Array) -> Dict[str, jax.Array]:
-        out, off = {}, 0
-        for name, d in zip(self.eq_names, self.eq_dims):
-            out[name] = stacked[..., off : off + d]
-            off += d
-        return out
+        return _split_blocks(self.eq_names, self.eq_dims, stacked)

@@ -78,6 +78,8 @@ class Problem(struct.PyTreeNode):
     def add_terminal_constraint(
         self, name: str, constraint: TerminalConstraint
     ) -> "Problem":
+        if constraint is None:
+            raise ValueError("Cannot add null constraint.")
         new = dict(self.terminal_constraints)
         new[name] = constraint
         return self.replace(terminal_constraints=new)

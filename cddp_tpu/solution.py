@@ -85,9 +85,21 @@ class Solution(struct.PyTreeNode):
     history: Optional[IterationHistory] = None
 
     @property
-    def status_message(self) -> str:
-        return Status.MESSAGES.get(int(self.status_code), "Unknown")
+    def status_message(self):
+        code = self.status_code
+        if getattr(code, "ndim", 0):  # vmap-batched solution
+            import numpy as np
+
+            return [Status.MESSAGES.get(int(c), "Unknown")
+                    for c in np.asarray(code).reshape(-1)]
+        return Status.MESSAGES.get(int(code), "Unknown")
 
     @property
     def converged(self) -> bool:
-        return int(self.status_code) in Status.CONVERGED
+        code = self.status_code
+        if getattr(code, "ndim", 0):  # vmap-batched solution
+            import numpy as np
+
+            conv = sorted(Status.CONVERGED)
+            return np.isin(np.asarray(code), conv)
+        return int(code) in Status.CONVERGED

@@ -20,17 +20,23 @@ def save_state(path, state) -> None:
     path = Path(path)
     try:
         import orbax.checkpoint as ocp
-
+    except ImportError:
+        ocp = None
+    leaves, _ = jax.tree.flatten(state)
+    # orbax cannot serialize zero-size arrays, and solver states routinely
+    # contain them (e.g. empty terminal-dual leaves) — choose the backend
+    # up front so real orbax failures surface instead of being masked by a
+    # silent fallback.
+    use_orbax = ocp is not None and all(
+        getattr(l, "size", 1) > 0 for l in leaves
+    )
+    if use_orbax:
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(path.resolve(), state, force=True)
         ckptr.wait_until_finished()
         return
-    except Exception:
-        pass
-    leaves, treedef = jax.tree.flatten(state)
     np.savez(
         path.with_suffix(".npz"),
-        __treedef__=np.frombuffer(repr(treedef).encode(), dtype=np.uint8),
         **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)},
     )
 
@@ -40,12 +46,18 @@ def load_state(path, like):
     path = Path(path)
     try:
         import orbax.checkpoint as ocp
-
+    except ImportError:
+        ocp = None
+    leaves_like, treedef = jax.tree.flatten(like)
+    if (
+        ocp is not None
+        and path.exists()
+        and all(getattr(l, "size", 1) > 0 for l in leaves_like)
+    ):
+        # An orbax directory checkpoint exists: restore it, surfacing real
+        # orbax errors instead of masking them behind a .npz miss.
         ckptr = ocp.StandardCheckpointer()
         return ckptr.restore(path.resolve(), target=like)
-    except Exception:
-        pass
     data = np.load(path.with_suffix(".npz"))
-    leaves_like, treedef = jax.tree.flatten(like)
     leaves = [data[f"leaf_{i}"] for i in range(len(leaves_like))]
     return jax.tree.unflatten(treedef, leaves)

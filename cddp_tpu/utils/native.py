@@ -21,9 +21,10 @@ _lib = None
 
 
 def build(force: bool = False) -> Path:
-    """Compile the native library if needed. Raises on failure."""
+    """Compile the native library if needed. Raises on failure. A shipped
+    .so without the C++ source is accepted as-is."""
     if _SO.exists() and not force:
-        if _SO.stat().st_mtime >= _SRC.stat().st_mtime:
+        if not _SRC.exists() or _SO.stat().st_mtime >= _SRC.stat().st_mtime:
             return _SO
     cmd = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",

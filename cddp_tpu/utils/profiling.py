@@ -11,6 +11,7 @@ import contextlib
 import time
 
 import jax
+import jax.numpy as jnp
 
 
 @contextlib.contextmanager
@@ -31,7 +32,11 @@ def wall_clock(label: str = "solve", results: dict | None = None):
     try:
         yield
     finally:
-        (jax.effects_barrier if hasattr(jax, "effects_barrier") else lambda: None)()
+        # Device programs execute in launch order, so blocking on a
+        # freshly-launched no-op drains everything dispatched inside the
+        # block (effects_barrier alone only waits on side-effecting
+        # computations, not ordinary async solves).
+        jax.block_until_ready(jnp.zeros(()))
         elapsed_ms = (time.perf_counter() - t0) * 1000.0
         if results is not None:
             results[label] = elapsed_ms

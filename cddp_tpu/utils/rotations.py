@@ -48,14 +48,36 @@ def quat_to_rotation_matrix(q):
 
 
 def rotation_matrix_to_quat(R):
-    """Rotation matrix -> [w,x,y,z] quaternion (robust Shepperd-style
-    selection via the largest diagonal combination)."""
+    """Rotation matrix -> [w,x,y,z] quaternion, with true Shepperd branch
+    selection (largest of tr, R00, R11, R22) so 180-degree rotations — where
+    the trace-only formula degenerates to 0/0 — come out exact."""
     tr = jnp.trace(R)
-    qw = 0.5 * jnp.sqrt(jnp.maximum(1.0 + tr, 1e-12))
-    qx = (R[2, 1] - R[1, 2]) / (4 * qw)
-    qy = (R[0, 2] - R[2, 0]) / (4 * qw)
-    qz = (R[1, 0] - R[0, 1]) / (4 * qw)
-    q = jnp.stack([qw, qx, qy, qz])
+
+    def from_w():
+        s = 2.0 * jnp.sqrt(jnp.maximum(1.0 + tr, 1e-12))
+        return jnp.stack([0.25 * s, (R[2, 1] - R[1, 2]) / s,
+                          (R[0, 2] - R[2, 0]) / s, (R[1, 0] - R[0, 1]) / s])
+
+    def from_x():
+        s = 2.0 * jnp.sqrt(jnp.maximum(1.0 + R[0, 0] - R[1, 1] - R[2, 2], 1e-12))
+        return jnp.stack([(R[2, 1] - R[1, 2]) / s, 0.25 * s,
+                          (R[0, 1] + R[1, 0]) / s, (R[0, 2] + R[2, 0]) / s])
+
+    def from_y():
+        s = 2.0 * jnp.sqrt(jnp.maximum(1.0 + R[1, 1] - R[0, 0] - R[2, 2], 1e-12))
+        return jnp.stack([(R[0, 2] - R[2, 0]) / s, (R[0, 1] + R[1, 0]) / s,
+                          0.25 * s, (R[1, 2] + R[2, 1]) / s])
+
+    def from_z():
+        s = 2.0 * jnp.sqrt(jnp.maximum(1.0 + R[2, 2] - R[0, 0] - R[1, 1], 1e-12))
+        return jnp.stack([(R[1, 0] - R[0, 1]) / s, (R[0, 2] + R[2, 0]) / s,
+                          (R[1, 2] + R[2, 1]) / s, 0.25 * s])
+
+    cands = jnp.stack([from_w(), from_x(), from_y(), from_z()])
+    scores = jnp.stack([tr, R[0, 0], R[1, 1], R[2, 2]])
+    q = jnp.einsum("i,ij->j",
+                   (scores == jnp.max(scores)).astype(R.dtype), cands)
+    # ties (e.g. identity) sum duplicate equal candidates; normalize fixes it
     return q / jnp.linalg.norm(q)
 
 
