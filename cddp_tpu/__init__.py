@@ -21,6 +21,7 @@ from cddp_tpu.options import (
     MSIPDDPOptions,
     MultiShootingOptions,
     RegularizationOptions,
+    TCMSIPDDPOptions,
 )
 from cddp_tpu.problem import Problem, problem
 from cddp_tpu.solution import Solution, Status

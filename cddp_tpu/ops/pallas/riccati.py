@@ -39,6 +39,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from cddp_tpu.ops.pallas.dispatch_log import log_dispatch as _log_dispatch
+
 DEFAULT_TILE_B = 1024
 
 
@@ -482,6 +484,8 @@ def _riccati_backward_vmap_rule(axis_size, in_batched, *args):
         and jax.default_backend() in ("tpu", "axon")
         and Bm.shape[-1] <= 4
     )
+    _log_dispatch("CLDDP backward", use_kernel, axis_size,
+                  dtype=A.dtype, nu=Bm.shape[-1])
     if use_kernel:
         out = clddp_backward_fused(A, Bm, lx, lu, lxx, luu, lux, lb, ub,
                                    VxT, VxxT, reg)

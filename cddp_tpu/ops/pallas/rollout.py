@@ -33,7 +33,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from cddp_tpu.ops.pallas.dispatch_log import log_dispatch as _log_dispatch
+
 DEFAULT_TILE_B = 1024
+# Smallest vmap axis size the fused kernel engages for; below this the
+# tile_b padding waste outweighs the lane parallelism and the vmapped scan
+# is used instead (see _rule in _forward_op).
+MIN_KERNEL_BATCH = 128
 
 
 # --- lane-function model registry ------------------------------------------
@@ -544,10 +550,18 @@ def _forward_op(kind: str, integrator: str, clamp: bool):
 
         args = [ensure(x, b) for x, b in zip(args, in_batched)]
         (Xb, Ub, k, K, alpha, dtv, params, Q, R, Qf, goal, lb, ub) = args
+        # Gate on a minimum batch: the kernel pads to tile_b=1024 lanes, so
+        # small vmaps (e.g. the ~11-entry alpha ladder of an unbatched
+        # enable_parallel solve) would do ~90x redundant work — the same
+        # no-lane-parallelism regime the batch-of-one experiment measured as
+        # a net loss. Small batches keep the vmapped scan.
         use_kernel = (
             Xb.dtype == jnp.float32
+            and axis_size >= MIN_KERNEL_BATCH
             and jax.default_backend() in ("tpu", "axon")
         )
+        _log_dispatch(f"{kind} forward rollout", use_kernel, axis_size,
+                      dtype=Xb.dtype)
         if use_kernel:
             Xt, Un, J = _forward_fused_impl(
                 Xb, Ub, k, K, Xb[:, 0], alpha,

@@ -141,6 +141,15 @@ class IPDDPOptions:
     warmstart_reset_x0_threshold: float = -1.0
     jacobian_regularization_value: float = 1e-8
     jacobian_regularization_exponent: float = 0.25
+    # Terminal-constraint init scales (TCMSIPDDPAlgorithmOptions,
+    # options.hpp:197-199 — declared there but never read by any reference
+    # solver). Here the first two ARE wired: they scale the terminal
+    # inequality dual/slack initialization (ipddp.py terminal init), where
+    # the reference reuses the path-constraint scales. Defaults match both
+    # the reference declaration and the previous path-scale behavior.
+    terminal_dual_init_scale: float = 1e-1
+    terminal_slack_init_scale: float = 1e-2
+    terminal_constraint_tolerance: float = 1e-6
     # JAX-only: slack second-order correction — inside the forward pass,
     # re-close trial slacks onto the constraint surface (s := -g at the
     # trial point) where fraction-to-boundary allows. Removes the O(alpha^2)
@@ -193,6 +202,26 @@ class MSIPDDPOptions:
     # segment boundaries become shard boundaries, msipddp_solver.cpp:
     # 1475-1512).
     lqr_backend: str = "sequential"
+
+
+@dataclass(frozen=True)
+class TCMSIPDDPOptions:
+    """``TCMSIPDDPAlgorithmOptions`` (``options.hpp:193-199``): interior-point
+    + multi-shooting fields plus terminal-constraint init scales. Dormant in
+    the reference — no solver strategy reads it and it is not Python-bound —
+    mirrored here for full option-surface parity. The live terminal scales
+    are on :class:`IPDDPOptions`."""
+
+    dual_var_init_scale: float = 1e-1
+    slack_var_init_scale: float = 1e-2
+    barrier: BarrierOptions = field(default_factory=BarrierOptions)
+    segment_length: int = 5
+    rollout_type: str = "nonlinear"
+    use_controlled_rollout: bool = False
+    costate_var_init_scale: float = 1e-6
+    terminal_dual_init_scale: float = 1e-1
+    terminal_slack_init_scale: float = 1e-2
+    terminal_constraint_tolerance: float = 1e-6
 
 
 @dataclass(frozen=True)

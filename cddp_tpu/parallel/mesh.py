@@ -19,12 +19,29 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-try:  # jax >= 0.8: jax.shard_map (check_vma kwarg)
+try:  # jax >= 0.8: jax.shard_map
+    import inspect
+
     from jax import shard_map as _shard_map
+
+    # Probe the signature: jax.shard_map may take check_vma (>=0.8) or the
+    # older check_rep spelling — passing the wrong one raises TypeError on
+    # every call, so decide once at import time.
+    _check_kw = None
+    try:
+        _params = inspect.signature(_shard_map).parameters
+        if "check_vma" in _params:
+            _check_kw = "check_vma"
+        elif "check_rep" in _params:
+            _check_kw = "check_rep"
+    except (ValueError, TypeError):  # pragma: no cover — C-level signature
+        _check_kw = "check_vma"
 
     def shard_map(f, **kw):
         kw.pop("check_rep", None)
-        return _shard_map(f, check_vma=False, **kw)
+        if _check_kw is not None:
+            kw[_check_kw] = False
+        return _shard_map(f, **kw)
 except ImportError:  # pragma: no cover — older jax
     from jax.experimental.shard_map import shard_map
 

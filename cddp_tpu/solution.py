@@ -86,20 +86,35 @@ class Solution(struct.PyTreeNode):
 
     @property
     def status_message(self):
+        """Decoded status: ``str`` for a scalar solution. For a vmap-batched
+        solution this returns a flat ``list[str]`` — prefer
+        :meth:`status_messages` there for an explicit batched accessor."""
         code = self.status_code
         if getattr(code, "ndim", 0):  # vmap-batched solution
-            import numpy as np
-
-            return [Status.MESSAGES.get(int(c), "Unknown")
-                    for c in np.asarray(code).reshape(-1)]
+            return self.status_messages()
         return Status.MESSAGES.get(int(code), "Unknown")
 
+    def status_messages(self) -> list:
+        """Batched accessor: one decoded status string per batch element
+        (flattened). Works on scalar solutions too (returns a 1-list)."""
+        import numpy as np
+
+        return [Status.MESSAGES.get(int(c), "Unknown")
+                for c in np.asarray(self.status_code).reshape(-1)]
+
     @property
-    def converged(self) -> bool:
+    def converged(self):
+        """``bool`` for a scalar solution; ``np.ndarray[bool]`` (same batch
+        shape as ``status_code``) for a vmap-batched solution. Use
+        :meth:`converged_mask` for a type-stable array in either case."""
         code = self.status_code
         if getattr(code, "ndim", 0):  # vmap-batched solution
-            import numpy as np
-
-            conv = sorted(Status.CONVERGED)
-            return np.isin(np.asarray(code), conv)
+            return self.converged_mask()
         return int(code) in Status.CONVERGED
+
+    def converged_mask(self):
+        """Boolean np.ndarray of convergence flags, any batch shape (0-d for
+        scalar solutions)."""
+        import numpy as np
+
+        return np.isin(np.asarray(self.status_code), sorted(Status.CONVERGED))

@@ -1274,10 +1274,13 @@ def _initialize(problem, options, stk, tstk, U0, warm, trajectory_warm, dtype):
 
     G_T = tstk.ineq_evaluate(X[-1])
     if has_ti:
+        # Terminal inequality dual/slack init uses the dedicated terminal
+        # scales (TCMSIPDDPAlgorithmOptions, options.hpp:197-198; defaults
+        # coincide with the path-constraint scales the reference reuses).
         S_T = jnp.maximum(
-            options.ipddp.slack_var_init_scale, -G_T + SLACK_INTERIOR_OFFSET
+            options.ipddp.terminal_slack_init_scale, -G_T + SLACK_INTERIOR_OFFSET
         )
-        Y_T = (mu0 * options.ipddp.dual_var_init_scale) / jnp.maximum(S_T, EPS_SLACK)
+        Y_T = (mu0 * options.ipddp.terminal_dual_init_scale) / jnp.maximum(S_T, EPS_SLACK)
     else:
         S_T = jnp.zeros((0,), dtype)
         Y_T = jnp.zeros((0,), dtype)

@@ -75,9 +75,11 @@ def rotation_matrix_to_quat(R):
 
     cands = jnp.stack([from_w(), from_x(), from_y(), from_z()])
     scores = jnp.stack([tr, R[0, 0], R[1, 1], R[2, 2]])
-    q = jnp.einsum("i,ij->j",
-                   (scores == jnp.max(scores)).astype(R.dtype), cands)
-    # ties (e.g. identity) sum duplicate equal candidates; normalize fixes it
+    # Select exactly ONE branch (argmax). Summing tied branches is wrong for
+    # 180-degree rotations whose axis has equal-magnitude opposite-sign
+    # components (e.g. (1,-1,0)/sqrt2): the tied candidates are sign-opposite
+    # quaternions that cancel, and normalization amplifies rounding noise.
+    q = cands[jnp.argmax(scores)]
     return q / jnp.linalg.norm(q)
 
 

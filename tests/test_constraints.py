@@ -155,6 +155,16 @@ def test_options_defaults():
     assert o.ipddp.max_filter_size == 5
     assert o.ipddp.dual_var_init_scale == 1e-1
     assert o.ipddp.slack_var_init_scale == 1e-2
+    # Terminal-constraint scales (TCMSIPDDPAlgorithmOptions,
+    # options.hpp:197-199) — full option-surface parity.
+    assert o.ipddp.terminal_dual_init_scale == 1e-1
+    assert o.ipddp.terminal_slack_init_scale == 1e-2
+    assert o.ipddp.terminal_constraint_tolerance == 1e-6
+    tc = ct.TCMSIPDDPOptions()
+    assert tc.terminal_dual_init_scale == 1e-1
+    assert tc.terminal_slack_init_scale == 1e-2
+    assert tc.terminal_constraint_tolerance == 1e-6
+    assert tc.segment_length == 5 and tc.dual_var_init_scale == 1e-1
     assert o.msipddp.segment_length == 5
     assert o.msipddp.rollout_type == "nonlinear"
     assert o.box_qp.max_iterations == 100

@@ -134,3 +134,28 @@ def test_rotations_roundtrip():
     np.testing.assert_allclose(R.mrp_to_quat(sigma), q, atol=1e-10)
     # Shadow-set: -q maps to the same MRP as q after the qw<0 flip
     np.testing.assert_allclose(R.quat_to_mrp(-q), sigma, atol=1e-12)
+
+
+def test_rotation_matrix_to_quat_180_degree_corners():
+    """180-degree rotations whose axis has equal-magnitude opposite-sign
+    components tie two Shepperd branches with sign-opposite candidate
+    quaternions; summing ties cancels them (round-trip error ~2 before the
+    argmax fix). Pin exact branch selection."""
+    from cddp_tpu.utils import rotations as R
+
+    def axis_angle_R(axis, ang):
+        a = np.asarray(axis, float)
+        a = a / np.linalg.norm(a)
+        K = np.array(
+            [[0, -a[2], a[1]], [a[2], 0, -a[0]], [-a[1], a[0], 0]]
+        )
+        return np.eye(3) + np.sin(ang) * K + (1 - np.cos(ang)) * (K @ K)
+
+    for axis in [(1, -1, 0), (0, 1, -1), (1, 0, -1), (1, 1, 1), (1, 0, 0)]:
+        for ang in [np.pi, np.pi - 1e-9, 0.0, 2.3]:
+            Rm = jnp.asarray(axis_angle_R(axis, ang))
+            q = R.rotation_matrix_to_quat(Rm)
+            np.testing.assert_allclose(
+                R.quat_to_rotation_matrix(q), Rm, atol=1e-7,
+                err_msg=f"axis={axis} ang={ang}",
+            )
