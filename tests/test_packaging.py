@@ -59,3 +59,28 @@ def test_wheel_builds_and_imports():
         )
         assert run.returncode == 0, (run.stdout, run.stderr[-2000:])
         assert "wheel-smoke OK" in run.stdout
+
+
+def test_dependency_policy_guard():
+    """tools/check_python_dependency_policy.py passes on the in-tree
+    pyproject (python-dependency-guard.yaml role) and rejects a dependency
+    that is absent from the allowlist."""
+    import subprocess
+    import sys
+
+    run = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "check_python_dependency_policy.py")],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert run.returncode == 0, (run.stdout, run.stderr)
+
+    sys.path.insert(0, str(REPO / "tools"))
+    try:
+        import check_python_dependency_policy as guard
+
+        assert guard.requirement_name("left-pad==9.9") == "left-pad"
+        allow_text = (REPO / "security" / "python-direct-deps-allowlist.txt").read_text()
+        assert "left-pad" not in allow_text
+        assert guard.is_direct_reference("x @ git+https://github.com/a/b")
+    finally:
+        sys.path.pop(0)
