@@ -146,6 +146,28 @@ def lqr_backward(Q, q, R, r, M, A, B):
     return K, k
 
 
+
+_MODEL_DIMS = {0: (3, 2), 1: (2, 1), 2: (4, 2)}
+
+
+def _model_setup(model_id, params):
+    """Validate model_id against the native registry (0 unicycle, 1 pendulum,
+    2 car) and normalize params. Returns (nx, nu, params)."""
+    if model_id not in _MODEL_DIMS:
+        raise ValueError(
+            f"native engines support model_id 0 (unicycle), 1 (pendulum) or "
+            f"2 (car), got {model_id}"
+        )
+    nx, nu = _MODEL_DIMS[model_id]
+    params = np.ascontiguousarray(
+        params if params is not None else np.zeros(4), dtype=np.float64
+    )
+    if model_id == 1 and params.shape[0] == 3:
+        # legacy [l, m, b] -> append default gravity
+        params = np.concatenate([params, [9.81]])
+    return nx, nu, params
+
+
 def clddp_solve(model_id, params, N, dt, Qs, Rs, Qf, goal, x0,
                 lower=None, upper=None, U0=None,
                 max_iterations=100, tolerance=1e-5,
@@ -162,19 +184,7 @@ def clddp_solve(model_id, params, N, dt, Qs, Rs, Qf, goal, x0,
     (status, X, U, cost, inf_du, iterations).
     """
     lib = load()
-    if model_id not in (0, 1):
-        raise ValueError(
-            f"native engines support model_id 0 (unicycle) or 1 (pendulum), "
-            f"got {model_id}"
-        )
-    nx = 3 if model_id == 0 else 2
-    nu = 2 if model_id == 0 else 1
-    params = np.ascontiguousarray(
-        params if params is not None else np.zeros(4), dtype=np.float64
-    )
-    if model_id == 1 and params.shape[0] == 3:
-        # legacy [l, m, b] -> append default gravity
-        params = np.concatenate([params, [9.81]])
+    nx, nu, params = _model_setup(model_id, params)
     Qs = np.ascontiguousarray(Qs, dtype=np.float64)
     Rs = np.ascontiguousarray(Rs, dtype=np.float64)
     Qf = np.ascontiguousarray(Qf, dtype=np.float64)
@@ -229,19 +239,7 @@ def ipddp_solve(model_id, params, N, dt, Qs, Rs, Qf, goal, x0,
     Returns (status, X, U, dict(cost, inf_pr, inf_du, inf_comp, mu, iters)).
     """
     lib = load()
-    if model_id not in (0, 1):
-        raise ValueError(
-            f"native engines support model_id 0 (unicycle) or 1 (pendulum), "
-            f"got {model_id}"
-        )
-    nx = 3 if model_id == 0 else 2
-    nu = 2 if model_id == 0 else 1
-    params = np.ascontiguousarray(
-        params if params is not None else np.zeros(4), dtype=np.float64
-    )
-    if model_id == 1 and params.shape[0] == 3:
-        # legacy [l, m, b] -> append default gravity
-        params = np.concatenate([params, [9.81]])
+    nx, nu, params = _model_setup(model_id, params)
     arrs = [np.ascontiguousarray(a, dtype=np.float64)
             for a in (Qs, Rs, Qf, goal, x0, lower, upper)]
     Qs, Rs, Qf, goal, x0, lower, upper = arrs
@@ -299,19 +297,7 @@ def logddp_solve(model_id, params, N, dt, Qs, Rs, Qf, goal, x0,
     barrier, iLQR, sequential filter line search). Defaults mirror
     CDDPOptions. Returns (status, X, U, dict(cost, cv, inf_du, mu, iters))."""
     lib = load()
-    if model_id not in (0, 1):
-        raise ValueError(
-            f"native engines support model_id 0 (unicycle) or 1 (pendulum), "
-            f"got {model_id}"
-        )
-    nx = 3 if model_id == 0 else 2
-    nu = 2 if model_id == 0 else 1
-    params = np.ascontiguousarray(
-        params if params is not None else np.zeros(4), dtype=np.float64
-    )
-    if model_id == 1 and params.shape[0] == 3:
-        # legacy [l, m, b] -> append default gravity
-        params = np.concatenate([params, [9.81]])
+    nx, nu, params = _model_setup(model_id, params)
     arrs = [np.ascontiguousarray(a, dtype=np.float64)
             for a in (Qs, Rs, Qf, goal, x0, lower, upper)]
     Qs, Rs, Qf, goal, x0, lower, upper = arrs
@@ -364,19 +350,7 @@ def msipddp_solve(model_id, params, N, dt, Qs, Rs, Qf, goal, x0,
     ADAPTIVE barrier). Control box, iLQR, cold start. Returns
     (status, X, U, dict(cost, inf_pr, inf_du, inf_comp, mu, iters))."""
     lib = load()
-    if model_id not in (0, 1):
-        raise ValueError(
-            f"native engines support model_id 0 (unicycle) or 1 (pendulum), "
-            f"got {model_id}"
-        )
-    nx = 3 if model_id == 0 else 2
-    nu = 2 if model_id == 0 else 1
-    params = np.ascontiguousarray(
-        params if params is not None else np.zeros(4), dtype=np.float64
-    )
-    if model_id == 1 and params.shape[0] == 3:
-        # legacy [l, m, b] -> append default gravity
-        params = np.concatenate([params, [9.81]])
+    nx, nu, params = _model_setup(model_id, params)
     arrs = [np.ascontiguousarray(a, dtype=np.float64)
             for a in (Qs, Rs, Qf, goal, x0, lower, upper)]
     Qs, Rs, Qf, goal, x0, lower, upper = arrs
@@ -408,3 +382,79 @@ def msipddp_solve(model_id, params, N, dt, Qs, Rs, Qf, goal, x0,
     info = dict(cost=stats[0], inf_pr=stats[1], inf_du=stats[2],
                 inf_comp=stats[3], mu=stats[4], iters=int(stats[5]))
     return status, X, U, info
+
+def ipddp_terminal_eq_solve(model_id, params, N, dt, Qs, Rs, Qf, goal, x0,
+                            target, lower=None, upper=None, U0=None,
+                            max_iterations=100, tolerance=1e-5,
+                            acceptable_tolerance=1e-6, reg_init=1e-6,
+                            reg_min=1e-10, reg_max=1e7, reg_factor=10.0,
+                            ls_max_iterations=11, ls_initial=1.0, ls_min=1e-8,
+                            ls_reduction=0.5,
+                            mu_initial=1.0, mu_min=1e-10,
+                            mu_update_factor=0.5, mu_update_power=1.2,
+                            min_fraction_to_boundary=0.99,
+                            filter_merit_acceptance=1e-6,
+                            filter_violation_acceptance=1e-6,
+                            filter_max_violation=1e4,
+                            filter_min_violation_armijo=1e-7,
+                            filter_armijo_constant=1e-4,
+                            dual_var_init_scale=1e-1,
+                            slack_var_init_scale=1e-2,
+                            barrier_tol_mult=0.1, theta_0_floor=1.0,
+                            max_filter_size=5,
+                            jacobian_regularization_value=1e-8,
+                            jacobian_regularization_exponent=0.25):
+    """Native IPDDP terminal-equality reduced-LQR solve
+    (cddp_ipddp_terminal_eq_solve in cddp_host.cpp) — the independent C++
+    oracle for the p+1-variant reduced-LQR regime
+    (ipddp_solver.cpp:413-639): perturbed-q LQR sweeps, terminal-state
+    sensitivity, SVD-floored regularized LS for dlambda with the 5-scale
+    ladder, linear gain recombination, filter forward pass with costate +
+    terminal-multiplier updates. Terminal equality is x_N = target; pass
+    lower/upper for an optional control box (folds the interior-point
+    condensation into the LQR stage data). Returns
+    (status, X, U, lambda_T, dict(cost, inf_pr, inf_du, inf_comp, mu, iters)).
+    """
+    lib = load()
+    nx, nu, params = _model_setup(model_id, params)
+    has_box = lower is not None or upper is not None
+    arrs = [np.ascontiguousarray(a, dtype=np.float64)
+            for a in (Qs, Rs, Qf, goal, x0, target)]
+    Qs, Rs, Qf, goal, x0, target = arrs
+    lower = np.ascontiguousarray(
+        lower if lower is not None else np.full(nu, -1e20), dtype=np.float64
+    )
+    upper = np.ascontiguousarray(
+        upper if upper is not None else np.full(nu, 1e20), dtype=np.float64
+    )
+    opts = np.asarray([
+        max_iterations, tolerance, acceptable_tolerance,
+        reg_init, reg_min, reg_max, reg_factor,
+        ls_max_iterations, ls_initial, ls_min, ls_reduction,
+        mu_initial, mu_min, mu_update_factor, mu_update_power,
+        min_fraction_to_boundary,
+        filter_merit_acceptance, filter_violation_acceptance,
+        filter_max_violation, filter_min_violation_armijo,
+        filter_armijo_constant,
+        dual_var_init_scale, slack_var_init_scale,
+        barrier_tol_mult, theta_0_floor, max_filter_size,
+        jacobian_regularization_value, jacobian_regularization_exponent,
+    ], dtype=np.float64)
+    X = np.zeros((N + 1, nx))
+    U0 = np.ascontiguousarray(
+        U0 if U0 is not None else np.zeros((N, nu)), dtype=np.float64
+    )
+    U = np.zeros((N, nu))
+    lam_T = np.zeros(nx)
+    stats = np.zeros(6)
+    lib.cddp_ipddp_terminal_eq_solve.restype = ctypes.c_int
+    status = lib.cddp_ipddp_terminal_eq_solve(
+        ctypes.c_int(model_id), _cptr(params), ctypes.c_int(N),
+        ctypes.c_double(dt), _cptr(Qs), _cptr(Rs), _cptr(Qf), _cptr(goal),
+        _cptr(x0), ctypes.c_int(1 if has_box else 0), _cptr(lower),
+        _cptr(upper), _cptr(target), _cptr(opts), _cptr(U0),
+        _cptr(X), _cptr(U), _cptr(lam_T), _cptr(stats),
+    )
+    info = dict(cost=stats[0], inf_pr=stats[1], inf_du=stats[2],
+                inf_comp=stats[3], mu=stats[4], iters=int(stats[5]))
+    return status, X, U, lam_T, info

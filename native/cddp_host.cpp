@@ -356,12 +356,27 @@ namespace {
 struct Model {
   int nx, nu;
   // params: unicycle none; pendulum [l, m, b, g] (g as a parameter — same
-  // fix as the Python lane functions, which once hardcoded 9.81 too).
+  // fix as the Python lane functions, which once hardcoded 9.81 too);
+  // car [wheelbase d, model timestep h] — the Tassa rolling-distance
+  // DISCRETE map (car.cpp:30-50 / cddp_tpu/models/car.py) expressed as the
+  // continuous rate (disc(x,u) - x)/h, so the engines' Euler step x + dt*f
+  // reproduces the exact discrete map when dt == h.
   void f(const double* x, const double* u, const double* p, double* out) const {
     if (nx == 3) {
       out[0] = u[0] * std::cos(x[2]);
       out[1] = u[0] * std::sin(x[2]);
       out[2] = u[1];
+    } else if (nx == 4) {
+      const double d = p[0], h = p[1];
+      const double th = x[2], v = x[3], de = u[0], a = u[1];
+      const double fr = h * v;
+      const double sd = std::sin(de), cd = std::cos(de);
+      const double root = std::sqrt(d * d - fr * sd * fr * sd);
+      const double b = d + fr * cd - root;
+      out[0] = (b * std::cos(th)) / h;
+      out[1] = (b * std::sin(th)) / h;
+      out[2] = std::asin(sd * fr / d) / h;
+      out[3] = a;
     } else {
       const double l = p[0], m = p[1], b = p[2], g = p[3];
       out[0] = x[1];
@@ -378,6 +393,38 @@ struct Model {
       Fu[0 * 2 + 0] = std::cos(x[2]);
       Fu[1 * 2 + 0] = std::sin(x[2]);
       Fu[2 * 2 + 1] = 1.0;
+    } else if (nx == 4) {
+      // Continuous-rate Jacobians Fx = (J_disc - I)/h, Fu = Ju_disc/h of the
+      // Tassa map; the engines' A = I + dt*Fx then equals J_disc exactly.
+      const double d = p[0], h = p[1];
+      const double th = x[2], v = x[3], de = u[0];
+      const double fr = h * v;
+      const double sd = std::sin(de), cd = std::cos(de);
+      const double root = std::sqrt(d * d - fr * sd * fr * sd);
+      const double b = d + fr * cd - root;
+      const double db_df = cd + fr * sd * sd / root;
+      const double db_dde = -fr * sd + fr * fr * sd * cd / root;
+      const double asin_arg = sd * fr / d;
+      const double asin_den = d * std::sqrt(std::max(1.0 - asin_arg * asin_arg,
+                                                     1e-300));
+      const double dth_df = sd / asin_den;  // (s/d)/sqrt(1-arg^2)
+      const double dth_dde = cd * fr / asin_den;
+      const double cth = std::cos(th), sth = std::sin(th);
+      std::memset(Fx, 0, sizeof(double) * 16);
+      std::memset(Fu, 0, sizeof(double) * 8);
+      // row 0: x+ = x + b*cos(th)
+      Fx[0 * 4 + 2] = (-b * sth) / h;
+      Fx[0 * 4 + 3] = (db_df * h * cth) / h;
+      Fu[0 * 2 + 0] = (db_dde * cth) / h;
+      // row 1: y+ = y + b*sin(th)
+      Fx[1 * 4 + 2] = (b * cth) / h;
+      Fx[1 * 4 + 3] = (db_df * h * sth) / h;
+      Fu[1 * 2 + 0] = (db_dde * sth) / h;
+      // row 2: th+ = th + asin(sd*fr/d)
+      Fx[2 * 4 + 3] = (dth_df * h) / h;
+      Fu[2 * 2 + 0] = dth_dde / h;
+      // row 3: v+ = v + h*a
+      Fu[3 * 2 + 1] = 1.0;
     } else {
       const double l = p[0], m = p[1], b = p[2], g = p[3];
       Fx[0 * 2 + 0] = 0.0; Fx[0 * 2 + 1] = 1.0;
@@ -388,6 +435,14 @@ struct Model {
     }
   }
 };
+
+// model_id registry: 0 unicycle (3,2), 1 pendulum (2,1), 2 car (4,2).
+inline bool model_id_valid(int id) { return id == 0 || id == 1 || id == 2; }
+inline Model make_model(int id) {
+  if (id == 0) return Model{3, 2};
+  if (id == 2) return Model{4, 2};
+  return Model{2, 1};
+}
 
 }  // namespace
 
@@ -409,8 +464,8 @@ int cddp_clddp_solve(
     double reg_init, double reg_min, double reg_max, double reg_factor,
     double armijo_constant, double scaling_max_factor,
     double* X, double* U, double* out_stats) {
-  if (model_id != 0 && model_id != 1) return -100;  // unknown model
-  const Model mdl{model_id == 0 ? 3 : 2, model_id == 0 ? 2 : 1};
+  if (!model_id_valid(model_id)) return -100;  // unknown model
+  const Model mdl = make_model(model_id);
   const int nx = mdl.nx, nu = mdl.nu;
 
   std::vector<double> xdot(nx), Fx(nx * nx), Fu(nx * nu);
@@ -812,8 +867,8 @@ int cddp_ipddp_solve(
     const double* opts, const double* U0,
     double* X, double* U, double* out_stats) {
   using namespace ipddp_native;
-  if (model_id != 0 && model_id != 1) return -100;  // unknown model
-  const Model mdl{model_id == 0 ? 3 : 2, model_id == 0 ? 2 : 1};
+  if (!model_id_valid(model_id)) return -100;  // unknown model
+  const Model mdl = make_model(model_id);
   const int nx = mdl.nx, nu = mdl.nu;
   const int mb = has_ball ? 1 : 0;
   const int m = mb + 2 * nu;
@@ -1477,6 +1532,909 @@ int cddp_ipddp_solve(
   return status;
 }
 
+// ---------------------------------------------------------------------------
+// IPDDP terminal-equality reduced-LQR engine — the independent oracle for
+// the hardest backward regime (ipddp_solver.cpp:413-639 /
+// cddp_tpu/solvers/ipddp.py _backward_terminal_eq): p+1 perturbed-q LQR
+// sweeps, terminal-state sensitivity S = dx_T/dlambda, SVD-floored
+// regularized least squares for dlambda with the 5-scale retry ladder, and
+// linear gain recombination — plus the optional control-box condensation
+// folded into the LQR stage data, the filter forward pass with costate and
+// terminal-multiplier updates, and the no-barrier/barrier convergence
+// branches. Terminal equality is x_N = target (identity Jacobian, p = nx),
+// matching TerminalEqualityConstraint (terminal_constraint.hpp:62-158).
+//
+// Options layout = cddp_ipddp_solve's [0..25] plus
+//  [26] jacobian_regularization_value [27] jacobian_regularization_exponent
+// Writes [cost, inf_pr, inf_du, inf_comp, mu, iterations] to out_stats,
+// the final terminal multiplier into lambda_T_out (nx), and returns a
+// cddp_tpu.solution.Status code.
+int cddp_ipddp_terminal_eq_solve(
+    int model_id, const double* params, int N, double dt,
+    const double* Qs, const double* Rs, const double* Qf, const double* goal,
+    const double* x0, int has_box, const double* lower, const double* upper,
+    const double* target, const double* opts, const double* U0,
+    double* X, double* U, double* lambda_T_out, double* out_stats) {
+  using namespace ipddp_native;
+  if (!model_id_valid(model_id)) return -100;  // unknown model
+  const Model mdl = make_model(model_id);
+  const int nx = mdl.nx, nu = mdl.nu;
+  const int m = has_box ? 2 * nu : 0;
+  const int p = nx;  // terminal-equality rows (identity Jacobian)
+
+  const int max_iterations = (int)opts[0];
+  const double tolerance = opts[1], acceptable_tolerance = opts[2];
+  const double reg_init = opts[3], reg_min = opts[4], reg_max = opts[5],
+               reg_factor = opts[6];
+  const int ls_max = (int)opts[7];
+  const double ls_initial = opts[8], ls_min = opts[9], ls_red = opts[10];
+  const double mu_initial = opts[11], mu_min_value = opts[12],
+               mu_update_factor = opts[13], mu_update_power = opts[14],
+               min_ftb = opts[15];
+  const double f_merit_acc = opts[16], f_viol_acc = opts[17],
+               f_max_viol = opts[18], f_min_viol_armijo = opts[19],
+               f_armijo = opts[20];
+  const double y0_scale = opts[21], s0_scale = opts[22];
+  const double barrier_tol_mult = opts[23], theta_0_floor = opts[24];
+  const int max_filter_size = (int)opts[25];
+  const double jac_reg_value = opts[26], jac_reg_exponent = opts[27];
+
+  std::vector<double> alphas;
+  {
+    double a = ls_initial;
+    for (int i = 0; i < std::max(1, ls_max); ++i) {
+      alphas.push_back(a);
+      a *= ls_red;
+      if (a < ls_min && i < ls_max - 1) {
+        alphas.push_back(ls_min);
+        break;
+      }
+    }
+  }
+
+  auto eval_g = [&](const double* u, double* g) {
+    for (int i = 0; i < nu; ++i) g[i] = -u[i] + lower[i];
+    for (int i = 0; i < nu; ++i) g[nu + i] = u[i] - upper[i];
+  };
+
+  std::vector<double> xdot(nx), Fx(nx * nx), Fu(nx * nu);
+  auto rollout = [&](const double* Uc, double* Xc) {
+    std::memcpy(Xc, x0, sizeof(double) * nx);
+    for (int t = 0; t < N; ++t) {
+      mdl.f(&Xc[t * nx], &Uc[t * nu], params, xdot.data());
+      for (int i = 0; i < nx; ++i)
+        Xc[(t + 1) * nx + i] = Xc[t * nx + i] + dt * xdot[i];
+    }
+  };
+  auto run_cost = [&](const double* x, const double* u) {
+    double J = 0.0;
+    for (int i = 0; i < nx; ++i) {
+      double e_i = x[i] - goal[i];
+      for (int j = 0; j < nx; ++j) J += e_i * Qs[i * nx + j] * (x[j] - goal[j]);
+    }
+    for (int i = 0; i < nu; ++i)
+      for (int j = 0; j < nu; ++j) J += u[i] * Rs[i * nu + j] * u[j];
+    return J;
+  };
+  auto term_cost = [&](const double* x) {
+    double J = 0.0;
+    for (int i = 0; i < nx; ++i) {
+      double e_i = x[i] - goal[i];
+      for (int j = 0; j < nx; ++j) J += e_i * Qf[i * nx + j] * (x[j] - goal[j]);
+    }
+    return J;
+  };
+
+  // --- cold-start init: mu = mu_initial (has_te => has_any constraint) ----
+  std::memcpy(U, U0, sizeof(double) * N * nu);
+  rollout(U, X);
+  double mu = mu_initial;
+  std::vector<double> G(N * m), S(N * m), Y(N * m);
+  for (int t = 0; t < N && m > 0; ++t) eval_g(&U[t * nu], &G[t * m]);
+  for (int i = 0; i < N * m; ++i) {
+    S[i] = std::max(s0_scale, -G[i] + kSlackOffset);
+    Y[i] = mu * y0_scale / std::max(S[i], kEpsSlack);
+  }
+  std::vector<double> Lambda((N + 1) * nx, 0.0);
+  std::vector<double> LamT(p, 0.0);
+
+  auto h_of = [&](const double* xN, double* h) {
+    for (int i = 0; i < p; ++i) h[i] = xN[i] - target[i];
+  };
+
+  auto barrier_merit = [&](double J, const std::vector<double>& Sv,
+                           const std::vector<double>& lamT,
+                           const double* h, double mu_) {
+    double v = J;
+    for (int i = 0; i < N * m; ++i)
+      v -= mu_ * std::log(std::max(Sv[i], kEpsSlack));
+    for (int i = 0; i < p; ++i) v += lamT[i] * h[i];
+    return v;
+  };
+  auto theta_of = [&](const std::vector<double>& Gv,
+                      const std::vector<double>& Sv, const double* h) {
+    double total = 0.0, max_entry = 0.0;
+    for (int i = 0; i < N * m; ++i) {
+      const double r = Gv[i] + Sv[i];
+      total += std::fabs(r);
+      max_entry = std::max(max_entry, std::fabs(r));
+    }
+    for (int i = 0; i < p; ++i) {
+      total += std::fabs(h[i]);
+      max_entry = std::max(max_entry, std::fabs(h[i]));
+    }
+    return std::max(total, max_entry);
+  };
+  auto primal_comp = [&](const std::vector<double>& Gv,
+                         const std::vector<double>& Sv,
+                         const std::vector<double>& Yv, const double* h,
+                         double mu_, double* pr, double* comp) {
+    *pr = 0.0;
+    *comp = 0.0;
+    for (int i = 0; i < N * m; ++i) {
+      *pr = std::max(*pr, std::fabs(Gv[i] + Sv[i]));
+      *comp = std::max(*comp, std::fabs(Yv[i] * Sv[i] - mu_));
+    }
+    for (int i = 0; i < p; ++i) *pr = std::max(*pr, std::fabs(h[i]));
+  };
+
+  double cost = 0.0;
+  for (int t = 0; t < N; ++t) cost += run_cost(&X[t * nx], &U[t * nu]);
+  cost += term_cost(&X[N * nx]);
+  std::vector<double> h_T(p);
+  h_of(&X[N * nx], h_T.data());
+
+  double inf_pr, inf_comp;
+  primal_comp(G, S, Y, h_T.data(), mu, &inf_pr, &inf_comp);
+  double merit = barrier_merit(cost, S, LamT, h_T.data(), mu);
+  double filter_theta = std::max(theta_of(G, S, h_T.data()), 1e-8);
+  Filter filt;
+  filt.accept(merit, filter_theta);  // has_te seeds the filter
+  double phi = merit;
+
+  double reg = reg_init;
+  double inf_du = 0.0, step_norm = 0.0, alpha_pr_acc = 1.0;
+  int status = 0;  // MAX_ITERATIONS_REACHED
+  int it = 0;
+
+  // Stage/work buffers.
+  const int nv = p + 1;
+  std::vector<double> As(N * nx * nx), Bs(N * nx * nu);
+  std::vector<double> Qst(N * nx * nx), qst(N * nx), Rst(N * nu * nu),
+      rst(N * nu), Mst(N * nx * nu);
+  std::vector<double> sigma(N * m), pr_res(N * m), rhat(N * m),
+      s_inv_rhat(N * m);
+  std::vector<double> Vx(nx), Vxx(nx * nx);
+  std::vector<double> k_v(nv * N * nu), p_v(nv * (N + 1) * nx);
+  std::vector<double> K0(N * nu * nx), P0((N + 1) * nx * nx);
+  std::vector<double> k_u(N * nu), p_comb((N + 1) * nx), dLamT(p);
+  std::vector<double> k_y(N * m), K_y(N * m * nx), k_s(N * m), K_s(N * m * nx);
+  std::vector<double> dS(N * m), dY(N * m), dX((N + 1) * nx);
+  std::vector<double> work(16 * 16);
+  std::vector<double> Xtry((N + 1) * nx), Utry(N * nu), Stry(N * m),
+      Ytry(N * m), Gtry(N * m), Lamtry((N + 1) * nx), LamTtry(p), htry(p);
+
+  // Cyclic Jacobi eigenvalues of a small symmetric matrix (p <= 16).
+  auto sym_eigvals = [&](std::vector<double> Amat, int n,
+                         std::vector<double>& ev) {
+    for (int sweep = 0; sweep < 60; ++sweep) {
+      double off = 0.0;
+      for (int i = 0; i < n; ++i)
+        for (int j = i + 1; j < n; ++j) off += Amat[i * n + j] * Amat[i * n + j];
+      if (off < 1e-30) break;
+      for (int i = 0; i < n; ++i)
+        for (int j = i + 1; j < n; ++j) {
+          const double apq = Amat[i * n + j];
+          if (std::fabs(apq) < 1e-300) continue;
+          const double app = Amat[i * n + i], aqq = Amat[j * n + j];
+          const double theta2 = (aqq - app) / (2.0 * apq);
+          const double tsign = theta2 >= 0.0 ? 1.0 : -1.0;
+          const double tval =
+              tsign / (std::fabs(theta2) + std::sqrt(theta2 * theta2 + 1.0));
+          const double c = 1.0 / std::sqrt(tval * tval + 1.0);
+          const double s = tval * c;
+          for (int k2 = 0; k2 < n; ++k2) {
+            const double aik = Amat[k2 * n + i], ajk = Amat[k2 * n + j];
+            Amat[k2 * n + i] = c * aik - s * ajk;
+            Amat[k2 * n + j] = s * aik + c * ajk;
+          }
+          for (int k2 = 0; k2 < n; ++k2) {
+            const double aki = Amat[i * n + k2], akj = Amat[j * n + k2];
+            Amat[i * n + k2] = c * aki - s * akj;
+            Amat[j * n + k2] = s * aki + c * akj;
+          }
+        }
+    }
+    ev.resize(n);
+    for (int i = 0; i < n; ++i) ev[i] = Amat[i * n + i];
+  };
+
+  for (it = 0; it < max_iterations;) {
+    ++it;
+    // ---- backward pass with regularization retry -------------------------
+    double bp_inf_du = 0.0, bp_inf_pr = 0.0, bp_inf_comp = 0.0,
+           bp_step_norm = 0.0;
+    bool bp_limit = false;
+    while (true) {
+      bool ok = true;
+      bp_inf_du = bp_inf_pr = bp_inf_comp = bp_step_norm = 0.0;
+
+      // Stage LQR data (ipddp.py _backward_terminal_eq: Qs/qs/Rs/rs/Ms with
+      // the path condensation folded in, then Rs += reg*I).
+      for (int t = 0; t < N; ++t) {
+        const double* xt = &X[t * nx];
+        const double* ut = &U[t * nu];
+        mdl.jac(xt, ut, params, Fx.data(), Fu.data());
+        for (int i = 0; i < nx; ++i)
+          for (int j = 0; j < nx; ++j)
+            As[t * nx * nx + i * nx + j] =
+                (i == j ? 1.0 : 0.0) + dt * Fx[i * nx + j];
+        for (int i = 0; i < nx; ++i)
+          for (int j = 0; j < nu; ++j)
+            Bs[t * nx * nu + i * nu + j] = dt * Fu[i * nu + j];
+        for (int i = 0; i < nx; ++i) {
+          double s = 0.0;
+          for (int j = 0; j < nx; ++j)
+            s += 2.0 * Qs[i * nx + j] * (xt[j] - goal[j]);
+          qst[t * nx + i] = s;
+          for (int j = 0; j < nx; ++j)
+            Qst[t * nx * nx + i * nx + j] = 2.0 * Qs[i * nx + j];
+        }
+        for (int i = 0; i < nu; ++i) {
+          double s = 0.0;
+          for (int j = 0; j < nu; ++j) s += 2.0 * Rs[i * nu + j] * ut[j];
+          rst[t * nu + i] = s;
+          for (int j = 0; j < nu; ++j)
+            Rst[t * nu * nu + i * nu + j] = 2.0 * Rs[i * nu + j];
+        }
+        std::memset(&Mst[t * nx * nu], 0, sizeof(double) * nx * nu);
+
+        if (m > 0) {
+          // Box rows: G = [-u+lb; u-ub], Gx = 0, Gu = [-I; I]. Condensation
+          // touches only the control blocks (Gx = 0).
+          const double* gt = &G[t * m];
+          const double* st2 = &S[t * m];
+          const double* yt = &Y[t * m];
+          for (int r = 0; r < m; ++r) {
+            const double ss = s_safe(st2[r], mu);
+            sigma[t * m + r] = clip_pos(yt[r], ss);
+            pr_res[t * m + r] = gt[r] + st2[r];
+            const double comp_r = yt[r] * st2[r] - mu;
+            rhat[t * m + r] = yt[r] * pr_res[t * m + r] - comp_r;
+            s_inv_rhat[t * m + r] = clip_signed(rhat[t * m + r], ss);
+            bp_inf_pr = std::max(bp_inf_pr, std::fabs(pr_res[t * m + r]));
+            bp_inf_comp = std::max(bp_inf_comp, std::fabs(comp_r));
+          }
+          for (int i = 0; i < nu; ++i) {
+            // Gu row i (of -I block) and row nu+i (of +I block).
+            rst[t * nu + i] +=
+                -(Y[t * m + i] + s_inv_rhat[t * m + i]) +
+                (Y[t * m + nu + i] + s_inv_rhat[t * m + nu + i]);
+            Rst[t * nu * nu + i * nu + i] +=
+                sigma[t * m + i] + sigma[t * m + nu + i];
+          }
+        }
+        for (int i = 0; i < nu; ++i) Rst[t * nu * nu + i * nu + i] += reg;
+      }
+
+      // Terminal block.
+      for (int i = 0; i < nx; ++i) {
+        double s = 0.0;
+        for (int j = 0; j < nx; ++j)
+          s += 2.0 * Qf[i * nx + j] * (X[N * nx + j] - goal[j]);
+        Vx[i] = s;
+        for (int j = 0; j < nx; ++j) Vxx[i * nx + j] = 2.0 * Qf[i * nx + j];
+      }
+      h_of(&X[N * nx], h_T.data());
+      for (int i = 0; i < p; ++i)
+        bp_inf_pr = std::max(bp_inf_pr, std::fabs(h_T[i]));
+
+      // p+1 LQR variants: variant 0 base q_T = Vx + LamT; variant v>0 adds
+      // e_{v-1} (H_T row). K/P are variant-independent; recomputed per
+      // sweep for simplicity (p <= 4, nx <= 4).
+      for (int v = 0; v < nv && ok; ++v) {
+        std::vector<double> P(Vxx), pvec(nx);
+        for (int i = 0; i < nx; ++i) pvec[i] = Vx[i] + LamT[i];
+        if (v > 0) pvec[v - 1] += 1.0;
+        std::memcpy(&p_v[(v * (N + 1) + N) * nx], pvec.data(),
+                    sizeof(double) * nx);
+        if (v == 0)
+          std::memcpy(&P0[N * nx * nx], P.data(), sizeof(double) * nx * nx);
+
+        for (int t = N - 1; t >= 0 && ok; --t) {
+          const double* A = &As[t * nx * nx];
+          const double* B = &Bs[t * nx * nu];
+          std::vector<double> BtP(nu * nx);
+          for (int i = 0; i < nu; ++i)
+            for (int j = 0; j < nx; ++j) {
+              double s = 0.0;
+              for (int k2 = 0; k2 < nx; ++k2)
+                s += B[k2 * nu + i] * P[k2 * nx + j];
+              BtP[i * nx + j] = s;
+            }
+          std::vector<double> Quu(nu * nu), Qux(nu * nx), Qx(nx), Qu(nu);
+          for (int i = 0; i < nu; ++i)
+            for (int j = 0; j < nu; ++j) {
+              double s = Rst[t * nu * nu + i * nu + j];
+              for (int k2 = 0; k2 < nx; ++k2)
+                s += BtP[i * nx + k2] * B[k2 * nu + j];
+              Quu[i * nu + j] = s;
+            }
+          for (int i = 0; i < nu; ++i)
+            for (int j = 0; j < nu; ++j) {
+              const double s = 0.5 * (Quu[i * nu + j] + Quu[j * nu + i]);
+              Quu[i * nu + j] = s;
+              Quu[j * nu + i] = s;
+            }
+          for (int i = 0; i < nu; ++i)
+            for (int j = 0; j < nx; ++j) {
+              double s = Mst[t * nx * nu + j * nu + i];  // M' row i col j
+              for (int k2 = 0; k2 < nx; ++k2)
+                s += BtP[i * nx + k2] * A[k2 * nx + j];
+              Qux[i * nx + j] = s;
+            }
+          const double* p_next = &p_v[(v * (N + 1) + t + 1) * nx];
+          for (int i = 0; i < nx; ++i) {
+            double s = qst[t * nx + i];
+            for (int k2 = 0; k2 < nx; ++k2) s += A[k2 * nx + i] * p_next[k2];
+            Qx[i] = s;
+          }
+          for (int i = 0; i < nu; ++i) {
+            double s = rst[t * nu + i];
+            for (int k2 = 0; k2 < nx; ++k2) s += B[k2 * nu + i] * p_next[k2];
+            Qu[i] = s;
+          }
+          // Solve Quu [k K] = -[Qu Qux].
+          std::vector<double> rhs_kk(nu * (1 + nx)), kK(nu * (1 + nx));
+          for (int i = 0; i < nu; ++i) {
+            rhs_kk[i * (1 + nx)] = Qu[i];
+            for (int j = 0; j < nx; ++j) rhs_kk[i * (1 + nx) + 1 + j] = Qux[i * nx + j];
+          }
+          if (!chol_solve(Quu.data(), rhs_kk.data(), kK.data(), nu, 1 + nx,
+                          work.data())) {
+            ok = false;
+            break;
+          }
+          double* kt = &k_v[(v * N + t) * nu];
+          std::vector<double> Kt(nu * nx);
+          for (int i = 0; i < nu; ++i) {
+            kt[i] = -kK[i * (1 + nx)];
+            for (int j = 0; j < nx; ++j) Kt[i * nx + j] = -kK[i * (1 + nx) + 1 + j];
+          }
+          // P_t = sym(Q + A'PA + Qux'K + K'Qux + K'QuuK);
+          // p_t = Qx + Qux'k + K'Qu + K'Quu k.
+          std::vector<double> PA(nx * nx);
+          for (int i = 0; i < nx; ++i)
+            for (int j = 0; j < nx; ++j) {
+              double s = 0.0;
+              for (int k2 = 0; k2 < nx; ++k2) s += P[i * nx + k2] * A[k2 * nx + j];
+              PA[i * nx + j] = s;
+            }
+          std::vector<double> Pn(nx * nx), pn(nx);
+          for (int i = 0; i < nx; ++i)
+            for (int j = 0; j < nx; ++j) {
+              double s = Qst[t * nx * nx + i * nx + j];
+              for (int k2 = 0; k2 < nx; ++k2) s += A[k2 * nx + i] * PA[k2 * nx + j];
+              for (int r = 0; r < nu; ++r)
+                s += Qux[r * nx + i] * Kt[r * nx + j] + Kt[r * nx + i] * Qux[r * nx + j];
+              for (int r = 0; r < nu; ++r)
+                for (int r2 = 0; r2 < nu; ++r2)
+                  s += Kt[r * nx + i] * Quu[r * nu + r2] * Kt[r2 * nx + j];
+              Pn[i * nx + j] = s;
+            }
+          for (int i = 0; i < nx; ++i)
+            for (int j = i; j < nx; ++j) {
+              const double s = 0.5 * (Pn[i * nx + j] + Pn[j * nx + i]);
+              Pn[i * nx + j] = s;
+              Pn[j * nx + i] = s;
+            }
+          for (int i = 0; i < nx; ++i) {
+            double s = Qx[i];
+            for (int r = 0; r < nu; ++r) s += Qux[r * nx + i] * kt[r];
+            for (int r = 0; r < nu; ++r) s += Kt[r * nx + i] * Qu[r];
+            for (int r = 0; r < nu; ++r)
+              for (int r2 = 0; r2 < nu; ++r2)
+                s += Kt[r * nx + i] * Quu[r * nu + r2] * kt[r2];
+            pn[i] = s;
+          }
+          for (double x2 : Pn) if (!std::isfinite(x2)) ok = false;
+          for (double x2 : pn) if (!std::isfinite(x2)) ok = false;
+          std::memcpy(&p_v[(v * (N + 1) + t) * nx], pn.data(),
+                      sizeof(double) * nx);
+          if (v == 0) {
+            std::memcpy(&K0[t * nu * nx], Kt.data(), sizeof(double) * nu * nx);
+            std::memcpy(&P0[t * nx * nx], Pn.data(), sizeof(double) * nx * nx);
+          }
+          P.swap(Pn);
+          pvec.swap(pn);
+        }
+      }
+
+      if (ok) {
+        // xT per variant via the linear rollout dx0 = 0 (K := K0).
+        std::vector<double> xT_v(nv * nx);
+        for (int v = 0; v < nv; ++v) {
+          std::vector<double> dx(nx, 0.0), dxn(nx), du(nu);
+          for (int t = 0; t < N; ++t) {
+            const double* A = &As[t * nx * nx];
+            const double* B = &Bs[t * nx * nu];
+            const double* kt = &k_v[(v * N + t) * nu];
+            const double* Kt = &K0[t * nu * nx];
+            for (int i = 0; i < nu; ++i) {
+              double s = kt[i];
+              for (int j = 0; j < nx; ++j) s += Kt[i * nx + j] * dx[j];
+              du[i] = s;
+            }
+            for (int i = 0; i < nx; ++i) {
+              double s = 0.0;
+              for (int j = 0; j < nx; ++j) s += A[i * nx + j] * dx[j];
+              for (int j = 0; j < nu; ++j) s += B[i * nu + j] * du[j];
+              dxn[i] = s;
+            }
+            dx.swap(dxn);
+          }
+          std::memcpy(&xT_v[v * nx], dx.data(), sizeof(double) * nx);
+        }
+
+        // Sensitivity + regularized LS for dlambda (:550-617). H = I so
+        // A_small = S_mat, rhs = -h_T - xT_0.
+        std::vector<double> A_small(nx * p), rhs(p), AtA(p * p), Atb(p);
+        for (int i = 0; i < nx; ++i)
+          for (int c2 = 0; c2 < p; ++c2)
+            A_small[i * p + c2] = xT_v[(c2 + 1) * nx + i] - xT_v[i];
+        for (int i = 0; i < p; ++i) rhs[i] = -h_T[i] - xT_v[i];
+        for (int i = 0; i < p; ++i)
+          for (int j = 0; j < p; ++j) {
+            double s = 0.0;
+            for (int k2 = 0; k2 < nx; ++k2)
+              s += A_small[k2 * p + i] * A_small[k2 * p + j];
+            AtA[i * p + j] = s;
+          }
+        for (int i = 0; i < p; ++i) {
+          double s = 0.0;
+          for (int k2 = 0; k2 < nx; ++k2) s += A_small[k2 * p + i] * rhs[k2];
+          Atb[i] = s;
+        }
+        double trace = 0.0;
+        for (int i = 0; i < p; ++i) trace += AtA[i * p + i];
+        const double trace_term = trace > 1.0 ? trace / (double)p : 1.0;
+        const double base_floor =
+            std::max(1e-10, jac_reg_value *
+                                std::pow(std::max(mu, 0.0), jac_reg_exponent));
+        const double reg0 = std::max(base_floor, 1e-6 * trace_term);
+        std::vector<double> ev;
+        sym_eigvals(AtA, p, ev);
+        double max_sv = 0.0, min_sv = 1e300;
+        for (int i = 0; i < p; ++i) {
+          const double sv = std::sqrt(std::max(ev[i], 0.0));
+          max_sv = std::max(max_sv, sv);
+          min_sv = std::min(min_sv, sv);
+        }
+        const double svd_reg = std::max(1e-8 * max_sv - min_sv, 0.0);
+        const double reg_base = std::max(reg0, svd_reg);
+        double rhs_norm = 0.0;
+        for (int i = 0; i < p; ++i) rhs_norm += rhs[i] * rhs[i];
+        rhs_norm = std::sqrt(rhs_norm);
+        const double lambda_cap = 100.0 * (1.0 + rhs_norm);
+
+        const double scales[5] = {1.0, 10.0, 100.0, 1e3, 1e4};
+        double best_res = 1e301;
+        std::vector<double> best_lambda(p, 0.0), lam(p), shifted(p * p);
+        for (int si = 0; si < 5; ++si) {
+          const double reg_i = std::max(reg_base * scales[si], 1e-12);
+          std::memcpy(shifted.data(), AtA.data(), sizeof(double) * p * p);
+          for (int i = 0; i < p; ++i) shifted[i * p + i] += reg_i;
+          // chol_solve expects b as (n x nrhs); nrhs = 1.
+          if (!chol_solve(shifted.data(), Atb.data(), lam.data(), p, 1,
+                          work.data()))
+            continue;
+          double lam_norm = 0.0;
+          bool fin = true;
+          for (int i = 0; i < p; ++i) {
+            lam_norm += lam[i] * lam[i];
+            fin = fin && std::isfinite(lam[i]);
+          }
+          lam_norm = std::sqrt(lam_norm);
+          if (lam_norm > lambda_cap)
+            for (int i = 0; i < p; ++i)
+              lam[i] *= lambda_cap / std::max(lam_norm, 1e-12);
+          double res = 0.0;
+          for (int i = 0; i < nx; ++i) {
+            double s = -rhs[i];
+            for (int j = 0; j < p; ++j) s += A_small[i * p + j] * lam[j];
+            res += s * s;
+          }
+          res = std::sqrt(res);
+          if (!fin || !std::isfinite(res)) continue;
+          if (res < best_res) {
+            best_res = res;
+            best_lambda = lam;
+          }
+        }
+        // (JAX: lambda = 0 when every ladder entry failed.)
+
+        // Recombine gains (:619-634): k_u = k0 + sum_i c_i (k_i - k0).
+        for (int t = 0; t < N; ++t)
+          for (int i = 0; i < nu; ++i) {
+            double s = k_v[t * nu + i];
+            for (int v = 1; v < nv; ++v)
+              s += best_lambda[v - 1] *
+                   (k_v[(v * N + t) * nu + i] - k_v[t * nu + i]);
+            k_u[t * nu + i] = s;
+          }
+        for (int t = 0; t <= N; ++t)
+          for (int i = 0; i < nx; ++i) {
+            double s = p_v[t * nx + i];
+            for (int v = 1; v < nv; ++v)
+              s += best_lambda[v - 1] *
+                   (p_v[(v * (N + 1) + t) * nx + i] - p_v[t * nx + i]);
+            p_comb[t * nx + i] = s;
+          }
+        std::memcpy(dLamT.data(), best_lambda.data(), sizeof(double) * p);
+
+        // inf_du = max |rs_t + B_t' p_comb[t+1]|; step_norm = max|k_u|.
+        for (int t = 0; t < N; ++t) {
+          const double* B = &Bs[t * nx * nu];
+          for (int i = 0; i < nu; ++i) {
+            double s = rst[t * nu + i];
+            for (int k2 = 0; k2 < nx; ++k2)
+              s += B[k2 * nu + i] * p_comb[(t + 1) * nx + k2];
+            bp_inf_du = std::max(bp_inf_du, std::fabs(s));
+          }
+        }
+        for (int i = 0; i < N * nu; ++i)
+          bp_step_norm = std::max(bp_step_norm, std::fabs(k_u[i]));
+
+        // Combined-gain linear rollout for the dual/slack steps.
+        {
+          std::vector<double> dx(nx, 0.0), dxn(nx), du(nu);
+          for (int t = 0; t < N; ++t) {
+            std::memcpy(&dX[t * nx], dx.data(), sizeof(double) * nx);
+            const double* A = &As[t * nx * nx];
+            const double* B = &Bs[t * nx * nu];
+            for (int i = 0; i < nu; ++i) {
+              double s = k_u[t * nu + i];
+              for (int j = 0; j < nx; ++j) s += K0[t * nu * nx + i * nx + j] * dx[j];
+              du[i] = s;
+            }
+            for (int i = 0; i < nx; ++i) {
+              double s = 0.0;
+              for (int j = 0; j < nx; ++j) s += A[i * nx + j] * dx[j];
+              for (int j = 0; j < nu; ++j) s += B[i * nu + j] * du[j];
+              dxn[i] = s;
+            }
+            dx.swap(dxn);
+          }
+          std::memcpy(&dX[N * nx], dx.data(), sizeof(double) * nx);
+        }
+
+        if (m > 0) {
+          // Path gains (Gx = 0, Gu = [-I; I]): temp = Gu k_u.
+          for (int t = 0; t < N; ++t) {
+            for (int r = 0; r < m; ++r) {
+              const int i = r % nu;
+              const double gu_sign = r < nu ? -1.0 : 1.0;
+              const double temp = gu_sign * k_u[t * nu + i];
+              const double ss = s_safe(S[t * m + r], mu);
+              k_y[t * m + r] =
+                  clip_signed(rhat[t * m + r] + Y[t * m + r] * temp, ss);
+              k_s[t * m + r] = -pr_res[t * m + r] - temp;
+              for (int j = 0; j < nx; ++j) {
+                const double guK = gu_sign * K0[t * nu * nx + i * nx + j];
+                K_y[(t * m + r) * nx + j] = std::min(
+                    std::max(sigma[t * m + r] * guK, -kMaxRatio), kMaxRatio);
+                K_s[(t * m + r) * nx + j] = -guK;
+              }
+              double ds = k_s[t * m + r], dy = k_y[t * m + r];
+              for (int j = 0; j < nx; ++j) {
+                ds += K_s[(t * m + r) * nx + j] * dX[t * nx + j];
+                dy += K_y[(t * m + r) * nx + j] * dX[t * nx + j];
+              }
+              dS[t * m + r] = ds;
+              dY[t * m + r] = std::min(std::max(dy, -kMaxRatio), kMaxRatio);
+            }
+          }
+        }
+        for (double x2 : k_u) if (!std::isfinite(x2)) ok = false;
+      }
+
+      if (ok) {
+        bp_limit = false;
+        break;
+      }
+      // JAX parity: limit declared when the NEXT reg reaches the cap (the
+      // attempt at the cap itself never runs — ipddp.py bp_body).
+      const double reg_next = std::min(reg * reg_factor, reg_max);
+      reg = reg_next;
+      if (reg_next >= reg_max) {
+        bp_limit = true;
+        break;
+      }
+    }
+    if (bp_limit) {
+      status = 3;  // REGULARIZATION_LIMIT_NOT_CONVERGED
+      inf_pr = bp_inf_pr;
+      inf_du = bp_inf_du;
+      inf_comp = bp_inf_comp;
+      break;
+    }
+    inf_pr = bp_inf_pr;
+    inf_du = bp_inf_du;
+    inf_comp = bp_inf_comp;
+    step_norm = bp_step_norm;
+
+    // ---- early convergence ----------------------------------------------
+    bool early;
+    if (m == 0) {
+      early = inf_pr < tolerance && inf_du < tolerance;
+    } else {
+      const double tolb = std::max(tolerance, barrier_tol_mult * mu);
+      early = inf_pr < tolb && inf_du < tolb && inf_comp < tolb &&
+              std::fabs(alpha_pr_acc) * step_norm < tolerance * 10.0;
+    }
+    if (early) {
+      status = 1;  // OPTIMAL
+      break;
+    }
+
+    // ---- fraction-to-boundary max step sizes ----------------------------
+    double a_pr_max = 1.0, a_du_max = 1.0;
+    const double tau =
+        m == 0 ? 1.0 : std::max(min_ftb, 1.0 - mu);
+    for (int i = 0; i < N * m; ++i) {
+      if (dS[i] < 0.0) a_pr_max = std::min(a_pr_max, -tau * S[i] / dS[i]);
+      if (dY[i] < 0.0) a_du_max = std::min(a_du_max, -tau * Y[i] / dY[i]);
+    }
+    a_pr_max = std::min(std::max(a_pr_max, 0.0), 1.0);
+    a_du_max = std::min(std::max(a_du_max, 0.0), 1.0);
+
+    // ---- sequential first-success filter line search ---------------------
+    bool any_success = false;
+    double J_new = 0.0, phi_new = 0.0, theta_new = 0.0, inf_pr_new = 0.0,
+           inf_comp_new = 0.0, alpha_pr_used = 1.0;
+    for (double alpha : alphas) {
+      const double a_pr = std::min(alpha, a_pr_max);
+      const double a_du = std::min(alpha, a_du_max);
+      bool feasible = true;
+      double J = 0.0;
+      std::memcpy(&Xtry[0], x0, sizeof(double) * nx);
+      for (int t = 0; t < N && feasible; ++t) {
+        const double* xb = &X[t * nx];
+        double* xt = &Xtry[t * nx];
+        std::vector<double> dx(nx);
+        for (int i = 0; i < nx; ++i) dx[i] = xt[i] - xb[i];
+        // costate update
+        for (int i = 0; i < nx; ++i) {
+          double s = Lambda[t * nx + i] + a_pr * p_comb[t * nx + i];
+          for (int j = 0; j < nx; ++j)
+            s += P0[t * nx * nx + i * nx + j] * dx[j];
+          Lamtry[t * nx + i] = s;
+          feasible = feasible && std::isfinite(s);
+        }
+        for (int r = 0; r < m; ++r) {
+          const double s_new = S[t * m + r] + a_pr * k_s[t * m + r] +
+                               [&] {
+                                 double acc = 0.0;
+                                 for (int j = 0; j < nx; ++j)
+                                   acc += K_s[(t * m + r) * nx + j] * dx[j];
+                                 return acc;
+                               }();
+          const double y_new = Y[t * m + r] + a_du * k_y[t * m + r] +
+                               [&] {
+                                 double acc = 0.0;
+                                 for (int j = 0; j < nx; ++j)
+                                   acc += K_y[(t * m + r) * nx + j] * dx[j];
+                                 return acc;
+                               }();
+          Stry[t * m + r] = s_new;
+          Ytry[t * m + r] = y_new;
+          feasible = feasible && s_new >= (1.0 - tau) * S[t * m + r] &&
+                     y_new >= (1.0 - tau) * Y[t * m + r] &&
+                     std::isfinite(s_new) && std::isfinite(y_new);
+        }
+        double* ut = &Utry[t * nu];
+        for (int i = 0; i < nu; ++i) {
+          double s = U[t * nu + i] + a_pr * k_u[t * nu + i];
+          for (int j = 0; j < nx; ++j)
+            s += K0[t * nu * nx + i * nx + j] * dx[j];
+          ut[i] = s;
+          feasible = feasible && std::isfinite(s);
+        }
+        J += run_cost(xt, ut);
+        if (m > 0) eval_g(ut, &Gtry[t * m]);
+        mdl.f(xt, ut, params, xdot.data());
+        for (int i = 0; i < nx; ++i) {
+          const double xn = xt[i] + dt * xdot[i];
+          Xtry[(t + 1) * nx + i] = xn;
+          feasible = feasible && std::isfinite(xn);
+        }
+      }
+      if (!feasible) continue;
+      J += term_cost(&Xtry[N * nx]);
+      // terminal costate + multiplier
+      {
+        std::vector<double> dxl(nx);
+        for (int i = 0; i < nx; ++i)
+          dxl[i] = Xtry[N * nx + i] - X[N * nx + i];
+        for (int i = 0; i < nx; ++i) {
+          double s = Lambda[N * nx + i] + a_pr * p_comb[N * nx + i];
+          for (int j = 0; j < nx; ++j)
+            s += P0[N * nx * nx + i * nx + j] * dxl[j];
+          Lamtry[N * nx + i] = s;
+          feasible = feasible && std::isfinite(s);
+        }
+      }
+      for (int i = 0; i < p; ++i) {
+        LamTtry[i] = LamT[i] + a_pr * dLamT[i];
+        feasible = feasible && std::isfinite(LamTtry[i]);
+      }
+      h_of(&Xtry[N * nx], htry.data());
+
+      const double phi_t = barrier_merit(J, Stry, LamTtry, htry.data(), mu);
+      const double theta_t = theta_of(Gtry, Stry, htry.data());
+      double pr_t, comp_t;
+      primal_comp(Gtry, Stry, Ytry, htry.data(), mu, &pr_t, &comp_t);
+      feasible = feasible && std::isfinite(phi_t) && std::isfinite(theta_t) &&
+                 std::isfinite(pr_t) && std::isfinite(comp_t);
+      if (!feasible) continue;
+
+      // Filter acceptance (3 branches; expected_improvement = 0 since the
+      // terminal-eq backward reports dV = 0, matching the JAX port).
+      double f_mf, f_cv;
+      const bool nonempty = filt.back(&f_mf, &f_cv);
+      const double cv_old = nonempty ? f_cv : 0.0;
+      const double high_violation_ref = nonempty ? f_cv : filter_theta;
+      const double expected_improvement = 0.0;
+      bool accept;
+      if (theta_t > f_max_viol) {
+        accept = theta_t < (1.0 - f_viol_acc) * high_violation_ref;
+      } else if (std::max(theta_t, cv_old) < f_min_viol_armijo &&
+                 expected_improvement < 0.0) {
+        accept = phi_t < merit + f_armijo * expected_improvement;
+      } else {
+        accept = phi_t < merit - f_merit_acc * theta_t ||
+                 theta_t < (1.0 - f_viol_acc) * cv_old;
+      }
+      if (accept) {
+        any_success = true;
+        J_new = J;
+        phi_new = phi_t;
+        theta_new = theta_t;
+        inf_pr_new = pr_t;
+        inf_comp_new = comp_t;
+        alpha_pr_used = a_pr;
+        break;
+      }
+    }
+
+    if (any_success) {
+      const double dJ = cost - J_new;
+      std::memcpy(X, Xtry.data(), sizeof(double) * (N + 1) * nx);
+      std::memcpy(U, Utry.data(), sizeof(double) * N * nu);
+      if (m > 0) {
+        S = Stry;
+        Y = Ytry;
+        G = Gtry;
+      }
+      Lambda = Lamtry;
+      LamT = LamTtry;
+      h_of(&X[N * nx], h_T.data());
+      cost = J_new;
+      merit = phi_new;
+      phi = phi_new;
+      inf_pr = inf_pr_new;
+      inf_comp = inf_comp_new;
+      alpha_pr_acc = alpha_pr_used;
+      reg = std::max(reg / reg_factor, reg_min);
+
+      // Barrier + filter update (updateBarrierParameters).
+      const double mu_old = mu;
+      double mu_new = mu_old;
+      if (m > 0) {
+        const double kkt = std::max(std::max(inf_pr, inf_du), inf_comp);
+        const double threshold =
+            std::max(mu_update_factor * mu_old, 2.0 * mu_old);
+        const double ratio = kkt / std::max(mu_old, 1e-20);
+        double factor = mu_update_factor;
+        if (mu_old > 1e-20) {
+          if (ratio < 0.01) factor = 0.1 * mu_update_factor;
+          else if (ratio < 0.1) factor = 0.3 * mu_update_factor;
+          else if (ratio < 0.5) factor = 0.6 * mu_update_factor;
+        }
+        const double linear = factor * mu_old;
+        const double superlinear = std::pow(mu_old, mu_update_power);
+        const double mu_cand =
+            std::max(std::min(linear, superlinear),
+                     std::max(mu_min_value, tolerance / 100.0));
+        if (kkt <= threshold) mu_new = mu_cand;
+      }
+      filter_theta = std::max(theta_of(G, S, h_T.data()), 1e-8);
+      const bool reset = mu_new < mu_old && mu_new > 0.0;
+      if (reset) {
+        filt.clear();
+        filt.accept(phi, filter_theta);  // has_te
+      } else {
+        filt.accept(phi, filter_theta);
+        if (filt.size() > max_filter_size) filt.prune_to_best();
+      }
+      mu = mu_new;
+      primal_comp(G, S, Y, h_T.data(), mu, &inf_pr, &inf_comp);
+      merit = barrier_merit(cost, S, LamT, h_T.data(), mu);
+
+      // ---- convergence ---------------------------------------------------
+      bool conv_opt, conv_acc = false;
+      if (m == 0) {
+        conv_opt = inf_pr < tolerance && inf_du < tolerance;
+        if (acceptable_tolerance > 0.0) {
+          const double sqrt_atol = std::sqrt(acceptable_tolerance);
+          bool acc = inf_pr < sqrt_atol && inf_du < sqrt_atol && it > 50;
+          acc = acc || (dJ > 0.0 && dJ < acceptable_tolerance && it > 50 &&
+                        inf_pr < sqrt_atol && inf_du < sqrt_atol);
+          conv_acc = acc;
+        }
+      } else {
+        const double tol2 = std::max(tolerance, barrier_tol_mult * mu);
+        conv_opt = inf_pr < tol2 && inf_du < tol2 && inf_comp < tol2 &&
+                   step_norm < tolerance * 10.0;
+        if (acceptable_tolerance > 0.0) {
+          const double accept_tol = std::sqrt(acceptable_tolerance);
+          const double barrier_accept_tol =
+              std::max(mu_min_value * 100.0, tolerance / 10.0);
+          const bool acc_kkt = inf_pr < accept_tol && inf_du < accept_tol &&
+                               inf_comp < accept_tol;
+          const bool barrier_done = mu <= barrier_accept_tol;
+          bool acc = acc_kkt && barrier_done && it > 10 &&
+                     std::fabs(dJ) < acceptable_tolerance;
+          acc = acc || (acc_kkt && barrier_done && it >= 1 &&
+                        step_norm < tolerance * 10.0 && inf_pr < 1e-4);
+          conv_acc = acc;
+        }
+      }
+      if (conv_opt) {
+        status = 1;
+        break;
+      }
+      if (conv_acc) {
+        status = 2;
+        break;
+      }
+    } else {
+      // handleForwardPassFailure: reg escalation (doubled when path
+      // constraints AND terminal equalities are both present).
+      double reg_n = std::min(reg * reg_factor, reg_max);
+      if (m > 0) reg_n = std::min(reg_n * reg_factor, reg_max);
+      const bool limit = reg_n >= reg_max;
+      bool acceptable = false;
+      if (m == 0) {
+        const double accept_tol =
+            std::sqrt(std::max(acceptable_tolerance, tolerance));
+        acceptable = acceptable_tolerance > 0.0 && inf_pr < accept_tol &&
+                     inf_du < accept_tol;
+      } else {
+        const double accept_tol =
+            std::max(std::sqrt(std::max(acceptable_tolerance, tolerance)),
+                     barrier_tol_mult * mu);
+        acceptable = acceptable_tolerance > 0.0 && inf_pr < accept_tol &&
+                     inf_du < accept_tol && inf_comp < accept_tol;
+      }
+      reg = reg_n;
+      if (limit) {
+        status = acceptable ? 2 : 3;
+        break;
+      }
+    }
+  }
+
+  std::memcpy(lambda_T_out, LamT.data(), sizeof(double) * p);
+  out_stats[0] = cost;
+  out_stats[1] = inf_pr;
+  out_stats[2] = inf_du;
+  out_stats[3] = inf_comp;
+  out_stats[4] = mu;
+  out_stats[5] = double(it);
+  return status;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
@@ -1529,8 +2487,8 @@ int cddp_logddp_solve(
     const double* opts, const double* U0,
     double* X, double* U, double* out_stats) {
   using logddp_native::beta_derivs;
-  if (model_id != 0 && model_id != 1) return -100;  // unknown model
-  const Model mdl{model_id == 0 ? 3 : 2, model_id == 0 ? 2 : 1};
+  if (!model_id_valid(model_id)) return -100;  // unknown model
+  const Model mdl = make_model(model_id);
   const int nx = mdl.nx, nu = mdl.nu;
 
   const int max_iterations = (int)opts[0];
@@ -1926,8 +2884,8 @@ int cddp_msipddp_solve(
     const double* opts, const double* U0,
     double* X, double* U, double* out_stats) {
   using ipddp_native::Filter;
-  if (model_id != 0 && model_id != 1) return -100;  // unknown model
-  const Model mdl{model_id == 0 ? 3 : 2, model_id == 0 ? 2 : 1};
+  if (!model_id_valid(model_id)) return -100;  // unknown model
+  const Model mdl = make_model(model_id);
   const int nx = mdl.nx, nu = mdl.nu;
   const int m = 2 * nu;
 
