@@ -17,9 +17,15 @@ sys.path.insert(0, str(Path(__file__).resolve().parent / "examples"))
 def main():
     import mpcc_lib as mpcc
 
-    B = 1024
+    import os
+
+    B = int(os.environ.get("MPCC_BATCH", "1024"))
     track = mpcc.synthetic_track(n_points=240)
-    cfg = mpcc.MpccConfig(max_iterations=15)
+    cfg = mpcc.MpccConfig(
+        max_iterations=15,
+        track_eval=os.environ.get("MPCC_TRACK_EVAL", "local"),
+        local_coeffs=int(os.environ.get("MPCC_LOCAL_COEFFS", "64")),
+    )
 
     # Fleet spread around the track
     s0 = jnp.linspace(0.0, float(track.length) * 0.9, B)

@@ -261,13 +261,19 @@ def _solve(problem: Problem, options: CDDPOptions, X0, U0, k0, K0):
             limit = (~bp.ok) & base.regularization_limit_reached(reg_next, options)
             return bp, reg_next, bp.ok | limit, limit
 
-        bp_init = _backward_pass(problem, options, c.X, c.U, c.k, c.reg)
-        reg1 = jnp.where(
-            bp_init.ok, c.reg, base.increase_regularization(c.reg, options)
+        # Dummy-initialized loop (eval_shape): the first attempt runs inside
+        # the body, so the backward pass is traced/compiled ONCE instead of
+        # the pre-loop seed duplicating it in HLO.
+        bp_dummy = jax.tree.map(
+            lambda s: jnp.zeros(s.shape, s.dtype),
+            jax.eval_shape(
+                lambda X, U, k, r: _backward_pass(problem, options, X, U, k, r),
+                c.X, c.U, c.k, c.reg,
+            ),
         )
-        limit0 = (~bp_init.ok) & base.regularization_limit_reached(reg1, options)
         bp, reg, _, bp_limit = jax.lax.while_loop(
-            bp_cond, bp_body, (bp_init, reg1, bp_init.ok | limit0, limit0)
+            bp_cond, bp_body,
+            (bp_dummy, c.reg, jnp.asarray(False), jnp.asarray(False)),
         )
         if options.debug:
             base.print_debug_backward("CLDDP", it, reg, bp.ok)

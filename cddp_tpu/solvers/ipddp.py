@@ -1492,6 +1492,10 @@ def _solve(problem: Problem, options: CDDPOptions, X0, U0,
         it = c.it + 1
 
         # --- backward pass with regularization retry ----------------------
+        # Dummy-initialized while_loop: the FIRST attempt also runs inside
+        # the loop body, so the backward pass is traced/compiled once
+        # instead of twice (the pre-loop seed used to duplicate the whole
+        # backward in HLO — ~30% of the program).
         def bp_cond(s):
             _, _, bp_done, _ = s
             return ~bp_done
@@ -1503,11 +1507,9 @@ def _solve(problem: Problem, options: CDDPOptions, X0, U0,
             limit = (~bp.ok) & base.regularization_limit_reached(reg_next, options)
             return bp, reg_next, bp.ok | limit, limit
 
-        bp_i = backward(c, c.reg)
-        reg1 = jnp.where(bp_i.ok, c.reg, base.increase_regularization(c.reg, options))
-        lim0 = (~bp_i.ok) & base.regularization_limit_reached(reg1, options)
         bp, reg, _, bp_limit = jax.lax.while_loop(
-            bp_cond, bp_body, (bp_i, reg1, bp_i.ok | lim0, lim0)
+            bp_cond, bp_body,
+            (c.bp, c.reg, jnp.asarray(False), jnp.asarray(False)),
         )
         if options.debug:
             base.print_debug_backward("IPDDP", it, reg, bp.ok)
@@ -1562,9 +1564,8 @@ def _solve(problem: Problem, options: CDDPOptions, X0, U0,
             else:
                 # Sequential first-success ladder walk as a while_loop
                 # (cddp_solver_base.cpp:256-263): evaluates only the rollouts
-                # actually needed.
-                fp0 = run_fp(alphas[0])
-
+                # actually needed. Dummy-initialized (eval_shape) so the
+                # forward pass is traced once, not twice.
                 def ls_cond(st):
                     i, found, _ = st
                     return (~found) & (i < alphas.shape[0])
@@ -1578,9 +1579,13 @@ def _solve(problem: Problem, options: CDDPOptions, X0, U0,
                     )
                     return i + 1, tk, best
 
+                fp_dummy = jax.tree.map(
+                    lambda s: jnp.zeros(s.shape, s.dtype),
+                    jax.eval_shape(run_fp, alphas[0]),
+                )
                 _, any_success, fp = jax.lax.while_loop(
                     ls_cond, ls_body,
-                    (jnp.asarray(1, jnp.int32), fp0["success"], fp0),
+                    (jnp.asarray(0, jnp.int32), jnp.asarray(False), fp_dummy),
                 )
             take = lambda arr: fp
             fp_ok = any_success & ~early

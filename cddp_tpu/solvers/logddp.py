@@ -301,11 +301,18 @@ def _solve(problem: Problem, options: CDDPOptions, X0, U0, k0, K0):
             limit = (~bp.ok) & base.regularization_limit_reached(reg_n, options)
             return bp, reg_n, bp.ok | limit, limit
 
-        bp_i = _backward_pass(problem, options, barrier, c.X, c.U, c.reg)
-        reg1 = jnp.where(bp_i.ok, c.reg, base.increase_regularization(c.reg, options))
-        lim0 = (~bp_i.ok) & base.regularization_limit_reached(reg1, options)
+        # Dummy-initialized (eval_shape) so the backward is traced once —
+        # the pre-loop seed used to duplicate it in HLO (compile time).
+        bp_dummy = jax.tree.map(
+            lambda s: jnp.zeros(s.shape, s.dtype),
+            jax.eval_shape(
+                lambda X, U, r: _backward_pass(problem, options, barrier, X, U, r),
+                c.X, c.U, c.reg,
+            ),
+        )
         bp, reg, _, bp_limit = jax.lax.while_loop(
-            bp_cond, bp_body, (bp_i, reg1, bp_i.ok | lim0, lim0)
+            bp_cond, bp_body,
+            (bp_dummy, c.reg, jnp.asarray(False), jnp.asarray(False)),
         )
         if options.debug:
             base.print_debug_backward("LogDDP", it, reg, bp.ok)
@@ -333,8 +340,6 @@ def _solve(problem: Problem, options: CDDPOptions, X0, U0, k0, K0):
                     cost_v[i], merit_v[i], cv_v[i], X_v[i], U_v[i]
                 )
             else:
-                fp0 = run_fp(alphas[0])
-
                 def ls_cond(st):
                     i, found, _ = st
                     return (~found) & (i < alphas.shape[0])
@@ -346,9 +351,14 @@ def _solve(problem: Problem, options: CDDPOptions, X0, U0, k0, K0):
                     best = jax.tree.map(lambda a, b: jnp.where(tk, a, b), fpi, best)
                     return i + 1, tk, best
 
+                # Dummy init (eval_shape): forward pass traced once.
+                fp_dummy = jax.tree.map(
+                    lambda s: jnp.zeros(s.shape, s.dtype),
+                    jax.eval_shape(run_fp, alphas[0]),
+                ) + (alphas[0],)
                 _, fp_ok, best = jax.lax.while_loop(
                     ls_cond, ls_body,
-                    (jnp.asarray(1, jnp.int32), fp0[0], fp0 + (alphas[0],)),
+                    (jnp.asarray(0, jnp.int32), jnp.asarray(False), fp_dummy),
                 )
                 _, cost_s, merit_s, cv_s, X_s, U_s, a_sel = best
 

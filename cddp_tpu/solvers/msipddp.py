@@ -688,14 +688,11 @@ def _solve(problem: Problem, options: CDDPOptions, X0, U0, warm):
             limit = (~bp.ok) & base.regularization_limit_reached(reg_n, options)
             return bp, reg_n, bp.ok | limit, limit
 
-        bp_i = _backward_pass(
-            problem, options, stk, c.X, c.U, c.Y, c.S, c.G, c.F, c.Lambda,
-            c.mu, c.reg,
-        )
-        reg1 = jnp.where(bp_i.ok, c.reg, base.increase_regularization(c.reg, options))
-        lim0 = (~bp_i.ok) & base.regularization_limit_reached(reg1, options)
+        # Dummy-initialized loop: backward traced once (the pre-loop seed
+        # used to duplicate it in HLO — compile time).
         bp, reg, _, bp_limit = jax.lax.while_loop(
-            bp_cond, bp_body, (bp_i, reg1, bp_i.ok | lim0, lim0)
+            bp_cond, bp_body,
+            (c.bp, c.reg, jnp.asarray(False), jnp.asarray(False)),
         )
         if options.debug:
             base.print_debug_backward("MSIPDDP", it, reg, bp.ok)
@@ -719,8 +716,6 @@ def _solve(problem: Problem, options: CDDPOptions, X0, U0, warm):
                 fp = jax.tree.map(lambda v: v[sel.index], fp_v)
                 any_success = sel.success
             else:
-                fp0 = run_fp(alphas[0])
-
                 def ls_cond(st):
                     i, found, _ = st
                     return (~found) & (i < alphas.shape[0])
@@ -732,9 +727,14 @@ def _solve(problem: Problem, options: CDDPOptions, X0, U0, warm):
                     best = jax.tree.map(lambda a, b: jnp.where(tk, a, b), fpi, best)
                     return i + 1, tk, best
 
+                # Dummy init (eval_shape): forward pass traced once.
+                fp_dummy = jax.tree.map(
+                    lambda s: jnp.zeros(s.shape, s.dtype),
+                    jax.eval_shape(run_fp, alphas[0]),
+                )
                 _, any_success, fp = jax.lax.while_loop(
                     ls_cond, ls_body,
-                    (jnp.asarray(1, jnp.int32), fp0["success"], fp0),
+                    (jnp.asarray(0, jnp.int32), jnp.asarray(False), fp_dummy),
                 )
             take = lambda tree: fp
             fp_ok = any_success

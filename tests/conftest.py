@@ -26,7 +26,14 @@ assert jax.default_backend() == "cpu", jax.default_backend()
 import tempfile
 from pathlib import Path
 
-_cache = Path(tempfile.gettempdir()) / "cddp_tpu_xla_cache"
-_cache.mkdir(exist_ok=True)
+# CDDP_TPU_XLA_CACHE_DIR overrides the location (e.g. to measure a cold
+# run against a fresh directory without discarding the warm cache).
+_cache = Path(
+    os.environ.get(
+        "CDDP_TPU_XLA_CACHE_DIR",
+        str(Path(tempfile.gettempdir()) / "cddp_tpu_xla_cache"),
+    )
+)
+_cache.mkdir(parents=True, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", str(_cache))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)

@@ -87,18 +87,23 @@ def test_enum_matches_newton():
 
     rng = np.random.default_rng(11)
     for n in (1, 2, 3, 4):
-        for trial in range(5):
-            A = rng.normal(size=(n, n))
-            H = jnp.asarray(A @ A.T + n * np.eye(n))
-            g = jnp.asarray(rng.normal(size=n))
-            lo = -jnp.ones(n) * 0.7
-            hi = jnp.ones(n) * 0.7
-            r_enum = boxqp_solve_enum(H, g, lo, hi)
-            r_newton = boxqp_solve(H, g, lo, hi, jnp.zeros(n))
-            np.testing.assert_allclose(
-                np.asarray(r_enum.x), np.asarray(r_newton.x), atol=1e-6
-            )
-            assert bool(jnp.all(r_enum.free == r_newton.free)), (n, trial)
+        # One jitted vmap per n (5 trials batched): eager per-trial calls
+        # paid ~20 uncached trace+dispatch rounds.
+        A = rng.normal(size=(5, n, n))
+        Hs = jnp.asarray(A @ A.transpose(0, 2, 1) + n * np.eye(n))
+        gs = jnp.asarray(rng.normal(size=(5, n)))
+        lo = -jnp.ones(n) * 0.7
+        hi = jnp.ones(n) * 0.7
+        r_enum = jax.jit(jax.vmap(
+            lambda H, g: boxqp_solve_enum(H, g, lo, hi)
+        ))(Hs, gs)
+        r_newton = jax.jit(jax.vmap(
+            lambda H, g: boxqp_solve(H, g, lo, hi, jnp.zeros(n))
+        ))(Hs, gs)
+        np.testing.assert_allclose(
+            np.asarray(r_enum.x), np.asarray(r_newton.x), atol=1e-6
+        )
+        assert bool(jnp.all(r_enum.free == r_newton.free)), n
 
 
 def test_enum_not_pd():

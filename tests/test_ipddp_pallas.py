@@ -1,6 +1,8 @@
 """Fused IPDDP condensed-backward Pallas kernel vs the lax.scan reference
 (interpreter mode on CPU; the real TPU path is exercised by bench_mpcc.py)."""
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -46,11 +48,16 @@ def _random_stage_data(key, B, N, nx, nu, m, dtype):
     pytest.param(jnp.float32, 2e-3, 2e-3, marks=pytest.mark.slow),
 ])
 def test_ipddp_fused_matches_scan(dtype, rtol, atol):
+    # Small B/N: interpret-mode Pallas executes the grid in Python, so the
+    # fast tier pays ~linear in B*N (B=8,N=10 measured 43s; B=2,N=6 keeps
+    # the full algebra — nx=4, nu=2, m=3, batching — at a fraction).
     args = _random_stage_data(
-        jax.random.PRNGKey(0), B=8, N=10, nx=4, nu=2, m=3, dtype=dtype
+        jax.random.PRNGKey(0), B=2, N=6, nx=4, nu=2, m=3, dtype=dtype
     )
-    ref = jax.vmap(_condensed_scan_single)(*args)
-    fused = ipddp_backward_fused(*args, interpret=True)
+    ref = jax.jit(jax.vmap(_condensed_scan_single))(*args)
+    fused = jax.jit(
+        functools.partial(ipddp_backward_fused, interpret=True)
+    )(*args)
     names = ["k_u", "K_u", "k_y", "K_y", "k_s", "K_s", "Vx", "Vxx", "stats"]
     for name, r, f in zip(names, ref, fused):
         np.testing.assert_allclose(

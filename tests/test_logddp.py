@@ -28,13 +28,13 @@ def test_barrier_gradients_match_ad():
     b = RelaxedLogBarrier(barrier_coeff=0.1, relaxation_delta=1e-2)
     x = jnp.array([0.3, -0.1])
     u = jnp.array([1.5])
-    gx, gu = b.gradients(c, x, u)
-    gx_ad = jax.grad(lambda xx: b.evaluate(c, xx, u))(x)
-    gu_ad = jax.grad(lambda uu: b.evaluate(c, x, uu))(u)
+    gx, gu = jax.jit(b.gradients)(c, x, u)
+    gx_ad = jax.jit(jax.grad(lambda xx: b.evaluate(c, xx, u)))(x)
+    gu_ad = jax.jit(jax.grad(lambda uu: b.evaluate(c, x, uu)))(u)
     np.testing.assert_allclose(gx, gx_ad, rtol=1e-9, atol=1e-12)
     np.testing.assert_allclose(gu, gu_ad, rtol=1e-9, atol=1e-12)
-    hxx, huu, hux = b.hessians(c, x, u)
-    huu_ad = jax.hessian(lambda uu: b.evaluate(c, x, uu))(u)
+    hxx, huu, hux = jax.jit(b.hessians)(c, x, u)
+    huu_ad = jax.jit(jax.hessian(lambda uu: b.evaluate(c, x, uu)))(u)
     np.testing.assert_allclose(huu, huu_ad, rtol=1e-9, atol=1e-12)
 
 

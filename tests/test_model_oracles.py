@@ -53,10 +53,10 @@ def test_car_discrete_hessian_pins():
     x = jnp.array([1.0, 1.0, 3 * PI / 2, 1.0])
     u = jnp.array([0.3, 0.1])
     fd = lambda x_, u_: car.discrete_dynamics(x_, u_, 0.0, 0.03)
-    Hxx = jax.hessian(lambda x_: fd(x_, u)[2])(x)  # d2 theta+/dx2
-    Huu = jax.hessian(lambda u_: fd(x, u_)[2])(u)  # d2 theta+/du2
-    Hxx_x = jax.hessian(lambda x_: fd(x_, u)[0])(x)  # d2 x+/dx2
-    Huu_x = jax.hessian(lambda u_: fd(x, u_)[0])(u)
+    Hxx = jax.jit(jax.hessian(lambda x_: fd(x_, u)[2]))(x)  # d2 theta+/dx2
+    Huu = jax.jit(jax.hessian(lambda u_: fd(x, u_)[2]))(u)  # d2 theta+/du2
+    Hxx_x = jax.jit(jax.hessian(lambda x_: fd(x_, u)[0]))(x)  # d2 x+/dx2
+    Huu_x = jax.jit(jax.hessian(lambda u_: fd(x, u_)[0]))(u)
     assert abs(float(Hxx[3, 3]) - 8.71e-08) < 1e-4
     assert abs(float(Huu[0, 0]) - (-0.00443)) < 1e-4
     assert abs(float(Hxx_x[3, 2]) - 0.0287) < 1e-4

@@ -132,3 +132,40 @@ def test_real_track_mpc_ticks():
     ref = track.interpolate(x[mpcc.IDX_THETA])
     d = np.hypot(float(x[0]) - float(ref["x"]), float(x[1]) - float(ref["y"]))
     assert d < track.width  # stayed near the track
+
+
+def test_local_track_fit_matches_fourier():
+    """LocalTrack (per-tick Chebyshev window, Clenshaw evaluation — the
+    trig-free hot path) reproduces the full Fourier reference over the
+    reachable window: x/y sub-mm, heading < 6e-3 rad at 64 coefficients."""
+    track = mpcc.synthetic_track()
+    cfg = mpcc.MpccConfig()
+    reach = cfg.v_theta_max * cfg.horizon * cfg.dt
+    for theta0 in (0.0, 1.7, float(track.length) - 1.0):
+        lt = mpcc.local_track_fit(track, theta0, reach, n_coeffs=64)
+        ths = jnp.linspace(theta0, theta0 + reach, 120)
+        a = track.interpolate(ths)
+        b = lt.interpolate(ths)
+        assert float(jnp.max(jnp.abs(a["x"] - b["x"]))) < 1e-3
+        assert float(jnp.max(jnp.abs(a["y"] - b["y"]))) < 1e-3
+        dh = jnp.abs(
+            ((a["heading"] - b["heading"]) + jnp.pi) % (2 * jnp.pi) - jnp.pi
+        )
+        assert float(jnp.max(dh)) < 6e-3
+        assert float(jnp.max(jnp.abs(a["v_ref"] - b["v_ref"]))) < 0.1
+
+
+@pytest.mark.slow
+def test_local_track_mpc_equivalent():
+    """track_eval='local' drives the same closed-loop trajectory as the
+    Fourier engine (measured 9.4 mm apart over 50 ticks with equal contour
+    quality); here 12 ticks at a tight bound."""
+    import dataclasses
+
+    track = mpcc.synthetic_track()
+    cfg_f = mpcc.MpccConfig(max_iterations=30)
+    cfg_l = dataclasses.replace(cfg_f, track_eval="local", local_coeffs=64)
+    Xf, _, _ = mpcc.run_mpc(track, cfg_f, n_ticks=12)
+    Xl, _, _ = mpcc.run_mpc(track, cfg_l, n_ticks=12)
+    assert np.max(np.abs(Xf[:, :2] - Xl[:, :2])) < 5e-3
+    assert abs(Xf[-1, 3] - Xl[-1, 3]) < 1e-2

@@ -12,7 +12,7 @@ from cddp_tpu.solvers import base, clddp
 from cddp_tpu.ops.pallas.riccati import clddp_backward_fused
 
 
-def _setup(B=8, N=12, dtype=jnp.float32):
+def _setup(B=3, N=8, dtype=jnp.float32):
     dt = 0.05
     model = Unicycle()
     goal = jnp.asarray([2.0, 2.0, 1.57], dtype)
@@ -45,7 +45,7 @@ def test_fused_matches_scan(dtype, rtol, atol):
         bp = clddp._backward_pass(prob, opts, Xi, Ui, jnp.zeros_like(Ui), regi)
         return bp.k, bp.K, bp.dV, bp.inf_du, bp.ok
 
-    k_r, K_r, dV_r, inf_r, ok_r = jax.vmap(ref_one)(X, U, reg)
+    k_r, K_r, dV_r, inf_r, ok_r = jax.jit(jax.vmap(ref_one))(X, U, reg)
 
     # Fused kernel inputs: precompute stagewise data per batch element
     def prep_one(Xi, Ui):
@@ -57,7 +57,7 @@ def test_fused_matches_scan(dtype, rtol, atol):
         VxxT = prob.objective.terminal_cost_hessian(Xi[-1])
         return A, Bm, lx, lu, lxx, luu, lux, lb, ub, VxT, VxxT
 
-    args = jax.vmap(prep_one)(X, U)
+    args = jax.jit(jax.vmap(prep_one))(X, U)
     k_f, K_f, dV_f, qerr_f, nvx_f, ok_f = clddp_backward_fused(
         *args, reg, tile_b=1024, interpret=True
     )
@@ -95,13 +95,13 @@ def test_backward_engine_dispatch_parity():
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-12)
 
     # vmapped (exercises the custom batching rule's scan fallback on CPU)
-    aB = jax.vmap(lambda Xi, Ui, ri: bp(auto, Xi, Ui, ri))(X, U, reg)
-    sB = jax.vmap(lambda Xi, Ui, ri: bp(scan, Xi, Ui, ri))(X, U, reg)
+    aB = jax.jit(jax.vmap(lambda Xi, Ui, ri: bp(auto, Xi, Ui, ri)))(X, U, reg)
+    sB = jax.jit(jax.vmap(lambda Xi, Ui, ri: bp(scan, Xi, Ui, ri)))(X, U, reg)
     for x, y in zip(aB, sB):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-12)
 
     # end-to-end batched solve (backward retry while_loop + line search on top)
-    x0s = jnp.stack([X[i, 0] for i in range(4)])
+    x0s = jnp.stack([X[i, 0] for i in range(X.shape[0])])
     opts10 = auto.replace(max_iterations=10)
     from cddp_tpu.parallel.batch import batched_solve
     sol_a = batched_solve(prob, x0s, "CLDDP", opts10)

@@ -39,8 +39,11 @@ def test_ipddp_terminal_eq_parallel_backend():
     from cddp_tpu.models import Pendulum
     from cddp_tpu.solvers import ipddp
 
-    dt, N = 0.02, 48
-    model = Pendulum(length=0.5, damping=0.01)
+    # Same (shape, options) as tests/test_ipddp.py::test_terminal_equality so
+    # the sequential-engine XLA program is shared via the persistent cache
+    # (compile-time consolidation, VERDICT r3 #3).
+    dt, N = 0.02, 100
+    model = Pendulum(length=0.5, mass=1.0, damping=0.01)
     goal = jnp.zeros(2)
     obj = ct.quadratic_objective(jnp.zeros((2, 2)), 0.1 * jnp.eye(1),
                                  100.0 * jnp.eye(2), goal, dt)
@@ -50,7 +53,7 @@ def test_ipddp_terminal_eq_parallel_backend():
     prob = prob.add_terminal_constraint(
         "TerminalEqualityConstraint", ct.terminal_equality_constraint(goal))
 
-    base_opts = dict(max_iterations=200, tolerance=1e-4, acceptable_tolerance=1e-5)
+    base_opts = dict(max_iterations=400, tolerance=1e-4, acceptable_tolerance=1e-5)
     sol_seq = ipddp.solve(prob, ct.CDDPOptions(**base_opts))
     sol_par = ipddp.solve(
         prob,
@@ -98,9 +101,12 @@ def test_ipddp_condensed_parallel_backend():
     bp = {}
     for backend in ("sequential", "parallel"):
         opts = ct.CDDPOptions(ipddp=ct.IPDDPOptions(lqr_backend=backend))
-        bp[backend] = ipddp._backward_condensed(
-            prob, opts, stk, tstk, X, U, Y, S, G, zt, zt, mu, reg
-        )
+        # jit: eager associative_scan is ~12s/call on CPU and uncacheable.
+        bp[backend] = jax.jit(
+            lambda *a, _o=opts: ipddp._backward_condensed(
+                prob, _o, stk, tstk, *a
+            )
+        )(X, U, Y, S, G, zt, zt, mu, reg)
     for field in ("k_u", "K_u", "k_y", "K_y", "k_s", "K_s", "dV", "inf_du",
                   "inf_pr", "inf_comp", "step_norm"):
         np.testing.assert_allclose(
