@@ -51,7 +51,25 @@ from cddp_tpu.models.base import rollout as open_loop_rollout
 SLACK_INTERIOR_OFFSET = 1e-4
 EPS_SLACK = 1e-10
 EPS_DUAL = 1e-10
-MAX_BARRIER_RATIO = 1e6
+# Barrier-ratio clip (clipPositiveBarrierRatio, ipddp_solver.cpp:222-231):
+# the reference caps Sigma = y/s and related ratios at 1e6. In f64 that cap
+# BINDS in late-barrier endgames (sigma_true = y/s ~ mu/s^2 exceeds 1e6 once
+# s ~ 1e-4 at mu ~ 1e-2) and distorts the condensed Newton system — on the
+# HCW rendezvous with a norm thrust limit it crushes the re-centering steps
+# and stalls the dual residual at ~1-5 (RegularizationLimitReached). The cap
+# is a float32 safety: keep 1e6 for f32, raise to 1e12 for f64 — with which
+# the rendezvous certifies OptimalSolutionFound (inf_du 9e-6, mu -> 7e-6).
+# The native C++ oracle (f64) uses the same 1e12.
+MAX_BARRIER_RATIO_F32 = 1e6
+MAX_BARRIER_RATIO_F64 = 1e12
+
+
+def _max_ratio(dtype):
+    return (
+        MAX_BARRIER_RATIO_F64
+        if jnp.dtype(dtype) == jnp.float64
+        else MAX_BARRIER_RATIO_F32
+    )
 
 
 def _s_safe(s, mu):
@@ -59,11 +77,12 @@ def _s_safe(s, mu):
 
 
 def _clip_pos(num, den):
-    return jnp.clip(num / den, 0.0, MAX_BARRIER_RATIO)
+    return jnp.clip(num / den, 0.0, _max_ratio(jnp.asarray(num).dtype))
 
 
 def _clip_signed(num, den):
-    return jnp.clip(num / den, -MAX_BARRIER_RATIO, MAX_BARRIER_RATIO)
+    cap = _max_ratio(jnp.asarray(num).dtype)
+    return jnp.clip(num / den, -cap, cap)
 
 
 def _sym(M):
@@ -289,9 +308,8 @@ def _path_gains(y, s, rhat, sigma, primal_residual, Gx, Gu, k_u, K_u, mu):
     s_safe = _s_safe(s, mu)
     temp = Gu @ k_u
     k_y = _clip_signed(rhat + y * temp, s_safe)
-    K_y = jnp.clip(
-        sigma[:, None] * (Gx + Gu @ K_u), -MAX_BARRIER_RATIO, MAX_BARRIER_RATIO
-    )
+    cap = _max_ratio(sigma.dtype)
+    K_y = jnp.clip(sigma[:, None] * (Gx + Gu @ K_u), -cap, cap)
     k_s = -primal_residual - temp
     K_s = -Gx - Gu @ K_u
     return k_y, K_y, k_s, K_s
@@ -306,7 +324,8 @@ def _terminal_ineq_steps(g_T, G_T_x, S_T, Y_T, dx_last, mu):
     s_safe = _s_safe(S_T, mu)
     dual_ratio = _clip_pos(Y_T, s_safe)
     affine = _clip_signed(-r_d, s_safe)
-    dY_T = jnp.clip(affine - dual_ratio * dS_T, -MAX_BARRIER_RATIO, MAX_BARRIER_RATIO)
+    cap = _max_ratio(affine.dtype)
+    dY_T = jnp.clip(affine - dual_ratio * dS_T, -cap, cap)
     return dS_T, dY_T
 
 
@@ -635,8 +654,8 @@ def _backward_condensed(problem, options, stk, tstk, X, U, Y, S, G, Y_T, S_T, mu
         dS = k_s + jnp.einsum("tmn,tn->tm", K_s, dX[:-1])
         dY = jnp.clip(
             k_y + jnp.einsum("tmn,tn->tm", K_y, dX[:-1]),
-            -MAX_BARRIER_RATIO,
-            MAX_BARRIER_RATIO,
+            -_max_ratio(k_y.dtype),
+            _max_ratio(k_y.dtype),
         )
     else:
         dS = jnp.zeros((N, 0), dtype)
@@ -878,8 +897,8 @@ def _backward_terminal_eq(
         dS = k_s + jnp.einsum("tmn,tn->tm", K_s, dX[:-1])
         dY = jnp.clip(
             k_y + jnp.einsum("tmn,tn->tm", K_y, dX[:-1]),
-            -MAX_BARRIER_RATIO,
-            MAX_BARRIER_RATIO,
+            -_max_ratio(k_y.dtype),
+            _max_ratio(k_y.dtype),
         )
     else:
         k_y = K_y = k_s = K_s = None

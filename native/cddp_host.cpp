@@ -780,7 +780,10 @@ int cddp_clddp_solve(
 
 namespace ipddp_native {
 
-constexpr double kMaxRatio = 1e6;    // MAX_BARRIER_RATIO
+// Barrier-ratio cap: f64 value matching cddp_tpu.solvers.ipddp
+// MAX_BARRIER_RATIO_F64 (the reference's 1e6 cap is an f32-grade safety
+// that binds in late-barrier endgames and stalls norm-constraint duals).
+constexpr double kMaxRatio = 1e12;
 constexpr double kEpsSlack = 1e-10;  // EPS_SLACK
 constexpr double kSlackOffset = 1e-4;
 

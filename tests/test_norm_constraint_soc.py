@@ -46,16 +46,27 @@ def _opts(fix: bool, iters=150):
 
 
 def test_soc_restores_exact_primal_feasibility():
+    """Full certificate (VERDICT r3 #1): converged terminal status with BOTH
+    primal and dual residuals under tolerance on the N=100 rendezvous at
+    f64. The round-2 residual gap (inf_du stuck at ~1-5, status
+    RegularizationLimitReached) was the f32-grade barrier-ratio cap 1e6
+    (clipPositiveBarrierRatio) binding in the f64 endgame and distorting
+    the condensed Newton system; with the dtype-aware cap (1e12 in f64) the
+    dual re-centering steps go through and the solve certifies."""
     prob = _rendezvous()
     sol = ipddp.solve(prob, _opts(fix=True))
-    # Primal-feasibility certificate (the round-1 gap): inf_pr < tolerance.
+    # Converged terminal status — the full KKT certificate, not just primal.
+    assert sol.status_message in (
+        "OptimalSolutionFound", "AcceptableSolutionFound",
+    ), (sol.status_message, float(sol.inf_du))
     assert float(sol.inf_pr) < 1e-5, float(sol.inf_pr)
+    assert float(sol.inf_du) < 1e-4, float(sol.inf_du)
     # Goal reached and the thrust limit actually respected.
     assert float(jnp.linalg.norm(sol.state_trajectory[-1][:3])) < 1e-2
     umax = float(jnp.max(jnp.linalg.norm(sol.control_trajectory, axis=1)))
     assert umax <= 1.0 + 1e-8, umax
-    # The barrier actually decayed (the deadlock kept it at mu_initial).
-    assert float(sol.barrier_mu) < 0.1
+    # The barrier fully decayed (the old deadlock kept it at mu_initial).
+    assert float(sol.barrier_mu) < 1e-4
 
 
 def test_reference_semantics_stall_documented():
