@@ -262,6 +262,16 @@ class CDDPOptions:
     # custom-call boundary costs more than the kernel saves). All engines
     # run identical math; see ops/pallas/riccati.py and ipddp_riccati.py.
     backward_engine: str = "auto"
+    # JAX-only: dot/einsum precision for every matmul the solver traces
+    # (jax.default_matmul_precision). On TPU the MXU runs f32 matmuls at
+    # bf16 input precision by default, which floors the achievable KKT
+    # residual near 1e-3 on badly-scaled problems (quadrotor Qf=500: the
+    # f32 iterate's TRUE f64-measured inf_du stalls at 1.4e-3, while the
+    # same f32 solve with exact f32 matmuls certifies 8e-5). "highest"
+    # costs nothing at trajectory-optimization shapes (nx<=13 matrices
+    # are latency-bound, not MXU-bound) and makes on-chip f32 match CPU
+    # f32 numerics, so it is the default.
+    matmul_precision: str = "highest"
     return_iteration_info: bool = False
     warm_start: bool = False
     termination_scaling_max_factor: float = 100.0

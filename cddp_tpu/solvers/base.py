@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from typing import NamedTuple, Tuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -299,6 +301,29 @@ _BANNER = r"""
  |   CLDDP / LogDDP / IPDDP / MSIPDDP on JAX/Pallas   |
  +---------------------------------------------------+
 """
+
+
+def with_matmul_precision(fn):
+    """Trace ``fn`` under ``jax.default_matmul_precision(options.matmul_precision)``.
+
+    Decorate a solver's ``_solve(problem, options, ...)`` *inside* its
+    ``jax.jit`` so every dot/einsum the solver traces carries the requested
+    precision. On TPU the MXU evaluates f32 matmuls with bf16 inputs under
+    the "default" precision, which floors the achievable KKT residual near
+    1e-3 on badly-scaled problems (see ``CDDPOptions.matmul_precision``);
+    "highest" restores exact-f32 numerics at no measurable cost for the
+    nx<=13 matrices this library traffics in. The config context
+    participates in jit cache keys, so changing the option retraces."""
+
+    @functools.wraps(fn)
+    def wrapper(problem, options, *args, **kwargs):
+        precision = options.matmul_precision
+        if precision is None or precision == "default":
+            return fn(problem, options, *args, **kwargs)
+        with jax.default_matmul_precision(precision):
+            return fn(problem, options, *args, **kwargs)
+
+    return wrapper
 
 
 def announce(solver_name: str, options: CDDPOptions) -> None:

@@ -209,6 +209,7 @@ class _Carry(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
+@base.with_matmul_precision
 def _solve(problem: Problem, options: CDDPOptions, X0, U0, k0, K0):
     dtype = X0.dtype
     alphas = base.alphas_array(options, dtype)

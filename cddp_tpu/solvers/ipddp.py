@@ -1405,6 +1405,7 @@ def _initialize(problem, options, stk, tstk, U0, warm, trajectory_warm, dtype):
 
 
 @functools.partial(jax.jit, static_argnums=(1, 5))
+@base.with_matmul_precision
 def _solve(problem: Problem, options: CDDPOptions, X0, U0,
            warm: Optional[IPDDPSolverState], trajectory_warm: bool = False):
     stk = PathStacker(problem)

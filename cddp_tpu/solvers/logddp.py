@@ -242,6 +242,7 @@ class _Carry(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
+@base.with_matmul_precision
 def _solve(problem: Problem, options: CDDPOptions, X0, U0, k0, K0):
     dtype = X0.dtype
     N, nu, nx = problem.horizon, problem.control_dim, problem.state_dim

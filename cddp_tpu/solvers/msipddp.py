@@ -552,6 +552,7 @@ def _update_barrier(problem, options, stk, c: _Carry, fp_success, has_path: bool
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
+@base.with_matmul_precision
 def _solve(problem: Problem, options: CDDPOptions, X0, U0, warm):
     stk = PathStacker(problem)
     has_path = bool(stk)

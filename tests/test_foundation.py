@@ -195,3 +195,33 @@ def test_constraint_replacement_dual_dim_bookkeeping():
     assert p4.total_dual_dim == ball.dual_dim
     # immutability: originals untouched
     assert prob.total_dual_dim == 0 and p1.total_dual_dim == d1
+
+
+def test_matmul_precision_reaches_traced_dots():
+    """CDDPOptions.matmul_precision plumbs jax.default_matmul_precision
+    around solver tracing (base.with_matmul_precision). On TPU the MXU's
+    default bf16 input precision floors the achievable KKT residual near
+    1e-3 (quadrotor Qf=500: true f64-measured inf_du of the converged f32
+    iterate stalls at 1.4e-3 under "default" vs 9.1e-5 under "highest"),
+    so the default must be "highest" and must actually reach the lowered
+    program's dot_generals. Pure trace/lower — no compile."""
+    import cddp_tpu as ct
+    from cddp_tpu.solvers import clddp
+
+    model = Pendulum()
+    obj = ct.quadratic_objective(
+        0.01 * jnp.eye(2), 0.01 * jnp.eye(1), 10.0 * jnp.eye(2), jnp.zeros(2), 0.05
+    )
+    prob = ct.problem(model, obj, jnp.array([3.0, 0.0]), 5, 0.05)
+    X0, U0 = prob.initial_trajectories(None, None)
+    k0 = jnp.zeros((5, 1))
+    K0 = jnp.zeros((5, 1, 2))
+    hi = clddp._solve.lower(
+        prob, ct.CDDPOptions(max_iterations=2), X0, U0, k0, K0
+    ).as_text()
+    assert hi.count("HIGHEST") > 0
+    lo = clddp._solve.lower(
+        prob, ct.CDDPOptions(max_iterations=2, matmul_precision="default"),
+        X0, U0, k0, K0,
+    ).as_text()
+    assert lo.count("HIGHEST") == 0
