@@ -2,7 +2,8 @@
 
 ``BENCH_MODE=latency`` switches to BASELINE.json metric #1 — single
 quadrotor N=100 IPDDP solve wall-clock to the solver's optimality
-certificate (tol=1e-3, the f32 KKT floor; see bench_quadrotor.py) — and
+certificate (tol=1e-4 on-chip; honest because matmul_precision defaults
+to exact-f32 — see bench_quadrotor.py) — and
 prints that JSON line instead. vs_baseline there is the speedup over the
 round-1 recorded 4783 ms.
 
@@ -55,7 +56,9 @@ def main():
         return
     dtype = jnp.float32  # TPU-native precision for the throughput path
     batch = int(os.environ.get("BENCH_BATCH", "16384"))
-    reps = int(os.environ.get("BENCH_REPS", "5"))
+    # 20 reps: at ~31 ms/rep the 5-rep default under-amortized per-rep
+    # dispatch by ~8% (33.9 ms/rep measured at reps=5 vs 31.0 at reps>=10).
+    reps = int(os.environ.get("BENCH_REPS", "20"))
 
     import cddp_tpu as ct
     from cddp_tpu.parallel.batch import batched_solve
