@@ -1,11 +1,11 @@
 """Differentiable trajectory optimization — gradients THROUGH a solve.
 
 A capability the C++ reference cannot offer: because :class:`Problem` is a
-pytree (dynamics params, cost matrices, goal, x0 are all leaves), the
-solution map ``problem -> (X*, U*)`` can be differentiated with respect to
-ANY problem parameter. This enables inverse optimal control (fit cost
-weights / goals to demonstrations), learned-dynamics MPC training, and
-end-to-end control-aware perception — all running on TPU.
+pytree (dynamics params, cost matrices, goal, x0, constraint parameters are
+all leaves), the solution map ``problem -> (X*, U*)`` can be differentiated
+with respect to ANY problem parameter. This enables inverse optimal control
+(fit cost weights / goals to demonstrations), learned-dynamics MPC training,
+and end-to-end control-aware perception — all running on TPU.
 
 The gradient is computed by the implicit-function theorem at the converged
 solution (Amos & Kolter, "Differentiable MPC for End-to-end Planning and
@@ -13,32 +13,49 @@ Control", NeurIPS 2018 — the method, not the code), NOT by unrolling solver
 iterations (reverse-mode through ``lax.while_loop`` is impossible in JAX,
 and unrolling is both memory-hungry and noisier):
 
-    At a (locally) optimal U*, the stationarity condition holds:
-        g(U*, theta) := d J(U, theta) / dU |_{U*} = 0
-    IFT:  dU*/dtheta = -H^{-1} dg/dtheta,   H := d^2 J / dU^2 |_{U*}
+    At a (locally) optimal U*, a stationarity condition holds:
+        g(U*, theta) := d F(U, theta) / dU |_{U*} = 0
+    IFT:  dU*/dtheta = -H^{-1} dg/dtheta,   H := d^2 F / dU^2 |_{U*}
 
     VJP with downstream cotangent Ubar:
-        z = H^{-1} Ubar                (CG on Hessian-vector products)
+        z = H^{-1} Ubar                (CG on Hessian-vector products,
+                                        or a dense factorization)
         theta_bar = -(dg/dtheta)^T z   (one reverse-mode VJP of g)
 
-H-vector products come from forward-over-reverse AD of the true total cost
-(exact Hessian, including dynamics curvature — not the solver's
-Gauss-Newton approximation), so the gradient is exact up to solver
-tolerance and CG tolerance. Everything is jit/vmap-compatible; wrap your
-training step in ``jax.jit`` as usual.
+What F is depends on the solver family:
 
-Scope and caveats:
+- **CLDDP** (box-clamped): F is the true total cost; control dimensions
+  strictly AT a bound are frozen (their sensitivity is zero almost
+  everywhere) and the Hessian solve is restricted to the free set.
+- **IPDDP / MSIPDDP** (interior-point): at convergence the iterate
+  satisfies the perturbed KKT system at the final barrier parameter
+  mu — eliminating the slacks (s = ub - g, y = mu/s) that system is
+  EXACTLY stationarity of the log-barrier objective
 
-- Control-box constraints (CLDDP clamping): dimensions strictly AT a bound
-  at the solution are frozen (their sensitivity is zero almost everywhere);
-  the Hessian solve is restricted to the free set. The active-set decision
-  itself is non-differentiable — gradients are correct away from the
-  boundary-activation measure-zero set.
-- General path/terminal constraints (IPDDP/MSIPDDP): not differentiated in
-  v1 — differentiate an equivalent penalized/soft formulation, or solve
-  with CLDDP box limits.
+      F(U, theta) = J(U, theta) - mu * sum log(ub - g(x_k, u_k))
+
+  so the IFT applies to F at mu = solution.barrier_mu. The resulting
+  gradient is the exact sensitivity of the mu-perturbed solution map (the
+  map the solver actually computes); it approaches the true NLP sensitivity
+  as mu -> 0. Gradients flow into constraint parameters too (ball centers,
+  box limits, ...). Terminal EQUALITY constraints are not supported (no
+  barrier form); terminal inequalities are.
+
+H-vector products come from forward-over-reverse AD of F (exact Hessian,
+including dynamics curvature — not the solver's Gauss-Newton
+approximation), so the gradient is exact up to solver tolerance and linear
+-solve tolerance. Everything is jit/vmap-compatible; wrap your training
+step in ``jax.jit`` as usual.
+
+Caveats:
+
 - The IFT assumes g(U*) ~ 0: solve to a tight tolerance (f64 recommended
   for training loops; f32 gradients carry the certificate-floor noise).
+- Active-set / barrier-parameter decisions are non-differentiable; the
+  gradient is correct away from those measure-zero switching sets.
+- The barrier Hessian is ill-conditioned for small mu (curvature ~ y/s on
+  active arcs); the default dense factorization for the interior-point
+  family is robust to this where plain CG is not.
 
 Reference provenance: no counterpart — the closest the reference offers is
 warm-started re-solves for finite-difference studies.
@@ -55,6 +72,9 @@ from cddp_tpu.models.base import rollout
 from cddp_tpu.options import CDDPOptions
 from cddp_tpu.problem import Problem
 
+_BARRIER_FAMILY = ("IPDDP", "MSIPDDP")
+_BOX_FAMILY = ("CLDDP",)
+
 
 def total_cost(problem: Problem, U: jax.Array) -> jax.Array:
     """The objective the solvers minimize, as a differentiable scalar of
@@ -62,6 +82,28 @@ def total_cost(problem: Problem, U: jax.Array) -> jax.Array:
     (base.compute_cost semantics, cddp_solver_base.cpp:416-425)."""
     X = rollout(problem.model, problem.x0, U, problem.timestep)
     return problem.objective.evaluate(X, U)
+
+
+def barrier_cost(problem: Problem, U: jax.Array, mu: jax.Array) -> jax.Array:
+    """The log-barrier objective whose stationary points are the
+    interior-point solvers' slack-eliminated perturbed-KKT solutions:
+
+        J(U) - mu * sum_{k, constraints} log(ub - g(x_k, u_k))
+             - mu * sum_{terminal ineqs} log(-g_T(x_N))
+
+    (one-sided convention g <= ub, constraint.hpp:144-251; slack s = ub - g
+    and dual y = mu/s eliminated from the IPDDP KKT system)."""
+    X = rollout(problem.model, problem.x0, U, problem.timestep)
+    total = problem.objective.evaluate(X, U)
+    ks = jnp.arange(U.shape[0])
+    for _, c in problem.sorted_constraints():
+        ub = c.upper_bound()
+        g = jax.vmap(lambda x, u, k: c.evaluate(x, u, k))(X[:-1], U, ks)
+        total = total - mu * jnp.sum(jnp.log(ub - g))
+    for _, tc in problem.sorted_terminal_constraints():
+        gT = tc.evaluate(X[-1])
+        total = total - mu * jnp.sum(jnp.log(tc.upper_bound() - gT))
+    return total
 
 
 def _control_bounds(problem: Problem):
@@ -78,7 +120,7 @@ def _control_bounds(problem: Problem):
 def _free_mask(problem: Problem, U: jax.Array) -> jax.Array:
     """1.0 where a control coordinate is strictly inside its box (or no box
     exists): the set over which the stationarity condition g=0 holds and
-    IFT sensitivities are nonzero."""
+    IFT sensitivities are nonzero (CLDDP clamping semantics only)."""
     bounds = _control_bounds(problem)
     if bounds is None:
         return jnp.ones_like(U)
@@ -87,17 +129,51 @@ def _free_mask(problem: Problem, U: jax.Array) -> jax.Array:
     return ((U > lb + eps) & (U < ub - eps)).astype(U.dtype)
 
 
+def _hessian_solve(grad_U, problem, U, b, mask, linsolve, cg_tol, cg_maxiter):
+    """z = Htilde^{-1} b with Htilde = M H M + (I - M), H = d g / dU at U.
+
+    ``linsolve="cg"`` uses matrix-free CG on forward-over-reverse HVPs;
+    ``"dense"`` materializes H ((N*nu)^2, one jacfwd) and factorizes — robust
+    for the ill-conditioned barrier Hessian (curvature ~ 1/mu on active
+    arcs) where CG stalls."""
+    if linsolve == "dense":
+        shape = U.shape
+        nflat = U.size
+
+        def gflat(uf):
+            return grad_U(problem, uf.reshape(shape)).reshape(-1)
+
+        H = jax.jacfwd(gflat)(U.reshape(-1))
+        m = mask.reshape(-1)
+        Ht = m[:, None] * H * m[None, :] + jnp.diag(1.0 - m)
+        z = jnp.linalg.solve(Ht, b.reshape(-1) * m)
+        return (z * m).reshape(shape)
+
+    def hvp(v):
+        hv = jax.jvp(lambda u: grad_U(problem, u), (U,), (v * mask,))[1]
+        return hv * mask + v * (1.0 - mask)
+
+    z, _ = jax.scipy.sparse.linalg.cg(hvp, b * mask, tol=cg_tol, maxiter=cg_maxiter)
+    return z * mask
+
+
 def make_differentiable_solve(
     solver: str = "CLDDP",
     options: CDDPOptions = CDDPOptions(),
+    linsolve: str = "auto",
     cg_tol: float = 1e-10,
     cg_maxiter: Optional[int] = None,
 ):
     """Build ``dsolve(problem, U0) -> (X*, U*)`` differentiable in
-    ``problem`` (any pytree leaf: x0, cost matrices, goal, model params).
+    ``problem`` (any pytree leaf: x0, cost matrices, goal, model params,
+    constraint parameters).
 
-    ``U0`` seeds the inner solve; its cotangent is zero (at an isolated
-    optimum the solution does not depend on the seed).
+    ``solver``: "CLDDP" (box family) or "IPDDP"/"MSIPDDP" (interior-point
+    family, general constraints via the log-barrier IFT at the converged
+    barrier parameter). ``linsolve``: "cg" | "dense" | "auto" (CG for the
+    box family, dense for the barrier family). ``U0`` seeds the inner
+    solve; its cotangent is zero (at an isolated optimum the solution does
+    not depend on the seed).
 
     Example — fit a goal to a demonstration (inverse optimal control)::
 
@@ -114,6 +190,22 @@ def make_differentiable_solve(
     """
     from cddp_tpu.solvers import get_solver
 
+    name = solver.upper()
+    if name in _BARRIER_FAMILY:
+        family = "barrier"
+    elif name in _BOX_FAMILY:
+        family = "box"
+    else:
+        raise NotImplementedError(
+            f"make_differentiable_solve supports {_BOX_FAMILY + _BARRIER_FAMILY}; "
+            f"got {solver!r}. (LogDDP's relaxed barrier has no exact-IFT form "
+            "here yet — solve with IPDDP instead.)"
+        )
+    if linsolve == "auto":
+        linsolve = "dense" if family == "barrier" else "cg"
+    if linsolve not in ("cg", "dense"):
+        raise ValueError(f"linsolve must be 'auto', 'cg' or 'dense'; got {linsolve!r}")
+
     solve_fn = get_solver(solver)
 
     @jax.custom_vjp
@@ -126,15 +218,36 @@ def make_differentiable_solve(
         # converged stationary point.
         X0 = rollout(problem.model, problem.x0, U0, problem.timestep)
         sol = solve_fn(problem, options, X0=X0, U0=U0)
-        return sol.state_trajectory, sol.control_trajectory
+        mu = sol.barrier_mu
+        if mu is None:
+            mu = jnp.zeros((), U0.dtype)
+        return sol.state_trajectory, sol.control_trajectory, mu
 
     def fwd(problem, U0):
-        X, U = dsolve(problem, U0)
-        return (X, U), (problem, U)
+        X, U, mu = dsolve(problem, U0)
+        return (X, U, mu), (problem, U, mu)
 
     def bwd(res, cotangents):
-        problem, U = res
-        Xbar, Ubar_direct = cotangents
+        problem, U, mu = res
+        Xbar, Ubar_direct, _ = cotangents  # mu is an opaque diagnostic
+
+        if family == "barrier":
+            for _, tc in problem.sorted_terminal_constraints():
+                if tc.is_equality:
+                    raise NotImplementedError(
+                        "Differentiating through terminal EQUALITY constraints "
+                        "is not supported (no barrier form); use a tightly "
+                        "weighted terminal cost instead."
+                    )
+
+            def F(p, u):
+                return barrier_cost(p, u, mu)
+
+            mask = jnp.ones_like(U)
+        else:
+            F = total_cost
+            # Box-clamped coordinates are frozen (restricted IFT).
+            mask = _free_mask(problem, U)
 
         # Pull the X* cotangent back through the rollout: X* is a function
         # of (problem, U*), so Xbar contributes both to the problem
@@ -145,33 +258,23 @@ def make_differentiable_solve(
         pbar_roll, Ubar_roll = roll_vjp(Xbar)
         Ubar = Ubar_direct + Ubar_roll
 
-        # Restrict to the free set (box-clamped coordinates are frozen).
-        mask = _free_mask(problem, U)
-        b = Ubar * mask
-
-        # z = H^{-1} b by CG on exact Hessian-vector products
-        # (forward-over-reverse through the total cost), H restricted to
-        # the free-free block: Htilde = M H M + (I - M).
-        grad_U = jax.grad(total_cost, argnums=1)
-
-        def hvp(v):
-            hv = jax.jvp(lambda u: grad_U(problem, u), (U,), (v * mask,))[1]
-            return hv * mask + v * (1.0 - mask)
-
-        z, _ = jax.scipy.sparse.linalg.cg(
-            hvp, b, tol=cg_tol, maxiter=cg_maxiter
+        grad_U = jax.grad(F, argnums=1)
+        z = _hessian_solve(
+            grad_U, problem, U, Ubar, mask, linsolve, cg_tol, cg_maxiter
         )
-        z = z * mask
 
         # theta_bar = -(dg/dtheta)^T z: reverse-mode VJP of the stationarity
         # residual with respect to the problem, evaluated at (U*, theta).
         _, g_vjp = jax.vjp(lambda p: grad_U(p, U), problem)
         (pbar_ift,) = g_vjp(z)
 
-        pbar = jax.tree_util.tree_map(
-            lambda a, c: a - c, pbar_roll, pbar_ift
-        )
+        pbar = jax.tree_util.tree_map(lambda a, c: a - c, pbar_roll, pbar_ift)
         return pbar, jnp.zeros_like(U)
 
     dsolve.defvjp(fwd, bwd)
-    return dsolve
+
+    def dsolve_xu(problem: Problem, U0: jax.Array):
+        X, U, _ = dsolve(problem, U0)
+        return X, U
+
+    return dsolve_xu

@@ -133,6 +133,85 @@ def test_ift_gradient_with_active_box_constraint():
     np.testing.assert_allclose(np.asarray(g_ift), g_fd, rtol=5e-4, atol=1e-6)
 
 
+def _ipddp_opts(tol=1e-10):
+    return ct.CDDPOptions(
+        max_iterations=400,
+        tolerance=tol,
+        acceptable_tolerance=tol,
+    )
+
+
+def test_barrier_ift_gradient_ipddp_box_matches_fd_of_solver():
+    """IPDDP + control box: the log-barrier IFT at the converged mu must
+    match central finite differences of the interior-point solver itself."""
+    from cddp_tpu.solvers import ipddp
+
+    prob0 = _problem(bound=0.6)
+    N = prob0.horizon
+    U0 = jnp.zeros((N, 1))
+    target = jnp.array([0.5, -0.1])
+    opts = _ipddp_opts()
+    dsolve = make_differentiable_solve("IPDDP", opts)
+
+    def loss(goal):
+        prob = prob0.replace(objective=prob0.objective.replace(reference_state=goal))
+        X, U = dsolve(prob, U0)
+        return jnp.sum((X[-1] - target) ** 2) + 0.01 * jnp.sum(U**2)
+
+    g_ift = jax.grad(loss)(jnp.array([0.7, 0.0]))
+
+    def loss_resolve(goal):
+        from cddp_tpu.models.base import rollout
+
+        prob = prob0.replace(objective=prob0.objective.replace(reference_state=goal))
+        X0 = rollout(prob.model, prob.x0, U0, prob.timestep)
+        sol = ipddp.solve(prob, opts, X0=X0, U0=U0)
+        X, U = sol.state_trajectory, sol.control_trajectory
+        return jnp.sum((X[-1] - target) ** 2) + 0.01 * jnp.sum(U**2)
+
+    g_fd = _fd_grad(loss_resolve, jnp.array([0.7, 0.0]))
+    np.testing.assert_allclose(np.asarray(g_ift), g_fd, rtol=1e-3, atol=1e-6)
+
+
+def test_barrier_ift_gradient_wrt_constraint_parameter():
+    """Gradients flow into constraint parameters: d loss / d box-halfwidth
+    must match finite differences of the IPDDP solver (sensitivity of the
+    solution to the bound itself — impossible in the reference)."""
+    from cddp_tpu.models.base import rollout
+    from cddp_tpu.solvers import ipddp
+
+    N, dt = 30, 0.05
+    opts = _ipddp_opts()
+    U0 = jnp.zeros((N, 1))
+    target = jnp.array([0.5, -0.1])
+
+    def prob_with_bound(b):
+        p = _problem()
+        return p.add_constraint(
+            "ControlConstraint",
+            ct.control_constraint(-b[None], b[None]),
+        )
+
+    dsolve = make_differentiable_solve("IPDDP", opts)
+
+    def loss(b):
+        X, U = dsolve(prob_with_bound(b), U0)
+        return jnp.sum((X[-1] - target) ** 2)
+
+    b0 = jnp.asarray(0.6)
+    g_ift = jax.grad(loss)(b0)
+
+    def loss_resolve(b):
+        p = prob_with_bound(jnp.asarray(b).reshape(()))
+        X0 = rollout(p.model, p.x0, U0, p.timestep)
+        s = ipddp.solve(p, opts, X0=X0, U0=U0)
+        return jnp.sum((s.state_trajectory[-1] - target) ** 2)
+
+    g_fd = _fd_grad(lambda b: loss_resolve(b[0]), np.array([0.6]))[0]
+    assert abs(float(g_ift)) > 1e-3, "bound must actually bind"
+    np.testing.assert_allclose(float(g_ift), g_fd, rtol=2e-3, atol=1e-6)
+
+
 def test_dsolve_jits_and_vmaps():
     prob0 = _problem()
     N = prob0.horizon
