@@ -212,6 +212,33 @@ def test_barrier_ift_gradient_wrt_constraint_parameter():
     np.testing.assert_allclose(float(g_ift), g_fd, rtol=2e-3, atol=1e-6)
 
 
+def test_ift_gradient_wrt_model_parameter():
+    """System identification through control: d loss / d pendulum-length via
+    the IFT must match finite differences of the solver (model parameters
+    are pytree leaves, so they are differentiable like any other)."""
+    prob0 = _problem()
+    N = prob0.horizon
+    U0 = jnp.zeros((N, 1))
+    dsolve = make_differentiable_solve("CLDDP", _OPTS)
+    X_demo, _ = dsolve(prob0, U0)  # demo generated at length=1.0
+
+    def loss(length):
+        p = prob0.replace(model=prob0.model.replace(length=length))
+        X, _ = dsolve(p, U0)
+        return jnp.sum((X - X_demo) ** 2)
+
+    g_ift = jax.grad(loss)(jnp.asarray(1.1))
+
+    def loss_resolve(length):
+        p = prob0.replace(model=prob0.model.replace(length=length.reshape(())))
+        s = _solve_consistent(p, U0)
+        return jnp.sum((s.state_trajectory - X_demo) ** 2)
+
+    g_fd = _fd_grad(lambda v: loss_resolve(v[0]), np.array([1.1]))[0]
+    assert abs(float(g_ift)) > 1e-3
+    np.testing.assert_allclose(float(g_ift), g_fd, rtol=2e-4, atol=1e-7)
+
+
 def test_dsolve_jits_and_vmaps():
     prob0 = _problem()
     N = prob0.horizon
