@@ -40,6 +40,10 @@ What F is depends on the solver family:
   as mu -> 0. Gradients flow into constraint parameters too (ball centers,
   box limits, ...). Terminal EQUALITY constraints are not supported (no
   barrier form); terminal inequalities are.
+- **LogDDP** (relaxed log-barrier): F is the solver's own merit — true cost
+  plus the two-sided C^2 relaxed barrier at the final barrier coefficient —
+  so the IFT applies to it directly (the converged iterate has inf_du =
+  |dF/dU| <= tol by the solver's own convergence test).
 
 H-vector products come from forward-over-reverse AD of F (exact Hessian,
 including dynamics curvature — not the solver's Gauss-Newton
@@ -74,6 +78,7 @@ from cddp_tpu.problem import Problem
 
 _BARRIER_FAMILY = ("IPDDP", "MSIPDDP")
 _BOX_FAMILY = ("CLDDP",)
+_RELAXED_FAMILY = ("LOGDDP",)
 
 
 def total_cost(problem: Problem, U: jax.Array) -> jax.Array:
@@ -103,6 +108,26 @@ def barrier_cost(problem: Problem, U: jax.Array, mu: jax.Array) -> jax.Array:
     for _, tc in problem.sorted_terminal_constraints():
         gT = tc.evaluate(X[-1])
         total = total - mu * jnp.sum(jnp.log(tc.upper_bound() - gT))
+    return total
+
+
+def relaxed_cost(problem: Problem, U: jax.Array, mu: jax.Array, delta) -> jax.Array:
+    """LogDDP's merit as a differentiable scalar of (problem, U): total cost
+    plus the two-sided relaxed log-barrier over every path constraint at
+    barrier coefficient mu (the solver's _merit_and_violation semantics,
+    logddp_solver.cpp:666-698). C^2 everywhere (the relaxed branch switch is
+    value/grad/Hessian-continuous at z = delta), so the IFT applies at the
+    converged iterate, which is stationary for THIS function at the final mu."""
+    from cddp_tpu.constraints.barrier import RelaxedLogBarrier
+
+    X = rollout(problem.model, problem.x0, U, problem.timestep)
+    total = problem.objective.evaluate(X, U)
+    barrier = RelaxedLogBarrier(barrier_coeff=mu, relaxation_delta=delta)
+    ks = jnp.arange(U.shape[0])
+    for _, c in problem.sorted_constraints():
+        total = total + jnp.sum(
+            jax.vmap(lambda x, u, k: barrier.evaluate(c, x, u, k))(X[:-1], U, ks)
+        )
     return total
 
 
@@ -195,14 +220,15 @@ def make_differentiable_solve(
         family = "barrier"
     elif name in _BOX_FAMILY:
         family = "box"
+    elif name in _RELAXED_FAMILY:
+        family = "relaxed"
     else:
         raise NotImplementedError(
-            f"make_differentiable_solve supports {_BOX_FAMILY + _BARRIER_FAMILY}; "
-            f"got {solver!r}. (LogDDP's relaxed barrier has no exact-IFT form "
-            "here yet — solve with IPDDP instead.)"
+            f"make_differentiable_solve supports "
+            f"{_BOX_FAMILY + _BARRIER_FAMILY + _RELAXED_FAMILY}; got {solver!r}."
         )
     if linsolve == "auto":
-        linsolve = "dense" if family == "barrier" else "cg"
+        linsolve = "dense" if family in ("barrier", "relaxed") else "cg"
     if linsolve not in ("cg", "dense"):
         raise ValueError(f"linsolve must be 'auto', 'cg' or 'dense'; got {linsolve!r}")
 
@@ -242,6 +268,13 @@ def make_differentiable_solve(
 
             def F(p, u):
                 return barrier_cost(p, u, mu)
+
+            mask = jnp.ones_like(U)
+        elif family == "relaxed":
+            delta = options.log_barrier.relaxed_log_barrier_delta
+
+            def F(p, u):
+                return relaxed_cost(p, u, mu, delta)
 
             mask = jnp.ones_like(U)
         else:
