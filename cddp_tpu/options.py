@@ -268,9 +268,13 @@ class CDDPOptions:
     # residual near 1e-3 on badly-scaled problems (quadrotor Qf=500: the
     # f32 iterate's TRUE f64-measured inf_du stalls at 1.4e-3, while the
     # same f32 solve with exact f32 matmuls certifies 8e-5). "highest"
-    # costs nothing at trajectory-optimization shapes (nx<=13 matrices
-    # are latency-bound, not MXU-bound) and makes on-chip f32 match CPU
-    # f32 numerics, so it is the default.
+    # costs nothing at SINGLE-solve shapes (nx<=13 matrices are
+    # latency-bound, not MXU-bound) and makes on-chip f32 match CPU f32
+    # numerics, so it is the default. Large vmapped fleets are the
+    # exception: batched small matmuls DO saturate the MXU, where exact
+    # f32 is ~3x the bf16-input cost (MPCC B=1024 fleet: 11.5k ticks/s
+    # at "default" vs 6.8k at "highest") — set "default" on throughput
+    # paths that don't need tight certificates.
     matmul_precision: str = "highest"
     return_iteration_info: bool = False
     warm_start: bool = False
