@@ -212,6 +212,39 @@ def test_barrier_ift_gradient_wrt_constraint_parameter():
     np.testing.assert_allclose(float(g_ift), g_fd, rtol=2e-3, atol=1e-6)
 
 
+def test_barrier_ift_gradient_msipddp_box_matches_fd_of_solver():
+    """MSIPDDP + control box: at convergence the defects are ~0 (the iterate
+    is dynamics-consistent) and the slack-eliminated KKT system is the same
+    log-barrier stationarity as IPDDP's, so the barrier IFT applies; check
+    against central finite differences of the MSIPDDP solver itself."""
+    from cddp_tpu.models.base import rollout
+    from cddp_tpu.solvers import msipddp
+
+    prob0 = _problem(bound=0.6)
+    N = prob0.horizon
+    U0 = jnp.zeros((N, 1))
+    target = jnp.array([0.5, -0.1])
+    opts = _ipddp_opts()
+    dsolve = make_differentiable_solve("MSIPDDP", opts)
+
+    def loss(goal):
+        prob = prob0.replace(objective=prob0.objective.replace(reference_state=goal))
+        X, U = dsolve(prob, U0)
+        return jnp.sum((X[-1] - target) ** 2) + 0.01 * jnp.sum(U**2)
+
+    g_ift = jax.grad(loss)(jnp.array([0.7, 0.0]))
+
+    def loss_resolve(goal):
+        prob = prob0.replace(objective=prob0.objective.replace(reference_state=goal))
+        X0 = rollout(prob.model, prob.x0, U0, prob.timestep)
+        sol = msipddp.solve(prob, opts, X0=X0, U0=U0)
+        X, U = sol.state_trajectory, sol.control_trajectory
+        return jnp.sum((X[-1] - target) ** 2) + 0.01 * jnp.sum(U**2)
+
+    g_fd = _fd_grad(loss_resolve, jnp.array([0.7, 0.0]))
+    np.testing.assert_allclose(np.asarray(g_ift), g_fd, rtol=1e-3, atol=1e-6)
+
+
 def test_relaxed_ift_gradient_logddp_box_matches_fd_of_solver():
     """LogDDP + control box: the IFT on the solver's own relaxed-barrier
     merit at the final barrier coefficient must match central finite
