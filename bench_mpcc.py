@@ -35,6 +35,42 @@ def main():
                           jnp.asarray(1.0), jnp.asarray(0.0), jnp.asarray(1.0)])
     x_batch = jax.vmap(place)(s0).astype(jnp.float32)
 
+    mode = os.environ.get("MPCC_MODE", "cold")
+    if mode == "warm":
+        # Steady-state serving throughput: the fleet is seeded once with a
+        # full-budget cold solve, then every tick warm-starts from the
+        # shifted plan + threaded IPDDP state at a small iteration budget
+        # (the receding-horizon regime the reference's ipddp_solver.cpp
+        # warm-start path exists for). The measured step includes the
+        # plant advance, i.e. it is the whole serving loop body.
+        warm_iters = int(os.environ.get("MPCC_WARM_ITERS", "5"))
+        cfg_warm = mpcc.MpccConfig(
+            max_iterations=warm_iters,
+            track_eval=cfg.track_eval,
+            local_coeffs=cfg.local_coeffs,
+        )
+        U, st = jax.jit(lambda x: mpcc.warm_fleet_init(track, cfg, x))(x_batch)
+        step = jax.jit(
+            lambda x, u, s: mpcc.warm_fleet_step(track, cfg_warm, x, u, s)
+        )
+        x, U, st, iters = step(x_batch, U, st)  # compile + settle one tick
+        jax.block_until_ready(x)
+        t0 = time.perf_counter()
+        reps = 5
+        for _ in range(reps):
+            x, U, st, iters = step(x, U, st)
+        jax.block_until_ready(x)
+        dt = (time.perf_counter() - t0) / reps
+        print(json.dumps({
+            "metric": "mpcc_warm_fleet_ticks_per_sec",
+            "value": round(B / dt, 1),
+            "unit": "ipddp_mpc_ticks/s",
+            "fleet": B,
+            "warm_iterations": warm_iters,
+            "mean_iterations": round(float(iters.mean()), 1),
+        }))
+        return
+
     step = jax.jit(lambda xb: mpcc.batched_mpcc_step_costs(track, cfg, xb))
     u, cost, iters = step(x_batch)
     jax.block_until_ready(cost)

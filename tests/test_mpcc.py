@@ -89,12 +89,19 @@ def test_warm_fleet_tick():
     U, st = jax.jit(lambda x: mpcc.warm_fleet_init(track, cfg, x))(xb)
     step = jax.jit(lambda x, u, s: mpcc.warm_fleet_step(track, cfg, x, u, s))
     x = xb
-    for _ in range(2):
+    for _ in range(8):
         x, U, st, iters = step(x, U, st)
     assert x.shape == (B, 7)
     assert U.shape == (B, cfg.horizon, 3)
     assert bool(jnp.all(jnp.isfinite(x)))
     assert bool(jnp.all(iters >= 1))
+    # Serving-quality contract: after 8 warm ticks at the small budget the
+    # fleet must still be on the track (the bench's warm mode rides this
+    # loop, so the throughput number is only meaningful if it is).
+    for xi in x:
+        ref = track.interpolate(xi[mpcc.IDX_THETA])
+        d = xi[:2] - jnp.stack([ref["x"], ref["y"]])
+        assert abs(float(ref["normal"] @ d)) < float(track.width)
 
 
 TRACK_CSV = Path(__file__).resolve().parent.parent / "examples" / "data" / "mpcc_racing_track.csv"
