@@ -97,8 +97,10 @@ class Problem(struct.PyTreeNode):
             X = jnp.zeros((N + 1, nx), dtype)
         if U is None or U.shape != (N, nu):
             U = jnp.zeros((N, nu), dtype)
-        X = X.at[0].set(self.x0)
-        return X, U
+        # Warm-start arrays adopt the solve dtype (= x0's): a stray-dtype
+        # guess must not promote the whole solve.
+        X = X.astype(dtype).at[0].set(self.x0)
+        return X, U.astype(dtype)
 
 
 def problem(

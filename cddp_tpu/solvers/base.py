@@ -21,6 +21,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from cddp_tpu.options import CDDPOptions, line_search_alphas
 from cddp_tpu.problem import Problem
@@ -301,6 +302,31 @@ _BANNER = r"""
  |   CLDDP / LogDDP / IPDDP / MSIPDDP on JAX/Pallas   |
  +---------------------------------------------------+
 """
+
+
+def canonicalize_problem_dtype(problem: Problem) -> Problem:
+    """Cast every floating-point array leaf of the problem pytree to
+    ``x0``'s dtype.
+
+    Problem data routinely mixes sources — numpy-built tables (f64),
+    ``jnp.asarray`` literals (f64 under ``jax_enable_x64``), model/objective
+    parameters — and a single f64 leaf silently promotes stage quantities
+    until a ``lax.scan`` carry changes dtype mid-trace and tracing aborts
+    (or worse, an f32 solve quietly runs in f64). The solver entry points
+    therefore canonicalize: the solve dtype IS ``x0.dtype``. Python scalar
+    leaves stay untouched (weakly typed — they never promote)."""
+    dtype = jnp.asarray(problem.x0).dtype
+    if not jnp.issubdtype(dtype, jnp.floating):
+        return problem
+
+    def cast(v):
+        if isinstance(v, (jax.Array, np.ndarray)) and jnp.issubdtype(
+            v.dtype, jnp.floating
+        ):
+            return jnp.asarray(v, dtype)
+        return v
+
+    return jax.tree.map(cast, problem)
 
 
 def with_matmul_precision(fn):

@@ -451,6 +451,7 @@ def solve(
     ``gains=(k, K)`` warm-starts the control gains (clddp_solver.cpp:35-66).
     """
     base.announce("CLDDP", options)
+    problem = base.canonicalize_problem_dtype(problem)
     X, U = problem.initial_trajectories(X0, U0)
     nu, nx, N = problem.control_dim, problem.state_dim, problem.horizon
     if options.warm_start and gains is not None:

@@ -90,9 +90,9 @@ def _sym(M):
 
 
 def _maxabs(x):
-    """inf-norm that is 0 for empty arrays."""
+    """inf-norm that is 0 for empty arrays (dtype-stable under x64)."""
     if x.size == 0:
-        return jnp.zeros(())
+        return jnp.zeros((), x.dtype)
     return jnp.max(jnp.abs(x))
 
 
@@ -186,8 +186,8 @@ def _state_stationarity(stk: PathStacker, Gx, Y):
     (computeScaledDualInfeasibility, ipddp_solver.cpp:2726-2776): per
     constraint block and stage, ||G_x' y||_inf, maxed over all."""
     if not stk or Gx.shape[1] == 0:
-        return jnp.zeros(())
-    out = jnp.zeros(())
+        return jnp.zeros((), Y.dtype)
+    out = jnp.zeros((), Y.dtype)
     for name, off, d in zip(stk.names, stk.offsets, stk.dims):
         blk = jnp.einsum("tmn,tm->tn", Gx[:, off : off + d, :], Y[:, off : off + d])
         out = jnp.maximum(out, jnp.max(jnp.abs(blk)))
@@ -219,8 +219,10 @@ def _theta(options, G, S, G_T, S_T, h_T):
     """computeTheta (ipddp_solver.cpp:2778-2849): l1 (default) or l2 of the
     primal residuals g+s (+ |h_T|), maxed with the largest single entry."""
     use_l2 = options.ipddp.theta_norm == "l2"
-    total = jnp.zeros(())
-    max_entry = jnp.zeros(())
+    dtype = jnp.result_type(G, S) if (G.size or S.size) else (
+        jnp.result_type(G_T, S_T) if (G_T.size or S_T.size) else h_T.dtype)
+    total = jnp.zeros((), dtype)
+    max_entry = jnp.zeros((), dtype)
     for r in (
         [(G + S).reshape(-1)] if G.size else []
     ) + ([(G_T + S_T)] if G_T.size else []) + ([h_T] if h_T.size else []):
@@ -233,8 +235,9 @@ def _theta(options, G, S, G_T, S_T, h_T):
 def _primal_comp(G, S, Y, G_T, S_T, Y_T, h_T, mu):
     """computePrimalAndComplementarity (ipddp_solver.cpp:2883-2937):
     inf-norms of g+s and y*s - mu over path and terminal, |h_T| into inf_pr."""
-    inf_pr = jnp.zeros(())
-    inf_comp = jnp.zeros(())
+    dtype = S.dtype if S.size else (S_T.dtype if S_T.size else h_T.dtype)
+    inf_pr = jnp.zeros((), dtype)
+    inf_comp = jnp.zeros((), dtype)
     if G.size:
         inf_pr = jnp.maximum(inf_pr, _maxabs(G + S))
         inf_comp = jnp.maximum(inf_comp, _maxabs(Y * S - mu))
@@ -257,9 +260,10 @@ def _max_step_sizes(S, Y, dS, dY, S_T, Y_T, dS_T, dY_T, mu, options):
         ratio = jnp.where(dv < 0.0, -tau * v / jnp.where(dv < 0, dv, -1.0), jnp.inf)
         return jnp.minimum(alpha, jnp.min(ratio))
 
-    a_pr = shrink(jnp.ones(()), S.reshape(-1), dS.reshape(-1))
+    one = jnp.ones((), jnp.asarray(mu).dtype)
+    a_pr = shrink(one, S.reshape(-1), dS.reshape(-1))
     a_pr = shrink(a_pr, S_T, dS_T)
-    a_du = shrink(jnp.ones(()), Y.reshape(-1), dY.reshape(-1))
+    a_du = shrink(one, Y.reshape(-1), dY.reshape(-1))
     a_du = shrink(a_du, Y_T, dY_T)
     return jnp.clip(a_pr, 0.0, 1.0), jnp.clip(a_du, 0.0, 1.0)
 
@@ -274,8 +278,8 @@ def _terminal_value_fold(problem, tstk, X_last, S_T, Y_T, mu):
     (ipddp_solver.cpp:999-1031). Returns (V_x, V_xx, g_T, inf_pr_T, inf_comp_T)."""
     V_x = problem.objective.terminal_cost_gradient(X_last)
     V_xx = _sym(problem.objective.terminal_cost_hessian(X_last))
-    inf_pr = jnp.zeros(())
-    inf_comp = jnp.zeros(())
+    inf_pr = jnp.zeros((), X_last.dtype)
+    inf_comp = jnp.zeros((), X_last.dtype)
     g_T = tstk.ineq_evaluate(X_last)
     if tstk.ineq_dim > 0:
         G_T_x = tstk.ineq_jacobian(X_last)
@@ -1816,6 +1820,7 @@ def solve(
     ``options.warm_start=True``) to warm start; ``return_state=True`` also
     returns the :class:`IPDDPSolverState` checkpoint pytree."""
     base.announce("IPDDP", options)
+    problem = base.canonicalize_problem_dtype(problem)
     X, U = problem.initial_trajectories(X0, U0)
     warm = state if options.warm_start else None
     trajectory_warm = bool(options.warm_start and state is None and U0 is not None)

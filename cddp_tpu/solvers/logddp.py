@@ -480,6 +480,7 @@ def solve(
     the state sequence is always re-rolled from the controls so the
     linearization point stays dynamically consistent."""
     base.announce("LogDDP", options)
+    problem = base.canonicalize_problem_dtype(problem)
     nx, nu, N = problem.state_dim, problem.control_dim, problem.horizon
     if U0 is None:
         U0 = jnp.zeros((N, nu), problem.x0.dtype)

@@ -873,6 +873,7 @@ def solve(
     from x0 to the objective reference (msipddp_solver.cpp:192-215) then
     re-rolls it dynamically consistent."""
     base.announce("MSIPDDP", options)
+    problem = base.canonicalize_problem_dtype(problem)
     nx, nu, N = problem.state_dim, problem.control_dim, problem.horizon
     dtype = problem.x0.dtype
     if X0 is None:

@@ -466,12 +466,19 @@ def solver_options(cfg: MpccConfig) -> ct.CDDPOptions:
 
 def solve_track(track: Track, cfg: MpccConfig, theta0):
     """The track object one solve actually reads: the full Fourier track,
-    or a per-tick LocalTrack window around theta0 (cfg.track_eval)."""
+    or a per-tick LocalTrack window around theta0 (cfg.track_eval).
+
+    The result is cast to theta0's dtype: track tables are built in f64
+    numpy, and under ``jax_enable_x64`` they would otherwise stay f64 and
+    promote every stage quantity of an f32 solve (mixed-dtype scan carries
+    abort tracing)."""
     if cfg.track_eval == "local":
         reach = cfg.v_theta_max * cfg.horizon * cfg.dt
-        return local_track_fit(track, theta0, reach,
-                               n_coeffs=cfg.local_coeffs)
-    return track
+        trk = local_track_fit(track, theta0, reach, n_coeffs=cfg.local_coeffs)
+    else:
+        trk = track
+    dtype = jnp.asarray(theta0).dtype
+    return jax.tree.map(lambda v: jnp.asarray(v, dtype), trk)
 
 
 def mpc_tick(track: Track, cfg: MpccConfig, x_current):

@@ -225,3 +225,45 @@ def test_matmul_precision_reaches_traced_dots():
         X0, U0, k0, K0,
     ).as_text()
     assert lo.count("HIGHEST") == 0
+
+
+def test_solve_dtype_canonicalization_under_x64():
+    """f64 leaves in problem data (numpy tables, jnp literals under
+    jax_enable_x64) must not promote an f32 solve: the solver entries cast
+    every floating leaf to x0's dtype (base.canonicalize_problem_dtype).
+    Regression for the mixed-dtype scan-carry trace abort found driving the
+    MPCC stack under x64."""
+    import cddp_tpu as ct
+    from cddp_tpu.solvers import base as sbase
+
+    with jax.enable_x64(True):
+        model = Pendulum()
+        obj = quadratic_objective(
+            jnp.zeros((2, 2), jnp.float32), 0.1 * jnp.eye(1, dtype=jnp.float32),
+            10.0 * jnp.eye(2, dtype=jnp.float32),
+            jnp.zeros(2, jnp.float32), 0.05,
+        )
+        prob = ct.problem(model, obj, jnp.array([3.0, 0.0], jnp.float32), 8, 0.05)
+        # f64 constraint bounds: the default dtype for literals under x64.
+        prob = prob.add_constraint(
+            "ControlConstraint",
+            ct.control_constraint(jnp.asarray([-10.0]), jnp.asarray([10.0])),
+        )
+        assert prob.constraints["ControlConstraint"].lower.dtype == jnp.float64
+        canon = sbase.canonicalize_problem_dtype(prob)
+        assert canon.constraints["ControlConstraint"].lower.dtype == jnp.float32
+
+        for name in ["CLDDP", "LogDDP", "IPDDP", "MSIPDDP"]:
+            sol = ct.solve(prob, name, ct.CDDPOptions(max_iterations=2))
+            assert sol.state_trajectory.dtype == jnp.float32, name
+            assert sol.control_trajectory.dtype == jnp.float32, name
+
+        # A genuinely f64 problem still solves in f64.
+        prob64 = ct.problem(
+            model, quadratic_objective(
+                jnp.zeros((2, 2)), 0.1 * jnp.eye(1), 10.0 * jnp.eye(2),
+                jnp.zeros(2), 0.05,
+            ), jnp.array([3.0, 0.0]), 8, 0.05,
+        )
+        sol64 = ct.solve(prob64, "IPDDP", ct.CDDPOptions(max_iterations=2))
+        assert sol64.state_trajectory.dtype == jnp.float64
