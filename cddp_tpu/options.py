@@ -170,6 +170,12 @@ class IPDDPOptions:
     # "sequential" = reverse lax.scan (O(N) depth); "parallel" =
     # associative-scan Riccati (O(log N) depth; ops/parallel_riccati.py).
     lqr_backend: str = "sequential"
+    # JAX-only: engine for the interior-point forward rollout. "auto"
+    # dispatches vmap-batched TPU f32 solves (>= 128 instances) with a
+    # registered model lane + cost lane + single control-box stack to the
+    # fused Pallas rollout kernel (ops/pallas/ip_rollout.py); everything
+    # else — and "scan" always — keeps the reference lax.scan forward.
+    forward_engine: str = "auto"
 
 
 @dataclass(frozen=True)

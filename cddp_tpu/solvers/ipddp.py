@@ -1016,14 +1016,31 @@ def _forward_pass(
         feasible = feasible & ok_ftb & ok_fin & ok_traj
         return (x_next, J, feasible), (x_next, u, s_new, y_new, g_new, lam_new)
 
-    inputs = (
-        c.X[:-1], c.U, c.Y, c.S, bp.k_u, bp.K_u, bp.k_lambda[:-1],
-        bp.K_lambda[:-1], c.Lambda[:-1], bp.k_y, bp.K_y, bp.k_s, bp.K_s, ts,
-        ks_idx,
-    )
-    (x_last, J, feasible), (X_tail, U_new, S_new, Y_new, G_new, Lam_head) = (
-        jax.lax.scan(step, (problem.x0, jnp.zeros((), dtype), jnp.asarray(True)), inputs)
-    )
+    # Fused-forward dispatch: for registered (model lane, cost lane,
+    # single control-box) structure the whole scan above runs as one Pallas
+    # kernel under fleet vmaps (ops/pallas/ip_rollout.py). Same math, same
+    # outputs; the unbatched primal of the op is a scan of identical steps.
+    fused_run = None
+    if has_path:
+        from cddp_tpu.ops.pallas.ip_rollout import resolve_ip_forward
+
+        fused_run = resolve_ip_forward(problem, options, stk)
+    if fused_run is not None:
+        (x_last, J, feasible), (
+            X_tail, U_new, S_new, Y_new, G_new, Lam_head
+        ) = fused_run(c, bp, alpha_pr, alpha_du, tau)
+    else:
+        inputs = (
+            c.X[:-1], c.U, c.Y, c.S, bp.k_u, bp.K_u, bp.k_lambda[:-1],
+            bp.K_lambda[:-1], c.Lambda[:-1], bp.k_y, bp.K_y, bp.k_s, bp.K_s,
+            ts, ks_idx,
+        )
+        (x_last, J, feasible), (X_tail, U_new, S_new, Y_new, G_new, Lam_head) = (
+            jax.lax.scan(
+                step, (problem.x0, jnp.zeros((), dtype), jnp.asarray(True)),
+                inputs,
+            )
+        )
     X_new = jnp.concatenate([problem.x0[None], X_tail], axis=0)
     J = J + problem.objective.terminal_cost(x_last)
 

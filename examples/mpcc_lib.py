@@ -404,6 +404,109 @@ class MpccObjective(ct.ResidualObjective):
         return -self.cfg.w_terminal_progress * x[IDX_THETA]
 
 
+# --- fused-forward lane registration ----------------------------------------
+# The bicycle dynamics and the Clenshaw-window MPCC cost register with the
+# public lane registries (cddp_tpu.ops.pallas.ip_rollout), so vmap-batched
+# fleet solves run the whole interior-point forward rollout as one Pallas
+# kernel. The registries are the framework's extension point — this file is
+# deliberately a *user* of that API, not library code.
+
+
+def _bicycle7_lane(x, u, p):
+    wheelbase, latch_dt = p[0], p[1]
+    psi = x[2]
+    inv_dt = 1.0 / latch_dt
+    return [
+        u[0] * jnp.cos(psi),
+        u[0] * jnp.sin(psi),
+        u[0] * jnp.tan(u[1]) / wheelbase,
+        u[2],
+        (u[0] - x[4]) * inv_dt,
+        (u[1] - x[5]) * inv_dt,
+        (u[2] - x[6]) * inv_dt,
+    ]
+
+
+def _mpcc_cost_factory(obj):
+    """Cost lane for MpccObjective over a LocalTrack window: Clenshaw track
+    lookup + the 13 running residuals, all on lane vectors. Fourier-track
+    objectives return None (trig-heavy; the scan path is the right engine
+    there anyway — fleet solves use LocalTrack)."""
+    trk = obj.track
+    if not isinstance(trk, LocalTrack):
+        return None
+    cfg = obj.cfg
+    M = int(trk.coeffs.shape[0])
+    params = jnp.concatenate([
+        jnp.asarray(trk.coeffs).reshape(-1),
+        jnp.asarray(trk.center).reshape(1),
+        jnp.asarray(trk.halfwidth).reshape(1),
+        jnp.asarray(trk.width).reshape(1),
+    ])
+    two_pi = 2.0 * jnp.pi
+
+    def lane_f(x, u, p, t_idx):
+        center, halfwidth, width = p[5 * M], p[5 * M + 1], p[5 * M + 2]
+        t = jnp.clip((x[IDX_THETA] - center) / halfwidth, -1.0, 1.0)
+        zero = jnp.zeros_like(t)
+        b1 = [zero] * 5
+        b2 = [zero] * 5
+        t2 = 2.0 * t
+        for k in range(M - 1, 0, -1):
+            b1, b2 = [t2 * b1[f] - b2[f] + p[5 * k + f] for f in range(5)], b1
+        vals = [t * b1[f] - b2[f] + p[f] for f in range(5)]
+        rx, ry, heading, _curv, v_ref = vals
+        sin_h = jnp.sin(heading)
+        cos_h = jnp.cos(heading)
+        dx = x[IDX_X] - rx
+        dy = x[IDX_Y] - ry
+        e_c = -sin_h * dx + cos_h * dy
+        e_l = cos_h * dx + sin_h * dy
+        a = x[IDX_PSI] - heading
+        e_yaw = a - two_pi * jnp.floor((a + jnp.pi) / two_pi)
+        v_prev, delta_prev, v_theta_prev = x[4], x[5], x[6]
+        v_w, delta, v_theta = u[0], u[1], u[2]
+        v_target = jnp.maximum(v_ref, cfg.reference_speed)
+        boundary = jnp.maximum(
+            0.0, jnp.abs(e_c) - cfg.boundary_band * width
+        )
+        w = lambda wt: cfg.dt * wt  # squared sqrt(dt*w) residual scale
+        J = (
+            w(cfg.w_contour) * e_c * e_c
+            + w(cfg.w_lag) * e_l * e_l
+            + w(cfg.w_speed) * (v_theta - v_target) ** 2
+            + w(cfg.w_speed_w) * (v_w - v_target) ** 2
+            + w(cfg.w_control) * (v_w * v_w + delta * delta)
+            + w(cfg.w_x) * dx * dx
+            + w(cfg.w_y) * dy * dy
+            + w(cfg.w_yaw) * e_yaw * e_yaw
+            + w(cfg.w_dv) * (v_w - v_prev) ** 2
+            + w(cfg.w_ddelta) * (delta - delta_prev) ** 2
+            + w(cfg.w_dv_theta) * (v_theta - v_theta_prev) ** 2
+            + w(cfg.w_boundary) * boundary * boundary
+        )
+        return J
+
+    return ((M, cfg), params, lane_f)
+
+
+def _register_lanes():
+    from cddp_tpu.ops.pallas.ip_rollout import (
+        register_cost_lane,
+        register_model_lane,
+    )
+
+    register_model_lane(
+        KinematicBicycle7, 2,
+        lambda m: jnp.stack([jnp.asarray(m.wheelbase), jnp.asarray(m.dt)]),
+        _bicycle7_lane,
+    )
+    register_cost_lane(MpccObjective, _mpcc_cost_factory)
+
+
+_register_lanes()
+
+
 def initial_state(track: Track, cfg: MpccConfig):
     """Car on the centerline at s=0, latches at cruise
     (ipddp_mpcc_rc.py:473-497)."""
