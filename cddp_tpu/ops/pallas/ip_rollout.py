@@ -531,6 +531,215 @@ def _ip_forward_fused_impl(Xb, Ub, Y, S, ku, Ku, klam, Klam, lam, ky, Ky,
 _LANES_BY_KEY = {}
 
 
+# --- fused open-loop rollout --------------------------------------------------
+# The init path of every solver (and warm-start reseeding) rolls X from U
+# with models.base.rollout — another N-step scan of tiny ops that costs
+# ~170 us/step at fleet batch sizes. Same lane-registry fusion, applied to
+# the plain open-loop map. models.base.rollout dispatches here when the
+# model has a lane function (time-invariant dynamics; all registered models
+# are).
+
+
+def _make_ol_kernel(nx, nu, N, n_mp, model_f, model_discrete, integrator,
+                    tile_b):
+    def kernel(U_ref, x0_ref, dt_ref, mp_ref, Xo_ref, carry_ref):
+        tt = pl.program_id(1)
+        dt = dt_ref[0]
+        mp = [mp_ref[i] for i in range(n_mp)]
+
+        @pl.when(tt == 0)
+        def _init():
+            for i in range(nx):
+                carry_ref[i] = x0_ref[i]
+
+        x = [carry_ref[i] for i in range(nx)]
+        u = [U_ref[0, i] for i in range(nu)]
+        if model_discrete:
+            x_next = model_f(x, u, mp, dt)
+        else:
+            x_next = _integrate_lane(model_f, integrator, x, u, mp, dt)
+        for i in range(nx):
+            Xo_ref[0, i] = x_next[i]
+            carry_ref[i] = x_next[i]
+
+    tbs = tile_b // 128
+
+    def call(U, x0, dtv, mp, interpret=False):
+        Btot = U.shape[-1]
+        assert Btot % tile_b == 0
+        grid = (Btot // tile_b, N)
+        dtype = U.dtype
+        rows = Btot // 128
+
+        def fold(x):
+            return x.reshape(*x.shape[:-1], rows, 128)
+
+        def stage_spec(*dims):
+            blk = (1,) + tuple(dims) + (tbs, 128)
+            nd = len(dims)
+            return pl.BlockSpec(
+                blk, lambda b, t, _nd=nd: (t,) + (0,) * _nd + (b, 0),
+                memory_space=pltpu.VMEM,
+            )
+
+        def const_spec(*dims):
+            blk = tuple(dims) + (tbs, 128)
+            nd = len(dims)
+            return pl.BlockSpec(
+                blk, lambda b, t, _nd=nd: (0,) * _nd + (b, 0),
+                memory_space=pltpu.VMEM,
+            )
+
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[stage_spec(nu), const_spec(nx), const_spec(1),
+                      const_spec(n_mp)],
+            out_specs=stage_spec(nx),
+            out_shape=jax.ShapeDtypeStruct((N, nx, rows, 128), dtype),
+            scratch_shapes=[pltpu.VMEM((nx, tbs, 128), dtype)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=(pltpu.PARALLEL, pltpu.ARBITRARY)
+            ),
+            interpret=interpret,
+        )(fold(U), fold(x0), fold(dtv), fold(mp))
+        return outs.reshape(*outs.shape[:-2], Btot)
+
+    return call
+
+
+_OL_OP_CACHE = {}
+_OL_IMPL_CACHE = {}
+
+
+def _ol_scan_single(nx, nu, model_f, model_discrete, integrator, U, x0, dtv,
+                    mp):
+    def step(x, u):
+        xs = [x[i] for i in range(nx)]
+        us = [u[i] for i in range(nu)]
+        ps = [mp[i] for i in range(mp.shape[0])]
+        if model_discrete:
+            x_next = jnp.stack(model_f(xs, us, ps, dtv))
+        else:
+            x_next = jnp.stack(
+                _integrate_lane(model_f, integrator, xs, us, ps, dtv)
+            )
+        return x_next, x_next
+
+    _, X_tail = jax.lax.scan(step, x0, U)
+    return X_tail
+
+
+def _ol_fused_impl(U, x0, dtv, mp, *, lane_key, interpret,
+                   tile_b=DEFAULT_TILE_B):
+    B0, N, nu = U.shape
+    nx = x0.shape[1]
+    n_mp = mp.shape[1]
+    key = lane_key + (nx, nu, N, n_mp, tile_b, interpret)
+    call = _OL_IMPL_CACHE.get(key)
+    if call is None:
+        entry = _OL_LANES_BY_KEY[lane_key]
+        call = _make_ol_kernel(nx, nu, N, n_mp, entry["model_f"],
+                               entry["model_discrete"], entry["integrator"],
+                               tile_b)
+        _OL_IMPL_CACHE[key] = call
+    pad = (-B0) % tile_b
+
+    def prep(x):
+        if pad:
+            x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, 0)], 0)
+        return jnp.moveaxis(x, 0, -1)
+
+    out = call(prep(U), prep(x0), prep(dtv[:, None]), prep(mp),
+               interpret=interpret)
+    return jnp.moveaxis(out, -1, 0)[:B0]
+
+
+_OL_LANES_BY_KEY = {}
+
+
+def _get_ol_op(model_key, nx, nu, model_f, model_discrete, integrator):
+    lane_key = (model_key, model_discrete, integrator)
+    key = lane_key + (nx, nu)
+    op = _OL_OP_CACHE.get(key)
+    if op is not None:
+        return op
+
+    scan_single = functools.partial(_ol_scan_single, nx, nu, model_f,
+                                    model_discrete, integrator)
+
+    @jax.custom_batching.custom_vmap
+    def op_core(U, x0, dtv, mp):
+        return scan_single(U, x0, dtv, mp)
+
+    @op_core.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        def ensure(x, b):
+            return x if b else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+
+        U, x0, dtv, mp = (ensure(x, b) for x, b in zip(args, in_batched))
+        use_kernel = (
+            U.dtype == jnp.float32
+            and axis_size >= MIN_KERNEL_BATCH
+            and jax.default_backend() in ("tpu", "axon")
+        )
+        name = getattr(model_key, "__name__", str(model_key))
+        _log_dispatch(f"{name} open-loop rollout", use_kernel, axis_size,
+                      dtype=U.dtype)
+        if use_kernel:
+            X_tail = _ol_fused_impl(U, x0, dtv, mp, lane_key=lane_key,
+                                    interpret=False)
+        else:
+            X_tail = jax.vmap(scan_single)(U, x0, dtv, mp)
+        return X_tail, True
+
+    # custom_vmap ops reject reverse-mode AD on the unbatched path, and
+    # diff.py vjp's the rollout for the X* cotangent pull-back
+    # (diff.py:288). A custom_jvp shell restores both AD modes. The rule
+    # runs BOTH primal and tangent through the lane scan (calling op_core
+    # here breaks jit'd linearization: the custom_vmap primitive has no
+    # partial-eval rule, so vjp-under-jit dies with "Linearization failed").
+    # Non-AD callers never enter the rule and keep the kernel.
+    @jax.custom_jvp
+    def op(U, x0, dtv, mp):
+        return op_core(U, x0, dtv, mp)
+
+    @op.defjvp
+    def _jvp(primals, tangents):
+        return jax.jvp(scan_single, primals, tangents)
+
+    _OL_OP_CACHE[key] = op
+    return op
+
+
+def open_loop_rollout_op(model, x0, U, dt):
+    """Batch-aware open-loop rollout for lane-registered models, or None if
+    the model has no lane function. Returns (N+1, nx) like
+    models.base.rollout."""
+    entry = model_lane(model)
+    if entry is None:
+        return None
+    n_mp, mp_fn, model_f, model_discrete = entry
+    if not model_discrete and model.integration_type not in (
+        "euler", "heun", "rk3", "rk4"
+    ):
+        return None
+    dtype = jnp.asarray(x0).dtype
+    model_key = type(model)
+    lane_key = (model_key, model_discrete, model.integration_type)
+    _OL_LANES_BY_KEY[lane_key] = dict(
+        model_f=model_f, model_discrete=model_discrete,
+        integrator=model.integration_type,
+    )
+    op = _get_ol_op(model_key, x0.shape[-1], U.shape[-1], model_f,
+                    model_discrete, model.integration_type)
+    mp = jnp.asarray(mp_fn(model), dtype).reshape(-1)
+    if mp.shape[0] == 0:
+        mp = jnp.zeros((1,), dtype)
+    X_tail = op(U, x0, jnp.asarray(dt, dtype), mp)
+    return jnp.concatenate([x0[None], X_tail], axis=0)
+
+
 def resolve_ip_forward(problem, options, stk):
     """Returns a callable replacing ipddp._forward_pass's scan, or None.
 

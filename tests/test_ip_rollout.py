@@ -150,6 +150,132 @@ def test_kernel_interpret_matches_lane_scan():
         np.testing.assert_array_equal(np.asarray(F_k), np.asarray(F_r))
 
 
+class TestOpenLoopRollout:
+    """models.base.rollout dispatches lane-registered models through
+    open_loop_rollout_op: the unbatched path must stay bit-identical to the
+    generic discrete_dynamics scan, AD must survive the custom_vmap op
+    (diff.py vjp's the rollout at diff.py:288), and the interpret-mode
+    kernel must match the lane scan."""
+
+    def _plain(self, model, x0, U, dt):
+        ts = jnp.arange(U.shape[0], dtype=x0.dtype) * dt
+
+        def step(x, inp):
+            u, t = inp
+            xn = model.discrete_dynamics(x, u, t, dt)
+            return xn, xn
+
+        _, Xt = jax.lax.scan(step, x0, (U, ts))
+        return jnp.concatenate([x0[None], Xt], 0)
+
+    def test_unbatched_bit_identical(self):
+        from cddp_tpu.models import base
+        from cddp_tpu.models.pendulum import Pendulum
+        from cddp_tpu.models.unicycle import Unicycle
+
+        for model, x0 in (
+            (Unicycle(integration_type="euler"), jnp.array([0.1, -0.2, 0.3])),
+            (Pendulum(integration_type="rk4"), jnp.array([0.4, -0.1])),
+        ):
+            N, nu = 17, model.control_dim
+            U = jnp.linspace(-0.5, 0.5, N * nu).reshape(N, nu)
+            X = np.asarray(base.rollout(model, x0, U, 0.05))
+            ref = np.asarray(self._plain(model, x0, U, 0.05))
+            eps = np.finfo(X.dtype).eps
+            np.testing.assert_allclose(X, ref, rtol=5 * eps, atol=5 * eps)
+
+    def test_ad_through_rollout(self):
+        """vjp AND jacfwd through the dispatched rollout, w.r.t. controls
+        and model parameters, vs the plain scan."""
+        from cddp_tpu.models import base
+        from cddp_tpu.models.pendulum import Pendulum
+
+        m = Pendulum(integration_type="rk4")
+        N = 12
+        U = jnp.linspace(-0.4, 0.4, N).reshape(N, 1)
+        x0 = jnp.array([0.4, -0.1])
+        dt = 0.03
+
+        loss = lambda mm, u: (base.rollout(mm, x0, u, dt) ** 2).sum()
+        loss_ref = lambda mm, u: (self._plain(mm, x0, u, dt) ** 2).sum()
+        g = jax.grad(loss, argnums=(0, 1))(m, U)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1))(m, U)
+        for a, b in zip(jax.tree_util.tree_leaves(g),
+                        jax.tree_util.tree_leaves(g_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=1e-5)
+
+        J = jax.jacfwd(lambda u: base.rollout(m, x0, u, dt))(U)
+        J_ref = jax.jacfwd(lambda u: self._plain(m, x0, u, dt))(U)
+        np.testing.assert_allclose(np.asarray(J), np.asarray(J_ref),
+                                   atol=1e-5)
+
+    def test_vmapped_matches_per_item(self):
+        from cddp_tpu.models import base
+        from cddp_tpu.models.unicycle import Unicycle
+
+        m = Unicycle(integration_type="euler")
+        B, N = 5, 9
+        key = jax.random.PRNGKey(0)
+        Ub = jax.random.normal(key, (B, N, 2)) * 0.3
+        x0b = jax.random.normal(jax.random.PRNGKey(1), (B, 3)) * 0.2
+        Xb = jax.vmap(lambda u, x: base.rollout(m, x, u, 0.1))(Ub, x0b)
+        for i in range(B):
+            np.testing.assert_array_equal(
+                np.asarray(Xb[i]),
+                np.asarray(base.rollout(m, x0b[i], Ub[i], 0.1)),
+            )
+
+    def test_kernel_interpret_matches_scan(self):
+        """_ol_fused_impl (interpret) == vmapped discrete_dynamics scan."""
+        from cddp_tpu.models.pendulum import Pendulum
+
+        m = Pendulum(integration_type="rk4")
+        entry = ip_rollout.model_lane(m)
+        n_mp, mp_fn, model_f, disc = entry
+        lane_key = (type(m), disc, m.integration_type)
+        ip_rollout._OL_LANES_BY_KEY[lane_key] = dict(
+            model_f=model_f, model_discrete=disc,
+            integrator=m.integration_type,
+        )
+        B, N = 4, 11
+        dt = jnp.float32(0.03)
+        Ub = (jax.random.normal(jax.random.PRNGKey(2), (B, N, 1)) * 0.5
+              ).astype(jnp.float32)
+        x0b = (jax.random.normal(jax.random.PRNGKey(3), (B, 2)) * 0.3
+               ).astype(jnp.float32)
+        dtv = jnp.full((B,), dt, jnp.float32)
+        mp = jnp.broadcast_to(
+            jnp.asarray(mp_fn(m), jnp.float32)[None], (B, n_mp)
+        )
+        out_k = jax.jit(lambda *a: ip_rollout._ol_fused_impl(
+            *a, lane_key=lane_key, interpret=True))(Ub, x0b, dtv, mp)
+        out_s = jax.vmap(
+            lambda u, x: self._plain(m, x, u, dt)[1:])(Ub, x0b)
+        np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_s),
+                                   atol=1e-6)
+
+    def test_two_integrators_same_class(self):
+        """Regression: the op/impl caches key on the integrator, so euler and
+        rk4 instances of one class must not collide."""
+        from cddp_tpu.models import base
+        from cddp_tpu.models.pendulum import Pendulum
+
+        N = 8
+        U = jnp.linspace(-0.3, 0.3, N).reshape(N, 1)
+        x0 = jnp.array([0.2, 0.0])
+        for integ in ("euler", "rk4", "euler"):
+            m = Pendulum(integration_type=integ)
+            # allclose, not array_equal: lane-math association differs from
+            # the generic integrator by ~1 ulp in f64; an integrator cache
+            # collision (euler result served for rk4) is a ~1e-3 error.
+            np.testing.assert_allclose(
+                np.asarray(base.rollout(m, x0, U, 0.04)),
+                np.asarray(self._plain(m, x0, U, 0.04)),
+                rtol=1e-9, atol=1e-12,
+            )
+
+
 def test_eligibility_gates():
     """Fourier-track objectives, unregistered models and forward_engine=
     'scan' must all fall back to the reference scan."""
