@@ -209,6 +209,350 @@ _REGISTRY["Car"] = (
 )
 
 
+# --- full-zoo lane functions -------------------------------------------------
+# Every remaining fixed-dimension zoo model (all but the variable-shape
+# LTISystem). Matrix solves are unrolled to closed-form 2x2/3x3 adjugate
+# algebra (lane vectors have no linalg); tan lowers to sin/cos (supported on
+# all Mosaic targets). Each mirrors the corresponding models/*.py dynamics,
+# which in turn cite the reference src/dynamics_model/*.cpp lines.
+
+
+def _inv3_apply(M, r):
+    """x = M^{-1} r for a 3x3 of lane vectors via the adjugate."""
+    det = (
+        M[0][0] * (M[1][1] * M[2][2] - M[1][2] * M[2][1])
+        - M[0][1] * (M[1][0] * M[2][2] - M[1][2] * M[2][0])
+        + M[0][2] * (M[1][0] * M[2][1] - M[1][1] * M[2][0])
+    )
+    adj = [
+        [M[1][1] * M[2][2] - M[1][2] * M[2][1],
+         M[0][2] * M[2][1] - M[0][1] * M[2][2],
+         M[0][1] * M[1][2] - M[0][2] * M[1][1]],
+        [M[1][2] * M[2][0] - M[1][0] * M[2][2],
+         M[0][0] * M[2][2] - M[0][2] * M[2][0],
+         M[0][2] * M[1][0] - M[0][0] * M[1][2]],
+        [M[1][0] * M[2][1] - M[1][1] * M[2][0],
+         M[0][1] * M[2][0] - M[0][0] * M[2][1],
+         M[0][0] * M[1][1] - M[0][1] * M[1][0]],
+    ]
+    inv_det = 1.0 / det
+    return [
+        inv_det * (adj[i][0] * r[0] + adj[i][1] * r[1] + adj[i][2] * r[2])
+        for i in range(3)
+    ]
+
+
+def _bicycle_f(x, u, p):
+    wheelbase = p[0]
+    theta, v = x[2], x[3]
+    a, delta = u[0], u[1]
+    return [v * jnp.cos(theta), v * jnp.sin(theta),
+            (v / wheelbase) * (jnp.sin(delta) / jnp.cos(delta)), a]
+
+
+def _dubins_f(x, u, p):
+    speed = p[0]
+    theta = x[2]
+    return [speed * jnp.cos(theta), speed * jnp.sin(theta), u[0]]
+
+
+def _forklift_f(x, u, p):
+    wheelbase, steer_sign = p[0], p[1]
+    theta, v, delta = x[2], x[3], x[4]
+    eff = steer_sign * delta
+    return [v * jnp.cos(theta), v * jnp.sin(theta),
+            v * (jnp.sin(eff) / jnp.cos(eff)) / wheelbase, u[0], u[1]]
+
+
+def _dreyfus_f(x, u, p):
+    thrust_acc, grav_acc = p[0], p[1]
+    return [x[1], thrust_acc * jnp.cos(u[0]) - grav_acc]
+
+
+def _acrobot_f(x, u, p):
+    l1, l2, m1, m2, J1, J2, g, fric = (p[0], p[1], p[2], p[3], p[4], p[5],
+                                       p[6], p[7])
+    th1, th2, dth1, dth2 = x[0], x[1], x[2], x[3]
+    tau2 = u[0]
+    s2, c2 = jnp.sin(th2), jnp.cos(th2)
+    c1 = jnp.cos(th1)
+    c12 = jnp.cos(th1 + th2)
+    m11 = m1 * l1 * l1 + J1 + m2 * (l1 * l1 + l2 * l2 + 2.0 * l1 * l2 * c2) + J2
+    m12 = m2 * (l2 * l2 + l1 * l2 * c2) + J2
+    m22 = l2 * l2 * m2 + J2
+    tmp = l1 * l2 * m2 * s2
+    b1 = -(2.0 * dth1 * dth2 + dth2 * dth2) * tmp
+    b2 = tmp * dth1 * dth1
+    g1 = ((m1 + m2) * l1 * c1 + m2 * l2 * c12) * g
+    g2 = m2 * l2 * c12 * g
+    r1 = -b1 - g1 - fric * dth1
+    r2 = tau2 - b2 - g2 - fric * dth2
+    det = m11 * m22 - m12 * m12
+    return [dth1, dth2, (m22 * r1 - m12 * r2) / det,
+            (m11 * r2 - m12 * r1) / det]
+
+
+def _quadrotor_rate_f(x, u, p):
+    # models/quadrotor_rate.py: state [p(3), v(3), q(wxyz)], controls
+    # [thrust, wx, wy, wz]; acc = R e3 * T/m - g e3.
+    mass, grav = p[0], p[1]
+    vx, vy, vz = x[3], x[4], x[5]
+    qw, qx, qy, qz = x[6], x[7], x[8], x[9]
+    inv = 1.0 / jnp.sqrt(qw * qw + qx * qx + qy * qy + qz * qz)
+    qw, qx, qy, qz = qw * inv, qx * inv, qy * inv, qz * inv
+    thrust, wx, wy, wz = u[0], u[1], u[2], u[3]
+    tm = thrust / mass
+    ax = tm * (2.0 * (qx * qz + qw * qy))
+    ay = tm * (2.0 * (qy * qz - qw * qx))
+    az = tm * (1.0 - 2.0 * (qx * qx + qy * qy)) - grav
+    qdw = 0.5 * (-wx * qx - wy * qy - wz * qz)
+    qdx = 0.5 * (wx * qw + wz * qy - wy * qz)
+    qdy = 0.5 * (wy * qw - wz * qx + wx * qz)
+    qdz = 0.5 * (wz * qw + wy * qx - wx * qy)
+    return [vx, vy, vz, ax, ay, az, qdw, qdx, qdy, qdz]
+
+
+def _manipulator_f(x, u, p):
+    # models/manipulator.py simplified point-mass dynamics; link masses
+    # (1.0, 1.0, 0.5) are hard-coded as in manipulator.cpp:174-208.
+    la, lb, lc, g = p[0], p[1], p[2], p[3]
+    m1, m2, m3 = 1.0, 1.0, 0.5
+    q1, q2 = x[1], x[2]
+    dq = [x[3], x[4], x[5]]
+    c_q1 = jnp.cos(q1)
+    c_q12 = jnp.cos(q1 + q2)
+    M00 = (m1 + m2 + m3) * la * la
+    M11 = (m2 + m3) * lb * lb
+    M22 = m3 * lc * lc
+    M01 = (m2 + m3) * la * lb * c_q1
+    M12 = m3 * lb * lc * jnp.cos(q2)
+    M02 = m3 * la * lc * c_q12
+    g1 = -(m2 + m3) * g * lb * c_q1 - m3 * g * lc * c_q12
+    g2 = -m3 * g * lc * c_q12
+    r = [u[0], u[1] - g1, u[2] - g2]
+    M = [[M00, M01, M02], [M01, M11, M12], [M02, M12, M22]]
+    ddq = _inv3_apply(M, r)
+    return dq + ddq
+
+
+def _usv3dof_f(x, u_ctrl, p):
+    # models/usv_3dof.py (Fossen 3-DOF): M has the [[a,0,0],[0,b,c],[0,d,e]]
+    # sparsity, inverted in closed form.
+    m, Iz = p[0], p[1]
+    X_udot, Y_vdot, Y_rdot, N_vdot, N_rdot = p[2], p[3], p[4], p[5], p[6]
+    X_u, Y_v, Y_r, N_v, N_r = p[7], p[8], p[9], p[10], p[11]
+    psi, uu, vv, rr = x[2], x[3], x[4], x[5]
+    c, s = jnp.cos(psi), jnp.sin(psi)
+    m_x = m - X_udot
+    m_y = m - Y_vdot
+    m_yr = -Y_rdot
+    cy = m_y * vv + m_yr * rr
+    # rhs = tau - C(nu) nu - D_L nu
+    r0 = u_ctrl[0] + cy * rr + X_u * uu
+    r1 = u_ctrl[1] - m_x * uu * rr + Y_v * vv + Y_r * rr
+    r2 = u_ctrl[2] - cy * uu + m_x * uu * vv + N_v * vv + N_r * rr
+    bb = -Y_rdot
+    cc = -N_vdot
+    dd = Iz - N_rdot
+    det2 = m_y * dd - bb * cc
+    return [c * uu - s * vv, s * uu + c * vv, rr,
+            r0 / m_x, (dd * r1 - bb * r2) / det2,
+            (-cc * r1 + m_y * r2) / det2]
+
+
+def _sc_linear_fuel_f(x, u, p):
+    n, isp, g0, eps = p[0], p[1], p[2], p[3]
+    px, pz = x[0], x[2]
+    vx, vy, vz = x[3], x[4], x[5]
+    mass = x[6]
+    ts = u[0] * u[0] + u[1] * u[1] + u[2] * u[2]
+    return [vx, vy, vz,
+            2.0 * n * vy + 3.0 * n * n * px + u[0] / mass,
+            -2.0 * n * vx + u[1] / mass,
+            -n * n * pz + u[2] / mass,
+            -jnp.sqrt(ts + eps) / (isp * g0),
+            0.5 * ts]
+
+
+def _sc_nonlinear_f(x, u, p):
+    mass, mu = p[0], p[1]
+    px, py, pz = x[0], x[1], x[2]
+    vx, vy, vz = x[3], x[4], x[5]
+    r0, dr0, dtheta = x[6], x[8], x[9]
+    s = (r0 + px) * (r0 + px) + py * py + pz * pz
+    den = s * jnp.sqrt(s)
+    r0_sq = r0 * r0
+    ddr0 = -mu / r0_sq + r0 * dtheta * dtheta
+    ddtheta = -2.0 * dr0 * dtheta / r0
+    ddx = (2.0 * dtheta * vy + ddtheta * py + dtheta * dtheta * px
+           - mu * (px + r0) / den + mu / r0_sq + u[0] / mass)
+    ddy = (-2.0 * dtheta * vx - ddtheta * px + dtheta * dtheta * py
+           - mu * py / den + u[1] / mass)
+    ddz = -mu * pz / den + u[2] / mass
+    return [vx, vy, vz, ddx, ddy, ddz, dr0, dtheta, ddr0, ddtheta]
+
+
+def _sc_landing2d_f(x, u, p):
+    mass, length, max_thrust, grav, inertia = p[0], p[1], p[2], p[3], p[4]
+    xdot, ydot, theta, theta_dot = x[1], x[3], x[4], x[5]
+    thrust_percent, thrust_angle = u[0], u[1]
+    total = thrust_angle + theta
+    thrust = max_thrust * thrust_percent
+    return [xdot, thrust * jnp.sin(total) / mass,
+            ydot, thrust * jnp.cos(total) / mass - grav,
+            theta_dot,
+            (-length / 2.0) * thrust * jnp.sin(thrust_angle) / inertia]
+
+
+def _sc_twobody_f(x, u, p):
+    mu, mass = p[0], p[1]
+    px, py, pz = x[0], x[1], x[2]
+    r2 = px * px + py * py + pz * pz
+    r3 = r2 * jnp.sqrt(r2)
+    return [x[3], x[4], x[5],
+            -mu * px / r3 + u[0] / mass,
+            -mu * py / r3 + u[1] / mass,
+            -mu * pz / r3 + u[2] / mass]
+
+
+def _rigid_omega_dot(I, wx, wy, wz, tau):
+    Iw = [I[i][0] * wx + I[i][1] * wy + I[i][2] * wz for i in range(3)]
+    r = [tau[0] - (wy * Iw[2] - wz * Iw[1]),
+         tau[1] - (wz * Iw[0] - wx * Iw[2]),
+         tau[2] - (wx * Iw[1] - wy * Iw[0])]
+    return _inv3_apply(I, r)
+
+
+def _inertia_rows(p, off=0):
+    return [[p[off + 3 * i + j] for j in range(3)] for i in range(3)]
+
+
+def _euler_attitude_f(x, u, p):
+    # models/attitude.py EulerAttitude, including its cos(theta) guard.
+    I = _inertia_rows(p)
+    psi_, theta, phi = x[0], x[1], x[2]
+    del psi_
+    wx, wy, wz = x[3], x[4], x[5]
+    c_phi, s_phi = jnp.cos(phi), jnp.sin(phi)
+    c_theta = jnp.cos(theta)
+    tan_theta = jnp.sin(theta) / c_theta
+    is_zero = (c_theta == 0).astype(c_theta.dtype)
+    c_safe = jnp.where(jnp.abs(c_theta) < 1e-9,
+                       jnp.sign(c_theta) * 1e-9 + is_zero * 1e-9, c_theta)
+    e0 = (s_phi / c_safe) * wy + (c_phi / c_safe) * wz
+    e1 = c_phi * wy - s_phi * wz
+    e2 = wx + s_phi * tan_theta * wy + c_phi * tan_theta * wz
+    dd = _rigid_omega_dot(I, wx, wy, wz, [u[0], u[1], u[2]])
+    return [e0, e1, e2] + dd
+
+
+def _quaternion_attitude_f(x, u, p):
+    I = _inertia_rows(p)
+    qw, qx, qy, qz = x[0], x[1], x[2], x[3]
+    wx, wy, wz = x[4], x[5], x[6]
+    n = jnp.sqrt(qw * qw + qx * qx + qy * qy + qz * qz)
+    safe = n > 1e-9
+    inv = 1.0 / jnp.maximum(n, 1e-9)
+    qw = jnp.where(safe, qw * inv, 1.0)
+    qx = jnp.where(safe, qx * inv, 0.0)
+    qy = jnp.where(safe, qy * inv, 0.0)
+    qz = jnp.where(safe, qz * inv, 0.0)
+    qdw = 0.5 * (-wx * qx - wy * qy - wz * qz)
+    qdx = 0.5 * (wx * qw + wz * qy - wy * qz)
+    qdy = 0.5 * (wy * qw - wz * qx + wx * qz)
+    qdz = 0.5 * (wz * qw + wy * qx - wx * qy)
+    dd = _rigid_omega_dot(I, wx, wy, wz, [u[0], u[1], u[2]])
+    return [qdw, qdx, qdy, qdz] + dd
+
+
+def _mrp_attitude_f(x, u, p):
+    I = _inertia_rows(p)
+    s0, s1, s2 = x[0], x[1], x[2]
+    wx, wy, wz = x[3], x[4], x[5]
+    ss = s0 * s0 + s1 * s1 + s2 * s2
+    # B = (1-|s|^2) I + 2 skew(s) + 2 s s'
+    b00 = (1.0 - ss) + 2.0 * s0 * s0
+    b01 = -2.0 * s2 + 2.0 * s0 * s1
+    b02 = 2.0 * s1 + 2.0 * s0 * s2
+    b10 = 2.0 * s2 + 2.0 * s1 * s0
+    b11 = (1.0 - ss) + 2.0 * s1 * s1
+    b12 = -2.0 * s0 + 2.0 * s1 * s2
+    b20 = -2.0 * s1 + 2.0 * s2 * s0
+    b21 = 2.0 * s0 + 2.0 * s2 * s1
+    b22 = (1.0 - ss) + 2.0 * s2 * s2
+    sd0 = 0.25 * (b00 * wx + b01 * wy + b02 * wz)
+    sd1 = 0.25 * (b10 * wx + b11 * wy + b12 * wz)
+    sd2 = 0.25 * (b20 * wx + b21 * wy + b22 * wz)
+    dd = _rigid_omega_dot(I, wx, wy, wz, [u[0], u[1], u[2]])
+    return [sd0, sd1, sd2] + dd
+
+
+def _scalar_params(*names):
+    def fn(mdl):
+        return jnp.stack([jnp.asarray(getattr(mdl, n)) for n in names])
+    return fn
+
+
+_REGISTRY["Bicycle"] = (1, _scalar_params("wheelbase"), _bicycle_f)
+_REGISTRY["DubinsCar"] = (1, _scalar_params("speed"), _dubins_f)
+_REGISTRY["Forklift"] = (
+    2,
+    lambda mdl: jnp.stack(
+        [jnp.asarray(mdl.wheelbase),
+         jnp.asarray(-1.0 if mdl.rear_steer else 1.0)]
+    ),
+    _forklift_f,
+)
+_REGISTRY["DreyfusRocket"] = (
+    2, _scalar_params("thrust_acceleration", "gravity_acceleration"),
+    _dreyfus_f,
+)
+_REGISTRY["Acrobot"] = (
+    8, _scalar_params("l1", "l2", "m1", "m2", "J1", "J2", "gravity",
+                      "friction"),
+    _acrobot_f,
+)
+_REGISTRY["QuadrotorRate"] = (
+    2, _scalar_params("mass", "gravity"), _quadrotor_rate_f,
+)
+_REGISTRY["Manipulator"] = (
+    4, _scalar_params("la", "lb", "lc", "gravity"), _manipulator_f,
+)
+_REGISTRY["USV3DOF"] = (
+    12, _scalar_params("m", "Iz", "X_udot", "Y_vdot", "Y_rdot", "N_vdot",
+                       "N_rdot", "X_u", "Y_v", "Y_r", "N_v", "N_r"),
+    _usv3dof_f,
+)
+_REGISTRY["SpacecraftLinearFuel"] = (
+    4, _scalar_params("mean_motion", "isp", "g0", "epsilon"),
+    _sc_linear_fuel_f,
+)
+_REGISTRY["SpacecraftNonlinear"] = (
+    2, _scalar_params("mass", "mu"), _sc_nonlinear_f,
+)
+_REGISTRY["SpacecraftLanding2D"] = (
+    5,
+    lambda mdl: jnp.stack(
+        [jnp.asarray(mdl.mass), jnp.asarray(mdl.length),
+         jnp.asarray(mdl.max_thrust), jnp.asarray(mdl.gravity),
+         jnp.asarray(mdl.inertia)]
+    ),
+    _sc_landing2d_f,
+)
+_REGISTRY["SpacecraftTwobody"] = (
+    2, _scalar_params("mu", "mass"), _sc_twobody_f,
+)
+
+
+def _inertia_params(mdl):
+    return jnp.asarray(mdl.inertia).reshape(-1)
+
+
+_REGISTRY["EulerAttitude"] = (9, _inertia_params, _euler_attitude_f)
+_REGISTRY["QuaternionAttitude"] = (9, _inertia_params, _quaternion_attitude_f)
+_REGISTRY["MrpAttitude"] = (9, _inertia_params, _mrp_attitude_f)
+
+
 def _registry_key(model):
     """Registry key only for EXACT registered classes: a user subclass (even
     one reusing the name) keeps the reference scan path so its overridden
