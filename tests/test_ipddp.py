@@ -289,15 +289,22 @@ def test_ipddp_history_and_mu_decay():
 
 def test_full_ddp_second_order():
     # use_ilqr=False exercises the second-order dynamics terms
-    # (ipddp_solver.cpp:1397-1409). Pendulum has nonzero Fxx.
+    # (ipddp_solver.cpp:1397-1409). Pendulum has nonzero Fxx. Contract:
+    # full DDP must CONVERGE (not just land near the goal) and reach the
+    # same optimum as iLQR — wrong tensor terms typically still "work"
+    # but drag the solve to a different/worse stationary point.
     prob, goal = _pendulum_problem(N=80)
-    opts = ct.CDDPOptions(
-        max_iterations=300, tolerance=1e-4, acceptable_tolerance=1e-5,
-        use_ilqr=False,
-    )
-    sol = ipddp.solve(prob, opts)
+    kwargs = dict(max_iterations=300, tolerance=1e-4,
+                  acceptable_tolerance=1e-5)
+    sol = ipddp.solve(prob, ct.CDDPOptions(use_ilqr=False, **kwargs))
     err = float(jnp.linalg.norm(sol.state_trajectory[-1] - goal))
     assert err < 0.3, (sol.status_message, err)
+    assert sol.status_message in (
+        "OptimalSolutionFound", "AcceptableSolutionFound"
+    ), sol.status_message
+    sol_ilqr = ipddp.solve(prob, ct.CDDPOptions(**kwargs))
+    c_ddp, c_ilqr = float(sol.final_objective), float(sol_ilqr.final_objective)
+    assert abs(c_ddp - c_ilqr) < 1e-4 * max(1.0, abs(c_ilqr)), (c_ddp, c_ilqr)
 
 
 def test_check_state_stationarity_option():

@@ -111,14 +111,17 @@ def test_msipddp_ball_obstacle():
 def test_msipddp_full_ddp():
     # use_ilqr=False exercises costate-weighted dynamics Hessians and
     # y-weighted constraint Hessians (msipddp_solver.cpp:1297-1317).
+    # Contract: same optimum as the iLQR mode — wrong tensor terms still
+    # "work" but settle at a different/worse stationary point.
     prob, goal = _pendulum(N=60)
-    opts = ct.CDDPOptions(
-        max_iterations=300, tolerance=1e-3, acceptable_tolerance=1e-5,
-        use_ilqr=False,
-    )
-    sol = msipddp.solve(prob, opts)
+    kwargs = dict(max_iterations=300, tolerance=1e-3,
+                  acceptable_tolerance=1e-5)
+    sol = msipddp.solve(prob, ct.CDDPOptions(use_ilqr=False, **kwargs))
     err = float(jnp.linalg.norm(sol.state_trajectory[-1] - goal))
     assert err < 0.5, (sol.status_message, err)
+    sol_ilqr = msipddp.solve(prob, ct.CDDPOptions(**kwargs))
+    c_ddp, c_ilqr = float(sol.final_objective), float(sol_ilqr.final_objective)
+    assert abs(c_ddp - c_ilqr) < 1e-3 * max(1.0, abs(c_ilqr)), (c_ddp, c_ilqr)
 
 
 def test_use_controlled_rollout_seed():
