@@ -3,6 +3,7 @@
 vmap-batched 1k instances'). One cold-seeded IPDDP MPC tick for a fleet of
 cars distributed around a synthetic track. Prints one JSON line."""
 
+import dataclasses
 import json
 import sys
 import time
@@ -44,11 +45,7 @@ def main():
         # warm-start path exists for). The measured step includes the
         # plant advance, i.e. it is the whole serving loop body.
         warm_iters = int(os.environ.get("MPCC_WARM_ITERS", "5"))
-        cfg_warm = mpcc.MpccConfig(
-            max_iterations=warm_iters,
-            track_eval=cfg.track_eval,
-            local_coeffs=cfg.local_coeffs,
-        )
+        cfg_warm = dataclasses.replace(cfg, max_iterations=warm_iters)
         U, st = jax.jit(lambda x: mpcc.warm_fleet_init(track, cfg, x))(x_batch)
         step = jax.jit(
             lambda x, u, s: mpcc.warm_fleet_step(track, cfg_warm, x, u, s)

@@ -25,8 +25,11 @@ and unrolling is both memory-hungry and noisier):
 What F is depends on the solver family:
 
 - **CLDDP** (box-clamped): F is the true total cost; control dimensions
-  strictly AT a bound are frozen (their sensitivity is zero almost
-  everywhere) and the Hessian solve is restricted to the free set.
+  strictly AT a bound satisfy U = bound instead of g = 0, so the IFT runs
+  on the coupled system — the Hessian solve is restricted to the free set,
+  while the clamped block contributes the exact dU*/d(bound) = 1
+  sensitivity (plus its cross-Hessian effect on the free optimum), so
+  learned actuator limits receive real gradients.
 - **IPDDP / MSIPDDP** (interior-point): at convergence the iterate
   satisfies the perturbed KKT system at the final barrier parameter
   mu — eliminating the slacks (s = ub - g, y = mu/s) that system is
@@ -279,7 +282,11 @@ def make_differentiable_solve(
             mask = jnp.ones_like(U)
         else:
             F = total_cost
-            # Box-clamped coordinates are frozen (restricted IFT).
+            # Box-clamped coordinates satisfy U_C = bound instead of g=0;
+            # the restricted IFT solves the free block and the coupled
+            # system below recovers both the direct dU_C/d(bound) = 1
+            # sensitivity and the cross-Hessian effect of the clamped
+            # values on the free optimum.
             mask = _free_mask(problem, U)
 
         # Pull the X* cotangent back through the rollout: X* is a function
@@ -296,9 +303,38 @@ def make_differentiable_solve(
             grad_U, problem, U, Ubar, mask, linsolve, cg_tol, cg_maxiter
         )
 
-        # theta_bar = -(dg/dtheta)^T z: reverse-mode VJP of the stationarity
+        # Stationarity residual r(theta, U*) = 0 whose VJP yields theta_bar.
+        # For the box family the clamped block's residual is
+        # U_C - clip(U_C, lb, ub): its theta-VJP carries the exact
+        # dU*_C/d(bound) = 1 sensitivity into the ControlConstraint leaves
+        # (an all-frozen treatment would return a silent zero gradient for
+        # learned actuator limits). The adjoint of the block-triangular
+        # system [[H_FF, H_FC], [0, I]] gives z_C = Ubar_C - (H z_F)_C.
+        if family == "box" and _control_bounds(problem) is not None:
+            hv = jax.jvp(lambda u: grad_U(problem, u), (U,), (z,))[1]
+            z = z + (1.0 - mask) * (Ubar - hv)
+
+            def residual(p, u):
+                g = jax.grad(total_cost, argnums=1)(p, u)
+                lb, ub = _control_bounds(p)
+                # Not jnp.clip: clamped coordinates sit EXACTLY at the bound,
+                # and JAX's min/max JVP at a tie averages the operands (0.5
+                # each), which would halve the bound gradient. Select the
+                # nearer bound explicitly so the full sensitivity flows.
+                lb_b = jnp.broadcast_to(lb, u.shape)
+                ub_b = jnp.broadcast_to(ub, u.shape)
+                b_active = jnp.where(
+                    jnp.abs(u - lb_b) <= jnp.abs(u - ub_b), lb_b, ub_b
+                )
+                return mask * g + (1.0 - mask) * (u - b_active)
+
+        else:
+            def residual(p, u):
+                return grad_U(p, u)
+
+        # theta_bar = -(dr/dtheta)^T z: reverse-mode VJP of the stationarity
         # residual with respect to the problem, evaluated at (U*, theta).
-        _, g_vjp = jax.vjp(lambda p: grad_U(p, U), problem)
+        _, g_vjp = jax.vjp(lambda p: residual(p, U), problem)
         (pbar_ift,) = g_vjp(z)
 
         pbar = jax.tree_util.tree_map(lambda a, c: a - c, pbar_roll, pbar_ift)

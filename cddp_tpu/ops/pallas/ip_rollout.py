@@ -48,7 +48,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from cddp_tpu.ops.pallas.dispatch_log import log_dispatch as _log_dispatch
+from cddp_tpu.ops.pallas.batched_dispatch import make_batched_op
 from cddp_tpu.ops.pallas.rollout import (
     DEFAULT_TILE_B,
     MIN_KERNEL_BATCH,
@@ -159,20 +159,30 @@ def _single_control_box(stk):
     return c
 
 
-def ip_forward_eligible(problem, options, stk) -> bool:
-    """Static structure check for the fused IPDDP forward rollout."""
+def _resolve_lanes(problem, options, stk):
+    """Resolve (model_entry, cost_entry, control_box) for the fused IPDDP
+    forward rollout, or None if any static structure check fails."""
     if options.ipddp.forward_engine != "auto":
-        return False
-    if model_lane(problem.model) is None:
-        return False
+        return None
     entry = model_lane(problem.model)
+    if entry is None:
+        return None
     if not entry[3] and problem.model.integration_type not in (
         "euler", "heun", "rk3", "rk4"
     ):
-        return False
-    if cost_lane(problem.objective) is None:
-        return False
-    return _single_control_box(stk) is not None
+        return None
+    c_entry = cost_lane(problem.objective)
+    if c_entry is None:
+        return None
+    cc = _single_control_box(stk)
+    if cc is None:
+        return None
+    return entry, c_entry, cc
+
+
+def ip_forward_eligible(problem, options, stk) -> bool:
+    """Static structure check for the fused IPDDP forward rollout."""
+    return _resolve_lanes(problem, options, stk) is not None
 
 
 # --- the fused kernel ---------------------------------------------------------
@@ -433,45 +443,15 @@ def _get_ip_forward_op(model_key, cost_key, nx, nu, m, n_mp, n_cp, model_f,
         _scan_ip_forward_single, nx, nu, m, model_f, model_discrete,
         integrator, cost_f, slack_soc,
     )
-
-    @jax.custom_batching.custom_vmap
-    def op(Xb, Ub, Y, S, ku, Ku, klam, Klam, lam, ky, Ky, ks, Ks, x0,
-           a_pr, a_du, tau, soc_on, dtv, mp, cp, lo, hi, sf):
-        return scan_single(Xb, Ub, Y, S, ku, Ku, klam, Klam, lam, ky, Ky,
-                           ks, Ks, x0, a_pr, a_du, tau, soc_on, dtv, mp, cp,
-                           lo, hi, sf)
-
-    @op.def_vmap
-    def _rule(axis_size, in_batched, *args):
-        def ensure(x, b):
-            return x if b else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
-
-        args = [ensure(x, b) for x, b in zip(args, in_batched)]
-        (Xb, Ub, Y, S, ku, Ku, klam, Klam, lam, ky, Ky, ks, Ks, x0,
-         a_pr, a_du, tau, soc_on, dtv, mp, cp, lo, hi, sf) = args
-        N = Xb.shape[1]
-        use_kernel = (
-            Xb.dtype == jnp.float32
-            and axis_size >= MIN_KERNEL_BATCH
-            and jax.default_backend() in ("tpu", "axon")
-        )
-        name = getattr(model_key, "__name__", str(model_key))
-        _log_dispatch(f"{name} IPDDP forward rollout", use_kernel,
-                      axis_size, dtype=Xb.dtype)
-        if use_kernel:
-            outs = _ip_forward_fused_impl(
-                Xb, Ub, Y, S, ku, Ku, klam, Klam, lam, ky, Ky, ks, Ks, x0,
-                a_pr, a_du, tau, soc_on, dtv, mp, cp, lo, hi, sf,
-                model_key=model_key, cost_key=cost_key, slack_soc=slack_soc,
-                interpret=False,
-            )
-        else:
-            outs = jax.vmap(scan_single)(
-                Xb, Ub, Y, S, ku, Ku, klam, Klam, lam, ky, Ky, ks, Ks, x0,
-                a_pr, a_du, tau, soc_on, dtv, mp, cp, lo, hi, sf,
-            )
-        return outs, tuple(True for _ in outs)
-
+    fused = functools.partial(
+        _ip_forward_fused_impl, model_key=model_key, cost_key=cost_key,
+        slack_soc=slack_soc, interpret=False,
+    )
+    name = getattr(model_key, "__name__", str(model_key))
+    op = make_batched_op(
+        scan_single, fused, f"{name} IPDDP forward rollout",
+        min_batch=MIN_KERNEL_BATCH,
+    )
     _OP_CACHE[key] = op
     return op
 
@@ -668,30 +648,12 @@ def _get_ol_op(model_key, nx, nu, model_f, model_discrete, integrator):
     scan_single = functools.partial(_ol_scan_single, nx, nu, model_f,
                                     model_discrete, integrator)
 
-    @jax.custom_batching.custom_vmap
-    def op_core(U, x0, dtv, mp):
-        return scan_single(U, x0, dtv, mp)
-
-    @op_core.def_vmap
-    def _rule(axis_size, in_batched, *args):
-        def ensure(x, b):
-            return x if b else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
-
-        U, x0, dtv, mp = (ensure(x, b) for x, b in zip(args, in_batched))
-        use_kernel = (
-            U.dtype == jnp.float32
-            and axis_size >= MIN_KERNEL_BATCH
-            and jax.default_backend() in ("tpu", "axon")
-        )
-        name = getattr(model_key, "__name__", str(model_key))
-        _log_dispatch(f"{name} open-loop rollout", use_kernel, axis_size,
-                      dtype=U.dtype)
-        if use_kernel:
-            X_tail = _ol_fused_impl(U, x0, dtv, mp, lane_key=lane_key,
-                                    interpret=False)
-        else:
-            X_tail = jax.vmap(scan_single)(U, x0, dtv, mp)
-        return X_tail, True
+    name = getattr(model_key, "__name__", str(model_key))
+    op_core = make_batched_op(
+        scan_single,
+        functools.partial(_ol_fused_impl, lane_key=lane_key, interpret=False),
+        f"{name} open-loop rollout", min_batch=MIN_KERNEL_BATCH,
+    )
 
     # custom_vmap ops reject reverse-mode AD on the unbatched path, and
     # diff.py vjp's the rollout for the X* cotangent pull-back
@@ -748,13 +710,10 @@ def resolve_ip_forward(problem, options, stk):
        ((x_last, J, feasible), (X_tail, U, S, Y, G, Lam_head))``
     matching the scan's carry/outs contract exactly.
     """
-    if not ip_forward_eligible(problem, options, stk):
+    resolved = _resolve_lanes(problem, options, stk)
+    if resolved is None:
         return None
-    cc = _single_control_box(stk)
-    m_entry = model_lane(problem.model)
-    c_entry = cost_lane(problem.objective)
-    if c_entry is None:
-        return None
+    m_entry, c_entry, cc = resolved
     n_mp, mp_fn, model_f, model_discrete = m_entry
     cost_static, cparams, cost_f = c_entry
     # Class OBJECTS key the caches (names could collide across modules).

@@ -39,7 +39,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from cddp_tpu.ops.pallas.dispatch_log import log_dispatch as _log_dispatch
+from cddp_tpu.ops.pallas.batched_dispatch import make_batched_op
 
 DEFAULT_TILE_B = 1024
 
@@ -454,42 +454,19 @@ def _scan_backward_single(A, Bm, lx, lu, lxx, luu, lux, lb, ub, VxT, VxxT, reg):
     return k, K, dV, qerr, nvx, ok
 
 
-@jax.custom_batching.custom_vmap
-def riccati_boxqp_backward(A, Bm, lx, lu, lxx, luu, lux, lb, ub, VxT, VxxT, reg):
-    """Control-limited Riccati backward op with a batch-aware implementation:
-
-    - unbatched: the reverse lax.scan (reference semantics, any dtype/backend);
-    - under vmap: the Pallas fused kernel on TPU float32 (one kernel for the
-      whole batched recursion, ~7x the scan's throughput on v5e), falling
-      back to the vmapped scan elsewhere.
-
-    Returns (k, K, dV, Qu_err, norm_Vx_partial (excl. terminal |Vx|_1), ok).
-    """
-    return _scan_backward_single(A, Bm, lx, lu, lxx, luu, lux, lb, ub, VxT,
-                                 VxxT, reg)
-
-
-@riccati_boxqp_backward.def_vmap
-def _riccati_backward_vmap_rule(axis_size, in_batched, *args):
-    def ensure_batched(x, b):
-        if b:
-            return x
-        return jnp.broadcast_to(x[None], (axis_size,) + x.shape)
-
-    args = [x if b else ensure_batched(x, b) for x, b in zip(args, in_batched)]
-    (A, Bm, lx, lu, lxx, luu, lux, lb, ub, VxT, VxxT, reg) = args
-
-    use_kernel = (
-        A.dtype == jnp.float32
-        and jax.default_backend() in ("tpu", "axon")
-        and Bm.shape[-1] <= 4
-    )
-    _log_dispatch("CLDDP backward", use_kernel, axis_size,
-                  dtype=A.dtype, nu=Bm.shape[-1])
-    if use_kernel:
-        out = clddp_backward_fused(A, Bm, lx, lu, lxx, luu, lux, lb, ub,
-                                   VxT, VxxT, reg)
-    else:
-        out = jax.vmap(_scan_backward_single)(A, Bm, lx, lu, lxx, luu, lux,
-                                              lb, ub, VxT, VxxT, reg)
-    return tuple(out), (True,) * 6
+# Control-limited Riccati backward op with a batch-aware implementation:
+#
+# - unbatched: the reverse lax.scan (reference semantics, any dtype/backend);
+# - under vmap: the Pallas fused kernel on TPU float32 (one kernel for the
+#   whole batched recursion, ~7x the scan's throughput on v5e), falling
+#   back to the vmapped scan elsewhere. Nested vmaps fold into one total
+#   batch before the engine choice (batched_dispatch).
+#
+# Returns (k, K, dV, Qu_err, norm_Vx_partial (excl. terminal |Vx|_1), ok).
+riccati_boxqp_backward = make_batched_op(
+    _scan_backward_single,
+    lambda *a: tuple(clddp_backward_fused(*a)),
+    "CLDDP backward",
+    gate=lambda A, Bm, *rest: Bm.shape[-1] <= 4,
+    log_detail=lambda A, Bm, *rest: dict(nu=Bm.shape[-1]),
+)

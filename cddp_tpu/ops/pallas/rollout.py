@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from cddp_tpu.ops.pallas.dispatch_log import log_dispatch as _log_dispatch
+from cddp_tpu.ops.pallas.batched_dispatch import make_batched_op
 
 DEFAULT_TILE_B = 1024
 # Smallest vmap axis size the fused kernel engages for; below this the
@@ -878,49 +878,24 @@ def _scan_forward_single(kind, integrator, clamp, Xb, Ub, k, K, alpha, dtv,
 
 @functools.lru_cache(maxsize=None)
 def _forward_op(kind: str, integrator: str, clamp: bool):
-    @jax.custom_batching.custom_vmap
-    def op(Xb, Ub, k, K, alpha, dtv, params, Q, R, Qf, goal, lb, ub):
-        # Unbatched primal: the reference scan. (A batch-of-one kernel was
-        # measured a net LOSS for single solves — no lane parallelism to
-        # amortize the grid, e.g. quadrotor N=100 init rollout 111 -> 120 ms
-        # end-to-end — so the kernel engages only under vmap.)
-        return _scan_forward_single(kind, integrator, clamp, Xb, Ub, k, K,
-                                    alpha, dtv, params, Q, R, Qf, goal, lb, ub)
-
-    @op.def_vmap
-    def _rule(axis_size, in_batched, *args):
-        def ensure(x, b):
-            return x if b else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
-
-        args = [ensure(x, b) for x, b in zip(args, in_batched)]
-        (Xb, Ub, k, K, alpha, dtv, params, Q, R, Qf, goal, lb, ub) = args
-        # Gate on a minimum batch: the kernel pads to tile_b=1024 lanes, so
-        # small vmaps (e.g. the ~11-entry alpha ladder of an unbatched
-        # enable_parallel solve) would do ~90x redundant work — the same
-        # no-lane-parallelism regime the batch-of-one experiment measured as
-        # a net loss. Small batches keep the vmapped scan.
-        use_kernel = (
-            Xb.dtype == jnp.float32
-            and axis_size >= MIN_KERNEL_BATCH
-            and jax.default_backend() in ("tpu", "axon")
+    # Gate on a minimum TOTAL batch (folded across nested vmaps — see
+    # batched_dispatch): the kernel pads to tile_b=1024 lanes, so small
+    # batches (e.g. the ~11-entry alpha ladder of an unbatched
+    # enable_parallel solve) would do ~90x redundant work — the same
+    # no-lane-parallelism regime the batch-of-one experiment measured as a
+    # net loss. A fleet vmap AROUND the ladder still reaches the kernel
+    # (total = fleet x ladder).
+    def fused(Xb, Ub, k, K, alpha, dtv, params, Q, R, Qf, goal, lb, ub):
+        return _forward_fused_impl(
+            Xb, Ub, k, K, Xb[:, 0], alpha, dtv, params, Q, R, Qf, goal, lb,
+            ub, kind=kind, integrator=integrator, clamp=clamp,
+            tile_b=DEFAULT_TILE_B, interpret=False,
         )
-        _log_dispatch(f"{kind} forward rollout", use_kernel, axis_size,
-                      dtype=Xb.dtype)
-        if use_kernel:
-            Xt, Un, J = _forward_fused_impl(
-                Xb, Ub, k, K, Xb[:, 0], alpha,
-                dtv[:, 0] if dtv.ndim > 1 else dtv,
-                params, Q, R, Qf, goal, lb, ub, kind=kind,
-                integrator=integrator, clamp=clamp, tile_b=DEFAULT_TILE_B,
-                interpret=False,
-            )
-        else:
-            Xt, Un, J = jax.vmap(
-                lambda *a: _scan_forward_single(kind, integrator, clamp, *a)
-            )(Xb, Ub, k, K, alpha, dtv, params, Q, R, Qf, goal, lb, ub)
-        return (Xt, Un, J), (True, True, True)
 
-    return op
+    return make_batched_op(
+        functools.partial(_scan_forward_single, kind, integrator, clamp),
+        fused, f"{kind} forward rollout", min_batch=MIN_KERNEL_BATCH,
+    )
 
 
 def forward_rollout_op(problem, cc, Xb, Ub, k, K, alpha):

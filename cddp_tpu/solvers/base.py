@@ -352,6 +352,32 @@ def with_matmul_precision(fn):
     return wrapper
 
 
+_ENGINE_CHOICES = {
+    "backward_engine": ("auto", "scan", "fused"),
+    "ipddp.forward_engine": ("auto", "scan"),
+    "ipddp.lqr_backend": ("sequential", "parallel"),
+    "log_barrier.lqr_backend": ("sequential", "parallel"),
+    "msipddp.lqr_backend": ("sequential", "parallel", "sharded"),
+}
+
+
+def validate_engine_options(options: CDDPOptions) -> None:
+    """Reject typo'd engine selectors at solve entry. Every selector's
+    dispatch gate tests one specific value (e.g. ``forward_engine !=
+    "auto"``), so an unknown string would otherwise silently behave as the
+    other engine instead of erroring (JAX-only fields; no reference
+    counterpart)."""
+    for path, choices in _ENGINE_CHOICES.items():
+        obj = options
+        for part in path.split(".")[:-1]:
+            obj = getattr(obj, part)
+        value = getattr(obj, path.split(".")[-1])
+        if value not in choices:
+            raise ValueError(
+                f"options.{path} must be one of {choices}, got {value!r}"
+            )
+
+
 def announce(solver_name: str, options: CDDPOptions) -> None:
     """Host-side solver banner + options dump, gated exactly like the
     reference (printSolverInfo cddp_core.cpp:351-428 behind

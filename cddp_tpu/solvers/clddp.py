@@ -450,6 +450,7 @@ def solve(
     ``X0``/``U0`` seed the nominal trajectories (CDDP::setInitialTrajectory);
     ``gains=(k, K)`` warm-starts the control gains (clddp_solver.cpp:35-66).
     """
+    base.validate_engine_options(options)
     base.announce("CLDDP", options)
     problem = base.canonicalize_problem_dtype(problem)
     X, U = problem.initial_trajectories(X0, U0)

@@ -1836,6 +1836,7 @@ def solve(
     """Solve with IPDDP. Pass ``state`` from a previous solve (with
     ``options.warm_start=True``) to warm start; ``return_state=True`` also
     returns the :class:`IPDDPSolverState` checkpoint pytree."""
+    base.validate_engine_options(options)
     base.announce("IPDDP", options)
     problem = base.canonicalize_problem_dtype(problem)
     X, U = problem.initial_trajectories(X0, U0)

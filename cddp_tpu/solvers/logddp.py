@@ -479,6 +479,7 @@ def solve(
     linearly x0 -> objective reference and re-rolls (logddp_solver.cpp:140-151);
     the state sequence is always re-rolled from the controls so the
     linearization point stays dynamically consistent."""
+    base.validate_engine_options(options)
     base.announce("LogDDP", options)
     problem = base.canonicalize_problem_dtype(problem)
     nx, nu, N = problem.state_dim, problem.control_dim, problem.horizon

@@ -872,6 +872,7 @@ def solve(
     """Solve with MSIPDDP. Cold start without a state guess interpolates X
     from x0 to the objective reference (msipddp_solver.cpp:192-215) then
     re-rolls it dynamically consistent."""
+    base.validate_engine_options(options)
     base.announce("MSIPDDP", options)
     problem = base.canonicalize_problem_dtype(problem)
     nx, nu, N = problem.state_dim, problem.control_dim, problem.horizon

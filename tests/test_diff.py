@@ -133,6 +133,44 @@ def test_ift_gradient_with_active_box_constraint():
     np.testing.assert_allclose(np.asarray(g_ift), g_fd, rtol=5e-4, atol=1e-6)
 
 
+def test_ift_gradient_wrt_active_control_bound():
+    """Gradient w.r.t. the box bound ITSELF where the bound is active: the
+    clamped block's sensitivity dU*/d(bound) = 1 plus its cross-Hessian
+    effect on the free coordinates must flow (a frozen-clamped-set IFT
+    returns a silent zero here)."""
+    N = 30
+    U0 = jnp.zeros((N, 1))
+    target = jnp.array([0.5, -0.1])
+    dsolve = make_differentiable_solve("CLDDP", _OPTS)
+
+    def build(bound):
+        prob = _problem()
+        return prob.add_constraint(
+            "ControlConstraint",
+            ct.control_constraint(-bound[None], bound[None]),
+        )
+
+    b0 = jnp.asarray(0.6)
+    sol = _solve_consistent(build(b0), U0)
+    n_clamped = int(jnp.sum(jnp.abs(jnp.abs(sol.control_trajectory) - 0.6) < 1e-9))
+    assert n_clamped > 0, "test needs an active box"
+
+    def loss(bound):
+        X, U = dsolve(build(bound), U0)
+        return jnp.sum((X[-1] - target) ** 2) + 0.01 * jnp.sum(U**2)
+
+    g_ift = jax.grad(loss)(b0)
+
+    def loss_resolve(bound):
+        s = _solve_consistent(build(jnp.reshape(bound, ())), U0)
+        X, U = s.state_trajectory, s.control_trajectory
+        return jnp.sum((X[-1] - target) ** 2) + 0.01 * jnp.sum(U**2)
+
+    g_fd = _fd_grad(loss_resolve, b0[None], h=1e-6)[0]
+    assert abs(g_fd) > 1e-6, "test needs a nonzero true bound sensitivity"
+    np.testing.assert_allclose(float(g_ift), g_fd, rtol=5e-4, atol=1e-7)
+
+
 def _ipddp_opts(tol=1e-10):
     return ct.CDDPOptions(
         max_iterations=400,

@@ -267,3 +267,35 @@ def test_solve_dtype_canonicalization_under_x64():
         )
         sol64 = ct.solve(prob64, "IPDDP", ct.CDDPOptions(max_iterations=2))
         assert sol64.state_trajectory.dtype == jnp.float64
+
+
+def test_engine_option_validation():
+    """Typo'd engine selectors must error at solve entry instead of silently
+    running the other engine (each dispatch gate tests one specific value,
+    e.g. forward_engine != "auto" -> scan)."""
+    import dataclasses
+
+    import cddp_tpu as ct
+    from cddp_tpu.solvers.base import validate_engine_options
+
+    opts = ct.CDDPOptions()
+    validate_engine_options(opts)  # defaults are valid
+
+    for path, bad in [
+        ("backward_engine", "pallas"),
+        ("ipddp.forward_engine", "kernel"),
+        ("ipddp.lqr_backend", "assoc"),
+        ("log_barrier.lqr_backend", "sharded"),
+        ("msipddp.lqr_backend", "distributed"),
+    ]:
+        parts = path.split(".")
+        if len(parts) == 1:
+            o = dataclasses.replace(opts, **{parts[0]: bad})
+        else:
+            o = dataclasses.replace(
+                opts,
+                **{parts[0]: dataclasses.replace(
+                    getattr(opts, parts[0]), **{parts[1]: bad})},
+            )
+        with pytest.raises(ValueError, match=path):
+            validate_engine_options(o)

@@ -300,3 +300,52 @@ def test_eligibility_gates():
     )
     assert not ip_rollout.ip_forward_eligible(
         prob_l, opts_s, PathStacker(prob_l))
+
+
+def test_nested_vmap_folds_total_batch():
+    """Nested vmaps (alpha ladder inside, fleet outside) must fold into ONE
+    total batch before the kernel/scan decision: the old single-level gate
+    saw only the innermost ~11-entry ladder and silently lost the kernel for
+    whole fleets under enable_parallel=True. On CPU the engine is still the
+    scan, but the dispatch log must report the folded product, and the
+    folded outputs must match per-instance scans exactly."""
+    import logging
+
+    from cddp_tpu.models.unicycle import Unicycle
+    from cddp_tpu.ops.pallas.ip_rollout import open_loop_rollout_op
+
+    model = Unicycle()
+    a, b, N = 3, 4, 7
+    key = jax.random.PRNGKey(0)
+    U = 0.3 * jax.random.normal(key, (a, b, N, 2), jnp.float32)
+    x0 = jnp.zeros((a, b, 3), jnp.float32)
+
+    fn = lambda u, x: open_loop_rollout_op(model, x, u, 0.05)
+
+    logger = logging.getLogger("cddp_tpu.dispatch")
+    records = []
+
+    class _Catch(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    h = _Catch(level=logging.INFO)
+    old_level = logger.level
+    logger.setLevel(logging.INFO)
+    logger.addHandler(h)
+    try:
+        out = jax.jit(jax.vmap(jax.vmap(fn)))(U, x0)
+    finally:
+        logger.removeHandler(h)
+        logger.setLevel(old_level)
+
+    ol_msgs = [m for m in records if "open-loop rollout" in m]
+    assert ol_msgs, "dispatch decision not logged"
+    assert any(f"batch={a * b}" in m for m in ol_msgs), ol_msgs
+
+    for i in range(a):
+        for j in range(b):
+            ref = fn(U[i, j], x0[i, j])
+            np.testing.assert_allclose(
+                np.asarray(out[i, j]), np.asarray(ref), rtol=0, atol=0
+            )
