@@ -14,7 +14,8 @@ interior-point rollout of :func:`cddp_tpu.solvers.ipddp._forward_pass`
 - slack/dual trial updates with their separate step sizes,
 - the slack second-order correction (``ipddp.slack_soc``),
 - fraction-to-boundary + finiteness acceptance masks,
-- stacked control-box constraint evaluation g = [(lo-u); (u-ub)]*scale,
+- stacked box-constraint evaluation g = [(lo-var); (var-ub)]*scale per
+  box item (control and/or state boxes, in stack order),
 - the running cost, and
 - the model integration step,
 
@@ -147,20 +148,28 @@ _register_builtin_cost_lanes()
 # --- eligibility -------------------------------------------------------------
 
 
-def _single_control_box(stk):
-    """The path stack is exactly one ControlConstraint (possibly scaled)."""
-    from cddp_tpu.constraints.path import ControlConstraint
+def _box_stack(stk):
+    """The path stack consists solely of box constraints (ControlConstraint
+    / StateConstraint, exact types, possibly scaled), in stack (name-sorted)
+    order. Returns a non-empty tuple of ("control"|"state", constraint)
+    pairs, or None if any other constraint type is present."""
+    from cddp_tpu.constraints.path import ControlConstraint, StateConstraint
 
-    if len(stk.items) != 1:
+    if not stk.items:
         return None
-    c = stk.items[0][1]
-    if type(c) is not ControlConstraint:
-        return None
-    return c
+    out = []
+    for _, c in stk.items:
+        if type(c) is ControlConstraint:
+            out.append(("control", c))
+        elif type(c) is StateConstraint:
+            out.append(("state", c))
+        else:
+            return None
+    return tuple(out)
 
 
 def _resolve_lanes(problem, options, stk):
-    """Resolve (model_entry, cost_entry, control_box) for the fused IPDDP
+    """Resolve (model_entry, cost_entry, box_stack) for the fused IPDDP
     forward rollout, or None if any static structure check fails."""
     if options.ipddp.forward_engine != "auto":
         return None
@@ -174,10 +183,10 @@ def _resolve_lanes(problem, options, stk):
     c_entry = cost_lane(problem.objective)
     if c_entry is None:
         return None
-    cc = _single_control_box(stk)
-    if cc is None:
+    boxes = _box_stack(stk)
+    if boxes is None:
         return None
-    return entry, c_entry, cc
+    return entry, c_entry, boxes
 
 
 def ip_forward_eligible(problem, options, stk) -> bool:
@@ -189,10 +198,16 @@ def ip_forward_eligible(problem, options, stk) -> bool:
 
 
 def _make_ip_forward_kernel(nx, nu, m, N, n_mp, n_cp, model_f, model_discrete,
-                            integrator, cost_f, slack_soc, tile_b):
+                            integrator, cost_f, slack_soc, box_layout,
+                            tile_b):
     """Kernel over (batch_tile, time): carry [x (nx), J, feasible]; per-step
-    inputs/outputs as in ipddp._forward_pass's scan."""
+    inputs/outputs as in ipddp._forward_pass's scan. ``box_layout`` is the
+    static tuple of "control"/"state" box kinds in stack (name-sorted)
+    order; ``lo``/``hi`` carry the per-item raw bounds concatenated and
+    ``sf`` one scale factor per item."""
     n_carry = nx + 2
+    n_items = len(box_layout)
+    nb = sum(nu if kind == "control" else nx for kind in box_layout)
 
     def kernel(Xb_ref, Ub_ref, Y_ref, S_ref, ku_ref, Ku_ref, klam_ref,
                Klam_ref, lam_ref, ky_ref, Ky_ref, ks_ref, Ks_ref,
@@ -208,7 +223,7 @@ def _make_ip_forward_kernel(nx, nu, m, N, n_mp, n_cp, model_f, model_discrete,
         dt = dt_ref[0]
         mp = [mp_ref[i] for i in range(n_mp)]
         cp = [cp_ref[i] for i in range(n_cp)]
-        sf = sf_ref[0]
+        sf = [sf_ref[i] for i in range(n_items)]
 
         @pl.when(tt == 0)
         def _init():
@@ -241,11 +256,16 @@ def _make_ip_forward_kernel(nx, nu, m, N, n_mp, n_cp, model_f, model_discrete,
 
         J = J + cost_f(x, u, cp, tt)
 
-        # g = [(lo - u); (u - hi)] * scale  (ControlConstraint.evaluate -
-        # upper_bound, constraints/path.py)
-        g = [(lo_ref[i] - u[i]) * sf for i in range(nu)] + [
-            (u[i] - hi_ref[i]) * sf for i in range(nu)
-        ]
+        # Per box item: g = [(lo - var); (var - hi)] * scale (box
+        # evaluate - upper_bound, constraints/path.py _BoxConstraint),
+        # items concatenated in stack order.
+        g = []
+        off = 0
+        for it, kind in enumerate(box_layout):
+            var, n = (u, nu) if kind == "control" else (x, nx)
+            g += [(lo_ref[off + i] - var[i]) * sf[it] for i in range(n)]
+            g += [(var[i] - hi_ref[off + i]) * sf[it] for i in range(n)]
+            off += n
 
         if slack_soc:
             one_minus_tau = 1.0 - tau
@@ -332,8 +352,8 @@ def _make_ip_forward_kernel(nx, nu, m, N, n_mp, n_cp, model_f, model_discrete,
             stage_spec(m, nx), stage_spec(m), stage_spec(m, nx),
             const_spec(nx), const_spec(1), const_spec(1), const_spec(1),
             const_spec(1), const_spec(1), const_spec(max(n_mp, 1)),
-            const_spec(max(n_cp, 1)), const_spec(nu), const_spec(nu),
-            const_spec(1),
+            const_spec(max(n_cp, 1)), const_spec(nb), const_spec(nb),
+            const_spec(n_items),
         ]
         out_specs = (
             stage_spec(nx), stage_spec(nu), stage_spec(m), stage_spec(m),
@@ -373,7 +393,7 @@ def _make_ip_forward_kernel(nx, nu, m, N, n_mp, n_cp, model_f, model_discrete,
 
 
 def _scan_ip_forward_single(nx, nu, m, model_f, model_discrete, integrator,
-                            cost_f, slack_soc,
+                            cost_f, slack_soc, box_layout,
                             Xb, Ub, Y, S, ku, Ku, klam, Klam, lam, ky, Ky,
                             ks, Ks, x0, a_pr, a_du, tau, soc_on, dtv, mp, cp,
                             lo, hi, sf):
@@ -395,7 +415,14 @@ def _scan_ip_forward_single(nx, nu, m, model_f, model_discrete, integrator,
         us = [u[i] for i in range(nu)]
         ps = [cp[i] for i in range(cp.shape[0])]
         J = J + cost_f(xs, us, ps, kk)
-        g = jnp.concatenate([(lo - u) * sf, (u - hi) * sf])
+        parts = []
+        off = 0
+        for it, kind in enumerate(box_layout):
+            var, n = (u, nu) if kind == "control" else (x, nx)
+            parts.append((lo[off:off + n] - var) * sf[it])
+            parts.append((var - hi[off:off + n]) * sf[it])
+            off += n
+        g = jnp.concatenate(parts)
         if slack_soc:
             s_soc = -g
             ok_soc = (s_soc >= (1.0 - tau) * s) & (s_soc > 0.0) & (soc_on > 0.5)
@@ -430,22 +457,23 @@ _OP_CACHE = {}
 
 
 def _get_ip_forward_op(model_key, cost_key, nx, nu, m, n_mp, n_cp, model_f,
-                       model_discrete, integrator, cost_f, slack_soc):
+                       model_discrete, integrator, cost_f, slack_soc,
+                       box_layout):
     """Memoized custom_vmap op per static structure. The cache key must pin
     everything the lane closures depend on besides traced params."""
     key = (model_key, cost_key, nx, nu, m, n_mp, n_cp, model_discrete,
-           integrator, slack_soc)
+           integrator, slack_soc, box_layout)
     op = _OP_CACHE.get(key)
     if op is not None:
         return op
 
     scan_single = functools.partial(
         _scan_ip_forward_single, nx, nu, m, model_f, model_discrete,
-        integrator, cost_f, slack_soc,
+        integrator, cost_f, slack_soc, box_layout,
     )
     fused = functools.partial(
         _ip_forward_fused_impl, model_key=model_key, cost_key=cost_key,
-        slack_soc=slack_soc, interpret=False,
+        slack_soc=slack_soc, box_layout=box_layout, interpret=False,
     )
     name = getattr(model_key, "__name__", str(model_key))
     op = make_batched_op(
@@ -462,13 +490,13 @@ _IMPL_CACHE = {}
 def _ip_forward_fused_impl(Xb, Ub, Y, S, ku, Ku, klam, Klam, lam, ky, Ky,
                            ks, Ks, x0, a_pr, a_du, tau, soc_on, dtv, mp, cp,
                            lo, hi, sf, *, model_key, cost_key, slack_soc,
-                           interpret, tile_b=DEFAULT_TILE_B):
+                           box_layout, interpret, tile_b=DEFAULT_TILE_B):
     """Batch-first -> lane-folded kernel invocation (pads batch to tile_b)."""
     B0, N, nx = Xb.shape[0], Xb.shape[1], Xb.shape[2]
     nu, m = Ub.shape[2], Y.shape[2]
     n_mp, n_cp = mp.shape[1], cp.shape[1]
-    key = (model_key, cost_key, nx, nu, m, N, n_mp, n_cp, slack_soc, tile_b,
-           interpret)
+    key = (model_key, cost_key, nx, nu, m, N, n_mp, n_cp, slack_soc,
+           box_layout, tile_b, interpret)
     call = _IMPL_CACHE.get(key)
     if call is None:
         # Lane closures are recovered from the op cache's creation site —
@@ -478,7 +506,7 @@ def _ip_forward_fused_impl(Xb, Ub, Y, S, ku, Ku, klam, Klam, lam, ky, Ky,
         call = _make_ip_forward_kernel(
             nx, nu, m, N, max(n_mp, 1), max(n_cp, 1), entry["model_f"],
             entry["model_discrete"], entry["integrator"], entry["cost_f"],
-            slack_soc, tile_b,
+            slack_soc, box_layout, tile_b,
         )
         _IMPL_CACHE[key] = call
 
@@ -497,7 +525,7 @@ def _ip_forward_fused_impl(Xb, Ub, Y, S, ku, Ku, klam, Klam, lam, ky, Ky,
     args += [prep_scalar(v) for v in (a_pr, a_du, tau, soc_on, dtv)]
     args += [prep(v if v.shape[1] else jnp.zeros((v.shape[0], 1), v.dtype))
              for v in (mp, cp)]
-    args += [prep(lo), prep(hi), prep_scalar(sf)]
+    args += [prep(lo), prep(hi), prep(sf)]
     outs = call(*args, interpret=interpret)
     unprep = lambda x: jnp.moveaxis(x, -1, 0)[:B0]
     Xt, U, Sn, Yn, G, Lam = (unprep(o) for o in outs[:6])
@@ -713,9 +741,10 @@ def resolve_ip_forward(problem, options, stk):
     resolved = _resolve_lanes(problem, options, stk)
     if resolved is None:
         return None
-    m_entry, c_entry, cc = resolved
+    m_entry, c_entry, boxes = resolved
     n_mp, mp_fn, model_f, model_discrete = m_entry
     cost_static, cparams, cost_f = c_entry
+    box_layout = tuple(kind for kind, _ in boxes)
     # Class OBJECTS key the caches (names could collide across modules).
     model_key = type(problem.model)
     cost_key = (type(problem.objective),) + (
@@ -731,7 +760,7 @@ def resolve_ip_forward(problem, options, stk):
     slack_soc = bool(options.ipddp.slack_soc)
     op = _get_ip_forward_op(
         model_key, cost_key, nx, nu, m, max(n_mp, 1), max(cparams.shape[0], 1),
-        model_f, model_discrete, integrator, cost_f, slack_soc,
+        model_f, model_discrete, integrator, cost_f, slack_soc, box_layout,
     )
 
     def run(c, bp, alpha_pr, alpha_du, tau):
@@ -750,8 +779,15 @@ def resolve_ip_forward(problem, options, stk):
             jnp.asarray(alpha_pr, dtype), jnp.asarray(alpha_du, dtype),
             jnp.asarray(tau, dtype), soc_flag,
             jnp.asarray(problem.timestep, dtype), mp, cp,
-            jnp.asarray(cc.lower, dtype), jnp.asarray(cc.upper, dtype),
-            jnp.asarray(cc.scale_factor, dtype),
+            jnp.concatenate(
+                [jnp.asarray(c.lower, dtype).reshape(-1) for _, c in boxes]
+            ),
+            jnp.concatenate(
+                [jnp.asarray(c.upper, dtype).reshape(-1) for _, c in boxes]
+            ),
+            jnp.stack(
+                [jnp.asarray(c.scale_factor, dtype) for _, c in boxes]
+            ),
         )
         x_last, J, feasible, Xt, U, Sn, Yn, G, Lam = outs
         return (x_last, J, feasible), (Xt, U, Sn, Yn, G, Lam)

@@ -111,7 +111,7 @@ def test_kernel_interpret_matches_lane_scan():
     )
     lo = jnp.broadcast_to(jnp.asarray(cc.lower, jnp.float32)[None], (B, nu))
     hi = jnp.broadcast_to(jnp.asarray(cc.upper, jnp.float32)[None], (B, nu))
-    sf = jnp.full((B,), jnp.float32(cc.scale_factor))
+    sf = jnp.full((B, 1), jnp.float32(cc.scale_factor))
 
     args = (Xb, Ub, Y, S, ku, Ku, klam, Klam, lam, ky, Ky, ksl, Ksl, x0,
             a_pr, a_du, tau, soc, dtv, mp, cp, lo, hi, sf)
@@ -120,7 +120,8 @@ def test_kernel_interpret_matches_lane_scan():
         scan = jax.jit(jax.vmap(
             lambda *a: ip_rollout._scan_ip_forward_single(
                 nx, nu, m, model_f, model_discrete,
-                prob.model.integration_type, cost_f, slack_soc, *a)
+                prob.model.integration_type, cost_f, slack_soc,
+                ("control",), *a)
         ))
         ref = scan(*args)
 
@@ -132,7 +133,7 @@ def test_kernel_interpret_matches_lane_scan():
         )
         out = jax.jit(lambda *a: ip_rollout._ip_forward_fused_impl(
             *a, model_key=model_key, cost_key=cost_key, slack_soc=slack_soc,
-            interpret=True))(*args)
+            box_layout=("control",), interpret=True))(*args)
 
         x_last_r, J_r, F_r = ref[0], ref[1], ref[2]
         Xt_r, U_r, S_r, Y_r, G_r, L_r = ref[3:]
@@ -349,3 +350,183 @@ def test_nested_vmap_folds_total_batch():
             np.testing.assert_allclose(
                 np.asarray(out[i, j]), np.asarray(ref), rtol=0, atol=0
             )
+
+
+def _unicycle_box_problem(state_box_name="StateConstraint", dtype=jnp.float64):
+    import cddp_tpu as ct
+    from cddp_tpu.models import Unicycle
+
+    model = Unicycle()
+    dt, N = 0.05, 24
+    goal = jnp.array([1.2, 1.0, jnp.pi / 4], dtype)
+    obj = ct.quadratic_objective(
+        0.05 * jnp.eye(3, dtype=dtype), 0.1 * jnp.eye(2, dtype=dtype),
+        60.0 * jnp.eye(3, dtype=dtype), goal, dt,
+    )
+    prob = ct.problem(model, obj, jnp.zeros(3, dtype), N, dt)
+    prob = prob.add_constraint(
+        "ControlConstraint",
+        ct.control_constraint(jnp.array([-1.2, -1.5], dtype),
+                              jnp.array([1.2, 1.5], dtype)),
+    )
+    from cddp_tpu.constraints.path import state_constraint
+
+    prob = prob.add_constraint(
+        state_box_name,
+        state_constraint(jnp.array([-0.2, -0.2, -2.0], dtype),
+                         jnp.array([1.05, 1.05, 2.0], dtype)),
+    )
+    return prob
+
+
+def test_state_box_stack_is_eligible_and_ordered():
+    """Control+state box stacks take the fused path; the box layout follows
+    the stack's name-sorted order; non-box constraints still decline."""
+    import cddp_tpu as ct
+    from cddp_tpu.constraints.stack import PathStacker
+    from cddp_tpu.options import CDDPOptions
+
+    opts = CDDPOptions()
+    prob = _unicycle_box_problem()
+    stk = PathStacker(prob)
+    assert ip_rollout.ip_forward_eligible(prob, opts, stk)
+    boxes = ip_rollout._box_stack(stk)
+    assert tuple(k for k, _ in boxes) == ("control", "state")
+
+    # name-sorted: "AStateBox" < "ControlConstraint" puts the state box first
+    prob2 = _unicycle_box_problem(state_box_name="AStateBox")
+    boxes2 = ip_rollout._box_stack(PathStacker(prob2))
+    assert tuple(k for k, _ in boxes2) == ("state", "control")
+
+    prob3 = prob.add_constraint(
+        "BallConstraint",
+        ct.ball_constraint(0.3, jnp.array([0.5, 0.5])),
+    )
+    assert not ip_rollout.ip_forward_eligible(prob3, opts, PathStacker(prob3))
+
+
+@pytest.mark.parametrize("state_box_name", ["StateConstraint", "AStateBox"])
+def test_ipddp_state_box_fused_scan_matches_inline(state_box_name):
+    """End-to-end IPDDP on a control+state box problem: the fused-path
+    reference scan (forward_engine='auto', unbatched -> op scan) must
+    reproduce the solver's inline forward scan (forward_engine='scan')
+    exactly in f64 — including with the state box FIRST in stack order."""
+    import dataclasses
+
+    import cddp_tpu as ct
+    from cddp_tpu.solvers import ipddp
+
+    prob = _unicycle_box_problem(state_box_name=state_box_name)
+    opts = ct.CDDPOptions(max_iterations=60, tolerance=1e-8,
+                          acceptable_tolerance=1e-8)
+    sol_auto = ipddp.solve(prob, opts)
+    opts_scan = dataclasses.replace(
+        opts, ipddp=dataclasses.replace(opts.ipddp, forward_engine="scan")
+    )
+    sol_scan = ipddp.solve(prob, opts_scan)
+    np.testing.assert_allclose(
+        np.asarray(sol_auto.state_trajectory),
+        np.asarray(sol_scan.state_trajectory), rtol=0, atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sol_auto.control_trajectory),
+        np.asarray(sol_scan.control_trajectory), rtol=0, atol=1e-12,
+    )
+    assert sol_auto.status_message == sol_scan.status_message
+    # the state box must actually bind on this problem, and be respected
+    # over the path stages (path constraints run over t=0..N-1 at pre-step
+    # states — x_N is outside their scope, as in the reference).
+    X = np.asarray(sol_auto.state_trajectory)
+    assert X[:-1, :2].max() <= 1.05 + 1e-4
+    assert X[:-1, :2].max() >= 1.0  # pushes into the constraint
+
+
+def test_kernel_interpret_matches_scan_mixed_box_stack():
+    """pallas_call (interpret) == scan for a ("state", "control") two-box
+    stack on a builtin-lane model (unicycle + quadratic cost)."""
+    import cddp_tpu as ct
+    from cddp_tpu.constraints.stack import PathStacker
+
+    prob = _unicycle_box_problem(state_box_name="AStateBox",
+                                 dtype=jnp.float32)
+    stk = PathStacker(prob)
+    boxes = ip_rollout._box_stack(stk)
+    box_layout = tuple(k for k, _ in boxes)
+    assert box_layout == ("state", "control")
+    m_entry = ip_rollout.model_lane(prob.model)
+    c_entry = ip_rollout.cost_lane(prob.objective)
+    assert m_entry is not None and c_entry is not None
+    _, mp_fn, model_f, model_discrete = m_entry
+    _, cparams, cost_f = c_entry
+
+    B, N, nx, nu = 4, 10, 3, 2
+    m = stk.total_dim
+    assert m == 10
+    key = jax.random.PRNGKey(7)
+    ks = jax.random.split(key, 16)
+
+    def mk(k, *shape, scale=0.05):
+        return jax.random.normal(k, (B,) + shape, jnp.float32) * scale
+
+    Xb = mk(ks[0], N, nx, scale=0.3)
+    Ub = mk(ks[1], N, nu) + 0.4
+    Y = jnp.abs(mk(ks[2], N, m)) + 0.1
+    S = jnp.abs(mk(ks[3], N, m)) + 0.1
+    ku = mk(ks[4], N, nu)
+    Ku = mk(ks[5], N, nu, nx)
+    klam = mk(ks[6], N, nx)
+    Klam = mk(ks[7], N, nx, nx)
+    lam = mk(ks[8], N, nx)
+    ky = mk(ks[9], N, m)
+    Ky = mk(ks[10], N, m, nx)
+    ksl = mk(ks[11], N, m)
+    Ksl = mk(ks[12], N, m, nx)
+    x0 = mk(ks[13], nx, scale=0.1)
+    a_pr = jnp.full((B,), 0.5, jnp.float32)
+    a_du = jnp.full((B,), 0.25, jnp.float32)
+    tau = jnp.full((B,), 0.9, jnp.float32)
+    soc = jnp.ones((B,), jnp.float32)
+    dtv = jnp.full((B,), jnp.float32(prob.timestep))
+    mp_row = jnp.asarray(mp_fn(prob.model), jnp.float32).reshape(-1)
+    if mp_row.shape[0] == 0:
+        mp_row = jnp.zeros((1,), jnp.float32)
+    mp = jnp.broadcast_to(mp_row[None], (B, mp_row.shape[0]))
+    cp = jnp.broadcast_to(
+        jnp.asarray(cparams, jnp.float32)[None], (B, cparams.shape[0])
+    )
+    lo = jnp.broadcast_to(
+        jnp.concatenate([jnp.asarray(c.lower, jnp.float32).reshape(-1)
+                         for _, c in boxes])[None], (B, nx + nu))
+    hi = jnp.broadcast_to(
+        jnp.concatenate([jnp.asarray(c.upper, jnp.float32).reshape(-1)
+                         for _, c in boxes])[None], (B, nx + nu))
+    sf = jnp.broadcast_to(
+        jnp.stack([jnp.float32(c.scale_factor) for _, c in boxes])[None],
+        (B, 2))
+
+    args = (Xb, Ub, Y, S, ku, Ku, klam, Klam, lam, ky, Ky, ksl, Ksl, x0,
+            a_pr, a_du, tau, soc, dtv, mp, cp, lo, hi, sf)
+
+    scan = jax.jit(jax.vmap(
+        lambda *a: ip_rollout._scan_ip_forward_single(
+            nx, nu, m, model_f, model_discrete,
+            prob.model.integration_type, cost_f, True, box_layout, *a)
+    ))
+    ref = scan(*args)
+
+    model_key = type(prob.model)
+    cost_key = (type(prob.objective),) + c_entry[0]
+    ip_rollout._LANES_BY_KEY[(model_key, cost_key)] = dict(
+        model_f=model_f, model_discrete=model_discrete,
+        integrator=prob.model.integration_type, cost_f=cost_f,
+    )
+    out = jax.jit(lambda *a: ip_rollout._ip_forward_fused_impl(
+        *a, model_key=model_key, cost_key=cost_key, slack_soc=True,
+        box_layout=box_layout, interpret=True))(*args)
+
+    for k_arr, r_arr in zip(out[3:], ref[3:]):
+        np.testing.assert_allclose(np.asarray(k_arr), np.asarray(r_arr),
+                                   atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out[1]), np.asarray(ref[1]),
+                               rtol=1e-4)  # J
+    np.testing.assert_array_equal(np.asarray(out[2]), np.asarray(ref[2]))
