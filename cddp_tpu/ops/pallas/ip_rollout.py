@@ -98,22 +98,69 @@ _COST_LANES = {}
 
 
 def register_cost_lane(cls, factory):
-    """Register a running-cost lane factory for an Objective subclass."""
+    """Register a running-cost lane factory for an Objective subclass.
+
+    ``factory(objective)`` returns None (decline) or a tuple:
+
+    - 3-tuple ``(static_key, const_params (p,), lane_f)`` with
+      ``lane_f(x_list, u_list, p_list, t_idx) -> scalar lane`` — costs
+      whose parameters are time-invariant; or
+    - 4-tuple ``(static_key, const_params, stage_params (N, q), lane_f)``
+      with ``lane_f(x_list, u_list, p_list, sp_list, t_idx)`` — costs with
+      per-timestep parameters (e.g. a reference trajectory): row t of
+      ``stage_params`` is delivered as ``sp_list`` at step t.
+    """
     _COST_LANES[cls] = factory
 
 
 def cost_lane(objective):
+    """Normalized lane entry ``(static_key, const_params, stage_params
+    (N, q) or None, lane_f(x, u, p, sp, t))``, or None."""
     factory = _COST_LANES.get(type(objective))
-    return None if factory is None else factory(objective)
+    if factory is None:
+        return None
+    out = factory(objective)
+    if out is None:
+        return None
+    if len(out) == 3:
+        static, params, lane_f3 = out
+
+        def lane_f(x, u, p, sp, t_idx, _f=lane_f3):
+            return _f(x, u, p, t_idx)
+
+        return static, params, None, lane_f
+    return out
 
 
 def _quadratic_cost_factory(obj):
-    """Goal-tracking QuadraticObjective lane (objective.cpp:30-94 semantics,
-    dt-prescaled Q/R as stored): e'Qe + u'Ru."""
-    if obj.reference_states is not None:
-        return None
+    """QuadraticObjective lane (objective.cpp:30-94 semantics, dt-prescaled
+    Q/R as stored): e'Qe + u'Ru, with the goal as a const param — or, when
+    ``reference_states`` is set, the per-step reference row as a stage
+    param (tracking MPC)."""
     nx = obj.Q.shape[0]
     nu = obj.R.shape[0]
+    if obj.reference_states is not None:
+        params = jnp.concatenate(
+            [jnp.asarray(obj.Q).reshape(-1), jnp.asarray(obj.R).reshape(-1)]
+        )
+
+        def lane_track_f(x, u, p, sp, t_idx):
+            Q = [[p[i * nx + j] for j in range(nx)] for i in range(nx)]
+            R = [[p[nx * nx + i * nu + j] for j in range(nu)]
+                 for i in range(nu)]
+            e = [x[i] - sp[i] for i in range(nx)]
+            J = jnp.zeros_like(x[0])
+            for i in range(nx):
+                for j in range(nx):
+                    J = J + e[i] * Q[i][j] * e[j]
+            for i in range(nu):
+                for j in range(nu):
+                    J = J + u[i] * R[i][j] * u[j]
+            return J
+
+        return (("quadratic_track", nx, nu), params,
+                jnp.asarray(obj.reference_states), lane_track_f)
+
     params = jnp.concatenate(
         [jnp.asarray(obj.Q).reshape(-1), jnp.asarray(obj.R).reshape(-1),
          jnp.asarray(obj.reference_state).reshape(-1)]
@@ -197,9 +244,9 @@ def ip_forward_eligible(problem, options, stk) -> bool:
 # --- the fused kernel ---------------------------------------------------------
 
 
-def _make_ip_forward_kernel(nx, nu, m, N, n_mp, n_cp, model_f, model_discrete,
-                            integrator, cost_f, slack_soc, box_layout,
-                            tile_b):
+def _make_ip_forward_kernel(nx, nu, m, N, n_mp, n_cp, n_sp, model_f,
+                            model_discrete, integrator, cost_f, slack_soc,
+                            box_layout, tile_b):
     """Kernel over (batch_tile, time): carry [x (nx), J, feasible]; per-step
     inputs/outputs as in ipddp._forward_pass's scan. ``box_layout`` is the
     static tuple of "control"/"state" box kinds in stack (name-sorted)
@@ -212,7 +259,7 @@ def _make_ip_forward_kernel(nx, nu, m, N, n_mp, n_cp, model_f, model_discrete,
     def kernel(Xb_ref, Ub_ref, Y_ref, S_ref, ku_ref, Ku_ref, klam_ref,
                Klam_ref, lam_ref, ky_ref, Ky_ref, ks_ref, Ks_ref,
                x0_ref, apr_ref, adu_ref, tau_ref, soc_ref, dt_ref,
-               mp_ref, cp_ref, lo_ref, hi_ref, sf_ref,
+               mp_ref, cp_ref, cps_ref, lo_ref, hi_ref, sf_ref,
                Xo_ref, Uo_ref, So_ref, Yo_ref, Go_ref, Lo_ref,
                J_ref, F_ref, carry_ref):
         tt = pl.program_id(1)
@@ -223,6 +270,7 @@ def _make_ip_forward_kernel(nx, nu, m, N, n_mp, n_cp, model_f, model_discrete,
         dt = dt_ref[0]
         mp = [mp_ref[i] for i in range(n_mp)]
         cp = [cp_ref[i] for i in range(n_cp)]
+        sp = [cps_ref[0, i] for i in range(n_sp)]
         sf = [sf_ref[i] for i in range(n_items)]
 
         @pl.when(tt == 0)
@@ -254,7 +302,7 @@ def _make_ip_forward_kernel(nx, nu, m, N, n_mp, n_cp, model_f, model_discrete,
         y_new = gain_apply(Y_ref, ky_ref, Ky_ref, m, a_du)
         u = gain_apply(Ub_ref, ku_ref, Ku_ref, nu, a_pr)
 
-        J = J + cost_f(x, u, cp, tt)
+        J = J + cost_f(x, u, cp, sp, tt)
 
         # Per box item: g = [(lo - var); (var - hi)] * scale (box
         # evaluate - upper_bound, constraints/path.py _BoxConstraint),
@@ -318,7 +366,7 @@ def _make_ip_forward_kernel(nx, nu, m, N, n_mp, n_cp, model_f, model_discrete,
     tbs = tile_b // 128
 
     def call(Xb, Ub, Y, S, ku, Ku, klam, Klam, lam, ky, Ky, ks, Ks,
-             x0, a_pr, a_du, tau, soc_on, dtv, mp, cp, lo, hi, sf,
+             x0, a_pr, a_du, tau, soc_on, dtv, mp, cp, cps, lo, hi, sf,
              interpret=False):
         Btot = Xb.shape[-1]
         assert Btot % tile_b == 0, (Btot, tile_b)
@@ -352,8 +400,8 @@ def _make_ip_forward_kernel(nx, nu, m, N, n_mp, n_cp, model_f, model_discrete,
             stage_spec(m, nx), stage_spec(m), stage_spec(m, nx),
             const_spec(nx), const_spec(1), const_spec(1), const_spec(1),
             const_spec(1), const_spec(1), const_spec(max(n_mp, 1)),
-            const_spec(max(n_cp, 1)), const_spec(nb), const_spec(nb),
-            const_spec(n_items),
+            const_spec(max(n_cp, 1)), stage_spec(max(n_sp, 1)),
+            const_spec(nb), const_spec(nb), const_spec(n_items),
         ]
         out_specs = (
             stage_spec(nx), stage_spec(nu), stage_spec(m), stage_spec(m),
@@ -371,7 +419,7 @@ def _make_ip_forward_kernel(nx, nu, m, N, n_mp, n_cp, model_f, model_discrete,
         )
         args = [fold(v) for v in (Xb, Ub, Y, S, ku, Ku, klam, Klam, lam, ky,
                                   Ky, ks, Ks, x0, a_pr, a_du, tau, soc_on,
-                                  dtv, mp, cp, lo, hi, sf)]
+                                  dtv, mp, cp, cps, lo, hi, sf)]
         outs = pl.pallas_call(
             kernel,
             grid=grid,
@@ -396,7 +444,7 @@ def _scan_ip_forward_single(nx, nu, m, model_f, model_discrete, integrator,
                             cost_f, slack_soc, box_layout,
                             Xb, Ub, Y, S, ku, Ku, klam, Klam, lam, ky, Ky,
                             ks, Ks, x0, a_pr, a_du, tau, soc_on, dtv, mp, cp,
-                            lo, hi, sf):
+                            cps, lo, hi, sf):
     """Unbatched reference path: identical math to the kernel as a scan
     (and to ipddp._forward_pass's inline step for this problem family)."""
     N = Xb.shape[0]
@@ -405,7 +453,7 @@ def _scan_ip_forward_single(nx, nu, m, model_f, model_discrete, integrator,
     def step(carry, inp):
         x, J, feas = carry
         Xb_t, Ub_t, y, s, ku_t, Ku_t, klam_t, Klam_t, lam_t, ky_t, Ky_t, \
-            ks_t, Ks_t, kk = inp
+            ks_t, Ks_t, cps_t, kk = inp
         dx = x - Xb_t
         lam_new = lam_t + a_pr * klam_t + Klam_t @ dx
         s_new = s + a_pr * ks_t + Ks_t @ dx
@@ -414,7 +462,8 @@ def _scan_ip_forward_single(nx, nu, m, model_f, model_discrete, integrator,
         xs = [x[i] for i in range(nx)]
         us = [u[i] for i in range(nu)]
         ps = [cp[i] for i in range(cp.shape[0])]
-        J = J + cost_f(xs, us, ps, kk)
+        sps = [cps_t[i] for i in range(cps.shape[-1])]
+        J = J + cost_f(xs, us, ps, sps, kk)
         parts = []
         off = 0
         for it, kind in enumerate(box_layout):
@@ -446,7 +495,8 @@ def _scan_ip_forward_single(nx, nu, m, model_f, model_discrete, integrator,
         return (x_next, J, feas), (x_next, u, s_new, y_new, g, lam_new)
 
     ks_idx = jnp.arange(N)
-    inputs = (Xb, Ub, Y, S, ku, Ku, klam, Klam, lam, ky, Ky, ks, Ks, ks_idx)
+    inputs = (Xb, Ub, Y, S, ku, Ku, klam, Klam, lam, ky, Ky, ks, Ks, cps,
+              ks_idx)
     (x_last, J, feas), outs = jax.lax.scan(
         step, (x0, jnp.zeros((), dtype), jnp.asarray(True)), inputs
     )
@@ -456,12 +506,12 @@ def _scan_ip_forward_single(nx, nu, m, model_f, model_discrete, integrator,
 _OP_CACHE = {}
 
 
-def _get_ip_forward_op(model_key, cost_key, nx, nu, m, n_mp, n_cp, model_f,
-                       model_discrete, integrator, cost_f, slack_soc,
-                       box_layout):
+def _get_ip_forward_op(model_key, cost_key, nx, nu, m, n_mp, n_cp, n_sp,
+                       model_f, model_discrete, integrator, cost_f,
+                       slack_soc, box_layout):
     """Memoized custom_vmap op per static structure. The cache key must pin
     everything the lane closures depend on besides traced params."""
-    key = (model_key, cost_key, nx, nu, m, n_mp, n_cp, model_discrete,
+    key = (model_key, cost_key, nx, nu, m, n_mp, n_cp, n_sp, model_discrete,
            integrator, slack_soc, box_layout)
     op = _OP_CACHE.get(key)
     if op is not None:
@@ -489,13 +539,13 @@ _IMPL_CACHE = {}
 
 def _ip_forward_fused_impl(Xb, Ub, Y, S, ku, Ku, klam, Klam, lam, ky, Ky,
                            ks, Ks, x0, a_pr, a_du, tau, soc_on, dtv, mp, cp,
-                           lo, hi, sf, *, model_key, cost_key, slack_soc,
+                           cps, lo, hi, sf, *, model_key, cost_key, slack_soc,
                            box_layout, interpret, tile_b=DEFAULT_TILE_B):
     """Batch-first -> lane-folded kernel invocation (pads batch to tile_b)."""
     B0, N, nx = Xb.shape[0], Xb.shape[1], Xb.shape[2]
     nu, m = Ub.shape[2], Y.shape[2]
-    n_mp, n_cp = mp.shape[1], cp.shape[1]
-    key = (model_key, cost_key, nx, nu, m, N, n_mp, n_cp, slack_soc,
+    n_mp, n_cp, n_sp = mp.shape[1], cp.shape[1], cps.shape[2]
+    key = (model_key, cost_key, nx, nu, m, N, n_mp, n_cp, n_sp, slack_soc,
            box_layout, tile_b, interpret)
     call = _IMPL_CACHE.get(key)
     if call is None:
@@ -504,9 +554,9 @@ def _ip_forward_fused_impl(Xb, Ub, Y, S, ku, Ku, klam, Klam, lam, ky, Ky,
         # guarantees a one-to-one (model_key, cost_key) -> lane mapping.
         entry = _LANES_BY_KEY[(model_key, cost_key)]
         call = _make_ip_forward_kernel(
-            nx, nu, m, N, max(n_mp, 1), max(n_cp, 1), entry["model_f"],
-            entry["model_discrete"], entry["integrator"], entry["cost_f"],
-            slack_soc, box_layout, tile_b,
+            nx, nu, m, N, max(n_mp, 1), max(n_cp, 1), max(n_sp, 1),
+            entry["model_f"], entry["model_discrete"], entry["integrator"],
+            entry["cost_f"], slack_soc, box_layout, tile_b,
         )
         _IMPL_CACHE[key] = call
 
@@ -525,6 +575,8 @@ def _ip_forward_fused_impl(Xb, Ub, Y, S, ku, Ku, klam, Klam, lam, ky, Ky,
     args += [prep_scalar(v) for v in (a_pr, a_du, tau, soc_on, dtv)]
     args += [prep(v if v.shape[1] else jnp.zeros((v.shape[0], 1), v.dtype))
              for v in (mp, cp)]
+    args += [prep(cps if cps.shape[2] else
+                  jnp.zeros((cps.shape[0], N, 1), cps.dtype))]
     args += [prep(lo), prep(hi), prep(sf)]
     outs = call(*args, interpret=interpret)
     unprep = lambda x: jnp.moveaxis(x, -1, 0)[:B0]
@@ -743,7 +795,7 @@ def resolve_ip_forward(problem, options, stk):
         return None
     m_entry, c_entry, boxes = resolved
     n_mp, mp_fn, model_f, model_discrete = m_entry
-    cost_static, cparams, cost_f = c_entry
+    cost_static, cparams, cstage, cost_f = c_entry
     box_layout = tuple(kind for kind, _ in boxes)
     # Class OBJECTS key the caches (names could collide across modules).
     model_key = type(problem.model)
@@ -758,9 +810,11 @@ def resolve_ip_forward(problem, options, stk):
     m = stk.total_dim
     nx, nu = problem.state_dim, problem.control_dim
     slack_soc = bool(options.ipddp.slack_soc)
+    n_sp = 0 if cstage is None else cstage.shape[1]
     op = _get_ip_forward_op(
         model_key, cost_key, nx, nu, m, max(n_mp, 1), max(cparams.shape[0], 1),
-        model_f, model_discrete, integrator, cost_f, slack_soc, box_layout,
+        max(n_sp, 1), model_f, model_discrete, integrator, cost_f, slack_soc,
+        box_layout,
     )
 
     def run(c, bp, alpha_pr, alpha_du, tau):
@@ -771,6 +825,10 @@ def resolve_ip_forward(problem, options, stk):
         cp = jnp.asarray(cparams, dtype).reshape(-1)
         if cp.shape[0] == 0:
             cp = jnp.zeros((1,), dtype)
+        if cstage is None:
+            cps = jnp.zeros((c.U.shape[0], 1), dtype)
+        else:
+            cps = jnp.asarray(cstage, dtype)
         soc_flag = jnp.where(c.soc_on, 1.0, 0.0).astype(dtype)
         outs = op(
             c.X[:-1], c.U, c.Y, c.S, bp.k_u, bp.K_u, bp.k_lambda[:-1],
@@ -778,15 +836,15 @@ def resolve_ip_forward(problem, options, stk):
             jnp.asarray(problem.x0, dtype),
             jnp.asarray(alpha_pr, dtype), jnp.asarray(alpha_du, dtype),
             jnp.asarray(tau, dtype), soc_flag,
-            jnp.asarray(problem.timestep, dtype), mp, cp,
+            jnp.asarray(problem.timestep, dtype), mp, cp, cps,
             jnp.concatenate(
-                [jnp.asarray(c.lower, dtype).reshape(-1) for _, c in boxes]
+                [jnp.asarray(cb.lower, dtype).reshape(-1) for _, cb in boxes]
             ),
             jnp.concatenate(
-                [jnp.asarray(c.upper, dtype).reshape(-1) for _, c in boxes]
+                [jnp.asarray(cb.upper, dtype).reshape(-1) for _, cb in boxes]
             ),
             jnp.stack(
-                [jnp.asarray(c.scale_factor, dtype) for _, c in boxes]
+                [jnp.asarray(cb.scale_factor, dtype) for _, cb in boxes]
             ),
         )
         x_last, J, feasible, Xt, U, Sn, Yn, G, Lam = outs

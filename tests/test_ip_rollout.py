@@ -73,7 +73,7 @@ def test_kernel_interpret_matches_lane_scan():
     c_entry = ip_rollout.cost_lane(prob.objective)
     assert m_entry is not None and c_entry is not None
     _, _, model_f, model_discrete = m_entry
-    _, cparams, cost_f = c_entry
+    _, cparams, _cstage, cost_f = c_entry
 
     key = jax.random.PRNGKey(3)
     ks = jax.random.split(key, 16)
@@ -109,12 +109,13 @@ def test_kernel_interpret_matches_lane_scan():
     cp = jnp.broadcast_to(
         jnp.asarray(c_entry[1], jnp.float32)[None], (B, n_cp)
     )
+    cps = jnp.zeros((B, N, 1), jnp.float32)
     lo = jnp.broadcast_to(jnp.asarray(cc.lower, jnp.float32)[None], (B, nu))
     hi = jnp.broadcast_to(jnp.asarray(cc.upper, jnp.float32)[None], (B, nu))
     sf = jnp.full((B, 1), jnp.float32(cc.scale_factor))
 
     args = (Xb, Ub, Y, S, ku, Ku, klam, Klam, lam, ky, Ky, ksl, Ksl, x0,
-            a_pr, a_du, tau, soc, dtv, mp, cp, lo, hi, sf)
+            a_pr, a_du, tau, soc, dtv, mp, cp, cps, lo, hi, sf)
 
     for slack_soc in (True, False):
         scan = jax.jit(jax.vmap(
@@ -457,7 +458,7 @@ def test_kernel_interpret_matches_scan_mixed_box_stack():
     c_entry = ip_rollout.cost_lane(prob.objective)
     assert m_entry is not None and c_entry is not None
     _, mp_fn, model_f, model_discrete = m_entry
-    _, cparams, cost_f = c_entry
+    _, cparams, _cstage, cost_f = c_entry
 
     B, N, nx, nu = 4, 10, 3, 2
     m = stk.total_dim
@@ -494,6 +495,7 @@ def test_kernel_interpret_matches_scan_mixed_box_stack():
     cp = jnp.broadcast_to(
         jnp.asarray(cparams, jnp.float32)[None], (B, cparams.shape[0])
     )
+    cps = jnp.zeros((B, N, 1), jnp.float32)
     lo = jnp.broadcast_to(
         jnp.concatenate([jnp.asarray(c.lower, jnp.float32).reshape(-1)
                          for _, c in boxes])[None], (B, nx + nu))
@@ -505,7 +507,7 @@ def test_kernel_interpret_matches_scan_mixed_box_stack():
         (B, 2))
 
     args = (Xb, Ub, Y, S, ku, Ku, klam, Klam, lam, ky, Ky, ksl, Ksl, x0,
-            a_pr, a_du, tau, soc, dtv, mp, cp, lo, hi, sf)
+            a_pr, a_du, tau, soc, dtv, mp, cp, cps, lo, hi, sf)
 
     scan = jax.jit(jax.vmap(
         lambda *a: ip_rollout._scan_ip_forward_single(
@@ -529,4 +531,146 @@ def test_kernel_interpret_matches_scan_mixed_box_stack():
                                    atol=1e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(out[1]), np.asarray(ref[1]),
                                rtol=1e-4)  # J
+    np.testing.assert_array_equal(np.asarray(out[2]), np.asarray(ref[2]))
+
+
+def _tracking_problem(dtype=jnp.float64, N=24):
+    """Unicycle tracking a circular-arc reference (per-step
+    reference_states) with a control box — the tracking-MPC shape."""
+    import cddp_tpu as ct
+    from cddp_tpu.models import Unicycle
+
+    dt = 0.05
+    ts = jnp.linspace(0.0, 1.0, N, dtype=dtype)
+    refs = jnp.stack(
+        [jnp.sin(ts), 1.0 - jnp.cos(ts), ts], axis=1
+    ).astype(dtype)
+    goal = refs[-1]
+    obj = ct.quadratic_objective(
+        0.5 * jnp.eye(3, dtype=dtype), 0.1 * jnp.eye(2, dtype=dtype),
+        50.0 * jnp.eye(3, dtype=dtype), goal, dt, reference_states=refs,
+    )
+    prob = ct.problem(Unicycle(), obj, jnp.zeros(3, dtype), N, dt)
+    return prob.add_constraint(
+        "ControlConstraint",
+        ct.control_constraint(jnp.array([-2.0, -2.0], dtype),
+                              jnp.array([2.0, 2.0], dtype)),
+    )
+
+
+def test_tracking_objective_is_eligible_and_parity():
+    """reference_states objectives (tracking MPC) ride the fused path as
+    per-step stage params: eligibility accepts them, and the fused-path
+    reference scan reproduces the inline forward exactly in f64."""
+    import dataclasses
+
+    import cddp_tpu as ct
+    from cddp_tpu.constraints.stack import PathStacker
+    from cddp_tpu.solvers import ipddp as ipddp_mod
+
+    prob = _tracking_problem()
+    opts = ct.CDDPOptions(max_iterations=80, tolerance=1e-9,
+                          acceptable_tolerance=1e-9)
+    assert ip_rollout.ip_forward_eligible(prob, opts, PathStacker(prob))
+    sol_auto = ipddp_mod.solve(prob, opts)
+    opts_scan = dataclasses.replace(
+        opts, ipddp=dataclasses.replace(opts.ipddp, forward_engine="scan")
+    )
+    sol_scan = ipddp_mod.solve(prob, opts_scan)
+    np.testing.assert_allclose(
+        np.asarray(sol_auto.state_trajectory),
+        np.asarray(sol_scan.state_trajectory), rtol=0, atol=1e-12,
+    )
+    # tracking actually happened
+    refs = np.asarray(prob.objective.reference_states)  # (N, nx), step k
+    X = np.asarray(sol_auto.state_trajectory)  # (N+1, nx)
+    N = refs.shape[0]
+    assert np.abs(X[1:N, :2] - refs[1:N, :2]).max() < 0.15
+
+
+def test_kernel_interpret_matches_scan_tracking_cost():
+    """pallas_call (interpret) == scan with NONZERO per-step stage params
+    (the quadratic_track lane): covers the kernel's stage-indexed cps
+    block."""
+    prob = _tracking_problem(dtype=jnp.float32, N=10)
+    from cddp_tpu.constraints.stack import PathStacker
+
+    stk = PathStacker(prob)
+    boxes = ip_rollout._box_stack(stk)
+    box_layout = tuple(k for k, _ in boxes)
+    m_entry = ip_rollout.model_lane(prob.model)
+    c_entry = ip_rollout.cost_lane(prob.objective)
+    assert c_entry is not None and c_entry[2] is not None
+    _, mp_fn, model_f, model_discrete = m_entry
+    static, cparams, cstage, cost_f = c_entry
+    assert static[0] == "quadratic_track"
+
+    B, N, nx, nu = 4, 10, 3, 2
+    m = stk.total_dim
+    key = jax.random.PRNGKey(11)
+    ks = jax.random.split(key, 16)
+
+    def mk(k, *shape, scale=0.05):
+        return jax.random.normal(k, (B,) + shape, jnp.float32) * scale
+
+    Xb = mk(ks[0], N, nx, scale=0.3)
+    Ub = mk(ks[1], N, nu) + 0.4
+    Y = jnp.abs(mk(ks[2], N, m)) + 0.1
+    S = jnp.abs(mk(ks[3], N, m)) + 0.1
+    ku = mk(ks[4], N, nu)
+    Ku = mk(ks[5], N, nu, nx)
+    klam = mk(ks[6], N, nx)
+    Klam = mk(ks[7], N, nx, nx)
+    lam = mk(ks[8], N, nx)
+    ky = mk(ks[9], N, m)
+    Ky = mk(ks[10], N, m, nx)
+    ksl = mk(ks[11], N, m)
+    Ksl = mk(ks[12], N, m, nx)
+    x0 = mk(ks[13], nx, scale=0.1)
+    a_pr = jnp.full((B,), 0.5, jnp.float32)
+    a_du = jnp.full((B,), 0.25, jnp.float32)
+    tau = jnp.full((B,), 0.9, jnp.float32)
+    soc = jnp.ones((B,), jnp.float32)
+    dtv = jnp.full((B,), jnp.float32(prob.timestep))
+    mp_row = jnp.asarray(mp_fn(prob.model), jnp.float32).reshape(-1)
+    if mp_row.shape[0] == 0:
+        mp_row = jnp.zeros((1,), jnp.float32)
+    mp = jnp.broadcast_to(mp_row[None], (B, mp_row.shape[0]))
+    cp = jnp.broadcast_to(
+        jnp.asarray(cparams, jnp.float32)[None], (B, cparams.shape[0])
+    )
+    cps = jnp.broadcast_to(
+        jnp.asarray(cstage, jnp.float32)[None], (B, N, nx)
+    )
+    cc = boxes[0][1]
+    lo = jnp.broadcast_to(jnp.asarray(cc.lower, jnp.float32)[None], (B, nu))
+    hi = jnp.broadcast_to(jnp.asarray(cc.upper, jnp.float32)[None], (B, nu))
+    sf = jnp.full((B, 1), jnp.float32(cc.scale_factor))
+
+    args = (Xb, Ub, Y, S, ku, Ku, klam, Klam, lam, ky, Ky, ksl, Ksl, x0,
+            a_pr, a_du, tau, soc, dtv, mp, cp, cps, lo, hi, sf)
+
+    scan = jax.jit(jax.vmap(
+        lambda *a: ip_rollout._scan_ip_forward_single(
+            nx, nu, m, model_f, model_discrete,
+            prob.model.integration_type, cost_f, True, box_layout, *a)
+    ))
+    ref = scan(*args)
+
+    model_key = type(prob.model)
+    cost_key = (type(prob.objective),) + static
+    ip_rollout._LANES_BY_KEY[(model_key, cost_key)] = dict(
+        model_f=model_f, model_discrete=model_discrete,
+        integrator=prob.model.integration_type, cost_f=cost_f,
+    )
+    out = jax.jit(lambda *a: ip_rollout._ip_forward_fused_impl(
+        *a, model_key=model_key, cost_key=cost_key, slack_soc=True,
+        box_layout=box_layout, interpret=True))(*args)
+
+    for k_arr, r_arr in zip(out[3:], ref[3:]):
+        np.testing.assert_allclose(np.asarray(k_arr), np.asarray(r_arr),
+                                   atol=1e-5, rtol=1e-4)
+    # J is where the stage params enter — pin it tightly
+    np.testing.assert_allclose(np.asarray(out[1]), np.asarray(ref[1]),
+                               rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(out[2]), np.asarray(ref[2]))
