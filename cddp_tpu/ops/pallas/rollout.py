@@ -628,8 +628,8 @@ def make_forward_kernel(nx: int, nu: int, N: int, n_params: int, lane_f,
     n_carry = nx + 1  # x, J
 
     def kernel(Xb_ref, Ub_ref, k_ref, K_ref, x0_ref, alpha_ref, dt_ref,
-               p_ref, Q_ref, R_ref, Qf_ref, goal_ref, lb_ref, ub_ref,
-               Xo_ref, Uo_ref, J_ref, carry_ref):
+               p_ref, Q_ref, R_ref, Qf_ref, goal_ref, refs_ref, lb_ref,
+               ub_ref, Xo_ref, Uo_ref, J_ref, carry_ref):
         tt = pl.program_id(1)
         alpha = alpha_ref[0]
         dt = dt_ref[0]
@@ -656,8 +656,10 @@ def make_forward_kernel(nx: int, nu: int, N: int, n_params: int, lane_f,
                 ui = jnp.minimum(jnp.maximum(ui, lb_ref[i]), ub_ref[i])
             u.append(ui)
 
-        # running cost: e'Q e + u'R u (QuadraticObjective, dt-prescaled)
-        e = [x[i] - goal[i] for i in range(nx)]
+        # running cost: e'Q e + u'R u (QuadraticObjective, dt-prescaled);
+        # e tracks the per-step reference row (== goal when no
+        # reference_states trajectory is set)
+        e = [x[i] - refs_ref[0, i] for i in range(nx)]
         for i in range(nx):
             for j in range(nx):
                 J = J + e[i] * Q_ref[i, j] * e[j]
@@ -696,8 +698,8 @@ def make_forward_kernel(nx: int, nu: int, N: int, n_params: int, lane_f,
     tbs = tile_b // 128
     np_eff = max(n_params, 1)
 
-    def call(Xb, Ub, k, K, x0, alpha, dtv, params, Q, R, Qf, goal, lb, ub,
-             interpret=False):
+    def call(Xb, Ub, k, K, x0, alpha, dtv, params, Q, R, Qf, goal, refs,
+             lb, ub, interpret=False):
         Btot = Xb.shape[-1]
         assert Btot % tile_b == 0, (Btot, tile_b)
         grid = (Btot // tile_b, N)
@@ -729,7 +731,7 @@ def make_forward_kernel(nx: int, nu: int, N: int, n_params: int, lane_f,
             stage_spec(nu, nx), const_spec(nx), const_spec(1),
             const_spec(1), const_spec(np_eff),
             const_spec(nx, nx), const_spec(nu, nu), const_spec(nx, nx),
-            const_spec(nx), const_spec(nu), const_spec(nu),
+            const_spec(nx), stage_spec(nx), const_spec(nu), const_spec(nu),
         ]
         out_specs = (stage_spec(nx), stage_spec(nu), const_spec(1))
         out_shape = (
@@ -738,7 +740,7 @@ def make_forward_kernel(nx: int, nu: int, N: int, n_params: int, lane_f,
             jax.ShapeDtypeStruct((1, rows, 128), dtype),
         )
         args = [fold(v) for v in (Xb, Ub, k, K, x0, alpha, dtv, params, Q, R,
-                                  Qf, goal, lb, ub)]
+                                  Qf, goal, refs, lb, ub)]
         outs = pl.pallas_call(
             kernel,
             grid=grid,
@@ -761,7 +763,8 @@ def make_forward_kernel(nx: int, nu: int, N: int, n_params: int, lane_f,
     static_argnames=("kind", "integrator", "clamp", "tile_b", "interpret"),
 )
 def _forward_fused_impl(Xb, Ub, k, K, x0, alpha, dtv, params, Q, R, Qf, goal,
-                        lb, ub, kind, integrator, clamp, tile_b, interpret):
+                        refs, lb, ub, kind, integrator, clamp, tile_b,
+                        interpret):
     entry = _REGISTRY[kind]
     n_params, lane_f = entry[0], entry[2]
     discrete = _is_discrete(entry)
@@ -775,7 +778,7 @@ def _forward_fused_impl(Xb, Ub, k, K, x0, alpha, dtv, params, Q, R, Qf, goal,
         return jnp.moveaxis(x, 0, -1)
 
     args = [prep(v) for v in (Xb, Ub, k, K, x0, alpha[:, None], dtv[:, None],
-                              params, Q, R, Qf, goal, lb, ub)]
+                              params, Q, R, Qf, goal, refs, lb, ub)]
     call = make_forward_kernel(nx, nu, N, n_params, lane_f, integrator,
                                clamp, discrete, tile_b)
     Xt, U, J = call(*args, interpret=interpret)
@@ -806,6 +809,11 @@ def forward_rollout_fused(problem, cc, Xb, Ub, k, K, alpha,
     R = bc(obj.R)
     Qf = bc(obj.Qf)
     goal = bc(obj.reference_state)
+    N = Ub.shape[1]
+    if obj.reference_states is not None:
+        refs = bc(jnp.asarray(obj.reference_states))
+    else:
+        refs = jnp.broadcast_to(goal[:, None, :], (B, N, goal.shape[-1]))
     nu = Ub.shape[2]
     if cc is not None:
         lb = bc(jnp.asarray(cc.lower, dtype))
@@ -828,8 +836,8 @@ def forward_rollout_fused(problem, cc, Xb, Ub, k, K, alpha,
     x0 = Xb[:, 0]
     Xt, U_new, J = _forward_fused_impl(
         Xb[:, :-1], Ub, k, K, x0, jnp.asarray(alpha, dtype), dtv, params, Q,
-        R, Qf, goal, lb, ub, kind, model.integration_type, clamp, tile_b,
-        interpret,
+        R, Qf, goal, refs, lb, ub, kind, model.integration_type, clamp,
+        tile_b, interpret,
     )
     X_new = jnp.concatenate([x0[:, None, :], Xt], axis=1)
     return X_new, U_new, J
@@ -841,7 +849,7 @@ def forward_rollout_fused(problem, cc, Xb, Ub, k, K, alpha,
 
 
 def _scan_forward_single(kind, integrator, clamp, Xb, Ub, k, K, alpha, dtv,
-                         params, Q, R, Qf, goal, lb, ub):
+                         params, Q, R, Qf, goal, refs, lb, ub):
     """Single-instance reference path (identical math to the kernel):
     closed-loop rollout + quadratic cost as a lax.scan."""
     entry = _REGISTRY[kind]
@@ -852,11 +860,11 @@ def _scan_forward_single(kind, integrator, clamp, Xb, Ub, k, K, alpha, dtv,
 
     def step(carry, inp):
         x, J = carry
-        Xb_t, Ub_t, k_t, K_t = inp
+        Xb_t, Ub_t, k_t, K_t, ref_t = inp
         u = Ub_t + alpha * k_t + K_t @ (x - Xb_t)
         if clamp:
             u = jnp.clip(u, lb, ub)
-        e = x - goal
+        e = x - ref_t
         J = J + e @ Q @ e + u @ R @ u
         xs = [x[i] for i in range(nx)]
         us = [u[i] for i in range(nu)]
@@ -870,7 +878,7 @@ def _scan_forward_single(kind, integrator, clamp, Xb, Ub, k, K, alpha, dtv,
         return (x_next, J), (x_next, u)
 
     (x_last, J), (Xt, Un) = jax.lax.scan(
-        step, (Xb[0], jnp.zeros((), Xb.dtype)), (Xb, Ub, k, K)
+        step, (Xb[0], jnp.zeros((), Xb.dtype)), (Xb, Ub, k, K, refs)
     )
     ef = x_last - goal
     return Xt, Un, J + ef @ Qf @ ef
@@ -885,10 +893,11 @@ def _forward_op(kind: str, integrator: str, clamp: bool):
     # no-lane-parallelism regime the batch-of-one experiment measured as a
     # net loss. A fleet vmap AROUND the ladder still reaches the kernel
     # (total = fleet x ladder).
-    def fused(Xb, Ub, k, K, alpha, dtv, params, Q, R, Qf, goal, lb, ub):
+    def fused(Xb, Ub, k, K, alpha, dtv, params, Q, R, Qf, goal, refs, lb,
+              ub):
         return _forward_fused_impl(
-            Xb, Ub, k, K, Xb[:, 0], alpha, dtv, params, Q, R, Qf, goal, lb,
-            ub, kind=kind, integrator=integrator, clamp=clamp,
+            Xb, Ub, k, K, Xb[:, 0], alpha, dtv, params, Q, R, Qf, goal,
+            refs, lb, ub, kind=kind, integrator=integrator, clamp=clamp,
             tile_b=DEFAULT_TILE_B, interpret=False,
         )
 
@@ -918,12 +927,17 @@ def forward_rollout_op(problem, cc, Xb, Ub, k, K, alpha):
     else:
         lb = jnp.zeros((nu,), dtype)
         ub = jnp.zeros((nu,), dtype)
+    goal = jnp.asarray(obj.reference_state, dtype)
+    if obj.reference_states is not None:
+        refs = jnp.asarray(obj.reference_states, dtype)
+    else:
+        refs = jnp.broadcast_to(goal[None], (Ub.shape[0], goal.shape[-1]))
     op = _forward_op(kind, model.integration_type, cc is not None)
     Xt, Un, J = op(
         Xb[:-1], Ub, k, K, jnp.asarray(alpha, dtype),
         jnp.asarray(problem.timestep, dtype), params,
         jnp.asarray(obj.Q, dtype), jnp.asarray(obj.R, dtype),
-        jnp.asarray(obj.Qf, dtype), jnp.asarray(obj.reference_state, dtype),
+        jnp.asarray(obj.Qf, dtype), goal, refs,
         lb, ub,
     )
     X_new = jnp.concatenate([Xb[:1], Xt], axis=0)
@@ -932,14 +946,13 @@ def forward_rollout_op(problem, cc, Xb, Ub, k, K, alpha):
 
 def forward_eligible(problem) -> bool:
     """Same dispatch philosophy as the backward kernel: quadratic objective
-    tracking a single reference state, registered model, explicit
-    integrator."""
+    (goal OR per-step reference_states trajectory — the latter rides a
+    stage input), registered model, explicit integrator."""
     from cddp_tpu.costs.objective import QuadraticObjective
 
     obj = problem.objective
     return (
         isinstance(obj, QuadraticObjective)
-        and obj.reference_states is None
         and lane_spec(problem.model) is not None
         and problem.model.integration_type in ("euler", "heun", "rk3", "rk4")
     )

@@ -150,3 +150,76 @@ def test_subclass_keeps_reference_scan():
     prob = _problem(m, 2, 1, jnp.array([jnp.pi, 0.0]), jnp.zeros(2),
                     [-10.0], [10.0], N=10)
     assert not forward_eligible(prob)
+
+
+def _tracking_problem_clddp(N=20, dt=0.05):
+    ts = jnp.linspace(0.0, 1.0, N)
+    refs = jnp.stack([jnp.sin(ts), 1.0 - jnp.cos(ts), ts], axis=1)
+    obj = ct.quadratic_objective(
+        0.5 * jnp.eye(3), 0.05 * jnp.eye(2), 100.0 * jnp.eye(3),
+        refs[-1], dt, reference_states=refs,
+    )
+    prob = ct.problem(Unicycle(), obj, jnp.zeros(3), N, dt)
+    return prob.add_constraint(
+        "ControlConstraint",
+        ct.control_constraint(jnp.array([-2.0, -2.0]), jnp.array([2.0, 2.0])),
+    )
+
+
+def test_fused_forward_matches_scan_tracking():
+    """reference_states trajectories ride the kernel's stage input: fused
+    (interpret) == the solver's inline forward, per-step reference and
+    terminal goal both honored."""
+    prob = _tracking_problem_clddp()
+    cc = prob.get_constraint("ControlConstraint")
+    assert forward_eligible(prob)
+
+    B, N, nx, nu = 4, prob.horizon, 3, 2
+    key = jax.random.PRNGKey(5)
+    x0s = 0.1 * jax.random.normal(key, (B, nx))
+    U0 = 0.2 * jax.random.normal(key, (B, N, nu))
+    Xb = jax.vmap(lambda x, u: open_loop_rollout(prob.model, x, u,
+                                                 prob.timestep))(x0s, U0)
+    k = 0.1 * jax.random.normal(jax.random.PRNGKey(6), (B, N, nu))
+    K = 0.1 * jax.random.normal(jax.random.PRNGKey(7), (B, N, nu, nx))
+    alpha = jnp.asarray([1.0, 0.5, 0.25, 0.125])
+
+    def ref_one(Xb_, Ub_, k_, K_, a, x0_):
+        p = prob.replace(x0=x0_)
+        cost = p.objective.evaluate(Xb_, Ub_)
+        ok, J, Xn, Un = clddp._forward_pass(
+            p, ct.CDDPOptions(backward_engine="scan"), Xb_, Ub_, k_, K_,
+            jnp.zeros(2, Xb_.dtype), cost, a,
+        )
+        return J, Xn, Un
+
+    Jr, Xr, Ur = jax.vmap(ref_one)(Xb, U0, k, K, alpha, x0s)
+    Xf, Uf, Jf = forward_rollout_fused(prob, cc, Xb, U0, k, K, alpha,
+                                       interpret=True)
+    np.testing.assert_allclose(np.asarray(Jf), np.asarray(Jr), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(Xf), np.asarray(Xr), rtol=1e-9,
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(Uf), np.asarray(Ur), rtol=1e-9,
+                               atol=1e-12)
+
+
+def test_clddp_tracking_dispatch_identical_on_cpu():
+    """Full CLDDP solves on a tracking problem: the fused-dispatch path
+    (now eligible for reference_states) must be bit-identical to
+    backward_engine='scan' on CPU."""
+    prob = _tracking_problem_clddp()
+    s1 = clddp.solve(prob, ct.CDDPOptions(max_iterations=40, tolerance=1e-8))
+    s2 = clddp.solve(
+        prob, ct.CDDPOptions(max_iterations=40, tolerance=1e-8,
+                             backward_engine="scan"))
+    np.testing.assert_allclose(
+        np.asarray(s1.state_trajectory), np.asarray(s2.state_trajectory),
+        rtol=0, atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(s1.control_trajectory), np.asarray(s2.control_trajectory),
+        rtol=0, atol=1e-12)
+    # the reference is actually tracked
+    refs = np.asarray(prob.objective.reference_states)
+    X = np.asarray(s1.state_trajectory)
+    N = refs.shape[0]
+    assert np.abs(X[1:N, :2] - refs[1:N, :2]).max() < 0.15
