@@ -615,6 +615,7 @@ def _integrate_lane(f, kind, x, u, p, dt):
 
 def make_forward_kernel(nx: int, nu: int, N: int, n_params: int, lane_f,
                         integrator: str, clamp: bool, discrete: bool = False,
+                        tracking: bool = False,
                         tile_b: int = DEFAULT_TILE_B):
     """Build the fused forward-pass pallas_call for static problem structure.
 
@@ -628,8 +629,13 @@ def make_forward_kernel(nx: int, nu: int, N: int, n_params: int, lane_f,
     n_carry = nx + 1  # x, J
 
     def kernel(Xb_ref, Ub_ref, k_ref, K_ref, x0_ref, alpha_ref, dt_ref,
-               p_ref, Q_ref, R_ref, Qf_ref, goal_ref, refs_ref, lb_ref,
-               ub_ref, Xo_ref, Uo_ref, J_ref, carry_ref):
+               p_ref, Q_ref, R_ref, Qf_ref, goal_ref, *rest):
+        if tracking:
+            (refs_ref, lb_ref, ub_ref,
+             Xo_ref, Uo_ref, J_ref, carry_ref) = rest
+        else:
+            refs_ref = None
+            (lb_ref, ub_ref, Xo_ref, Uo_ref, J_ref, carry_ref) = rest
         tt = pl.program_id(1)
         alpha = alpha_ref[0]
         dt = dt_ref[0]
@@ -657,9 +663,13 @@ def make_forward_kernel(nx: int, nu: int, N: int, n_params: int, lane_f,
             u.append(ui)
 
         # running cost: e'Q e + u'R u (QuadraticObjective, dt-prescaled);
-        # e tracks the per-step reference row (== goal when no
-        # reference_states trajectory is set)
-        e = [x[i] - refs_ref[0, i] for i in range(nx)]
+        # with reference_states the error tracks the per-step reference row
+        # (a stage input); otherwise the goal (no extra HBM traffic on the
+        # goal path — the headline bench workload).
+        if tracking:
+            e = [x[i] - refs_ref[0, i] for i in range(nx)]
+        else:
+            e = [x[i] - goal[i] for i in range(nx)]
         for i in range(nx):
             for j in range(nx):
                 J = J + e[i] * Q_ref[i, j] * e[j]
@@ -700,6 +710,7 @@ def make_forward_kernel(nx: int, nu: int, N: int, n_params: int, lane_f,
 
     def call(Xb, Ub, k, K, x0, alpha, dtv, params, Q, R, Qf, goal, refs,
              lb, ub, interpret=False):
+        # refs is None (and unused) when not tracking.
         Btot = Xb.shape[-1]
         assert Btot % tile_b == 0, (Btot, tile_b)
         grid = (Btot // tile_b, N)
@@ -731,7 +742,9 @@ def make_forward_kernel(nx: int, nu: int, N: int, n_params: int, lane_f,
             stage_spec(nu, nx), const_spec(nx), const_spec(1),
             const_spec(1), const_spec(np_eff),
             const_spec(nx, nx), const_spec(nu, nu), const_spec(nx, nx),
-            const_spec(nx), stage_spec(nx), const_spec(nu), const_spec(nu),
+            const_spec(nx),
+        ] + ([stage_spec(nx)] if tracking else []) + [
+            const_spec(nu), const_spec(nu),
         ]
         out_specs = (stage_spec(nx), stage_spec(nu), const_spec(1))
         out_shape = (
@@ -739,8 +752,10 @@ def make_forward_kernel(nx: int, nu: int, N: int, n_params: int, lane_f,
             jax.ShapeDtypeStruct((N, nu, rows, 128), dtype),
             jax.ShapeDtypeStruct((1, rows, 128), dtype),
         )
-        args = [fold(v) for v in (Xb, Ub, k, K, x0, alpha, dtv, params, Q, R,
-                                  Qf, goal, refs, lb, ub)]
+        ins = (Xb, Ub, k, K, x0, alpha, dtv, params, Q, R, Qf, goal)
+        if tracking:
+            ins = ins + (refs,)
+        args = [fold(v) for v in ins + (lb, ub)]
         outs = pl.pallas_call(
             kernel,
             grid=grid,
@@ -768,6 +783,7 @@ def _forward_fused_impl(Xb, Ub, k, K, x0, alpha, dtv, params, Q, R, Qf, goal,
     entry = _REGISTRY[kind]
     n_params, lane_f = entry[0], entry[2]
     discrete = _is_discrete(entry)
+    tracking = refs is not None
     B0, N = Xb.shape[0], Xb.shape[1]
     nx, nu = Xb.shape[2], Ub.shape[2]
     pad = (-B0) % tile_b
@@ -777,10 +793,13 @@ def _forward_fused_impl(Xb, Ub, k, K, x0, alpha, dtv, params, Q, R, Qf, goal,
             x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, 0)], 0)
         return jnp.moveaxis(x, 0, -1)
 
-    args = [prep(v) for v in (Xb, Ub, k, K, x0, alpha[:, None], dtv[:, None],
-                              params, Q, R, Qf, goal, refs, lb, ub)]
+    ins = [Xb, Ub, k, K, x0, alpha[:, None], dtv[:, None],
+           params, Q, R, Qf, goal]
+    ins.append(refs if tracking else None)
+    ins += [lb, ub]
+    args = [prep(v) if v is not None else None for v in ins]
     call = make_forward_kernel(nx, nu, N, n_params, lane_f, integrator,
-                               clamp, discrete, tile_b)
+                               clamp, discrete, tracking, tile_b)
     Xt, U, J = call(*args, interpret=interpret)
     unprep = lambda x: jnp.moveaxis(x, -1, 0)[:B0]
     return unprep(Xt), unprep(U), unprep(J)[:, 0]
@@ -809,11 +828,10 @@ def forward_rollout_fused(problem, cc, Xb, Ub, k, K, alpha,
     R = bc(obj.R)
     Qf = bc(obj.Qf)
     goal = bc(obj.reference_state)
-    N = Ub.shape[1]
     if obj.reference_states is not None:
         refs = bc(jnp.asarray(obj.reference_states))
     else:
-        refs = jnp.broadcast_to(goal[:, None, :], (B, N, goal.shape[-1]))
+        refs = None
     nu = Ub.shape[2]
     if cc is not None:
         lb = bc(jnp.asarray(cc.lower, dtype))
@@ -848,8 +866,13 @@ def forward_rollout_fused(problem, cc, Xb, Ub, k, K, alpha,
 # ---------------------------------------------------------------------------
 
 
-def _scan_forward_single(kind, integrator, clamp, Xb, Ub, k, K, alpha, dtv,
-                         params, Q, R, Qf, goal, refs, lb, ub):
+def _scan_forward_single(kind, integrator, clamp, tracking, Xb, Ub, k, K,
+                         alpha, dtv, params, Q, R, Qf, goal, *rest):
+    if tracking:
+        refs, lb, ub = rest
+    else:
+        (lb, ub) = rest
+        refs = jnp.broadcast_to(goal, (Xb.shape[0],) + goal.shape)
     """Single-instance reference path (identical math to the kernel):
     closed-loop rollout + quadratic cost as a lax.scan."""
     entry = _REGISTRY[kind]
@@ -885,16 +908,22 @@ def _scan_forward_single(kind, integrator, clamp, Xb, Ub, k, K, alpha, dtv,
 
 
 @functools.lru_cache(maxsize=None)
-def _forward_op(kind: str, integrator: str, clamp: bool):
+def _forward_op(kind: str, integrator: str, clamp: bool, tracking: bool):
     # Gate on a minimum TOTAL batch (folded across nested vmaps — see
     # batched_dispatch): the kernel pads to tile_b=1024 lanes, so small
     # batches (e.g. the ~11-entry alpha ladder of an unbatched
     # enable_parallel solve) would do ~90x redundant work — the same
     # no-lane-parallelism regime the batch-of-one experiment measured as a
     # net loss. A fleet vmap AROUND the ladder still reaches the kernel
-    # (total = fleet x ladder).
-    def fused(Xb, Ub, k, K, alpha, dtv, params, Q, R, Qf, goal, refs, lb,
-              ub):
+    # (total = fleet x ladder). ``tracking`` statically selects the
+    # reference_states variant (per-step reference rides a stage input);
+    # the goal variant keeps the refs-free signature and kernel.
+    def fused(Xb, Ub, k, K, alpha, dtv, params, Q, R, Qf, goal, *rest):
+        if tracking:
+            refs, lb, ub = rest
+        else:
+            refs = None
+            (lb, ub) = rest
         return _forward_fused_impl(
             Xb, Ub, k, K, Xb[:, 0], alpha, dtv, params, Q, R, Qf, goal,
             refs, lb, ub, kind=kind, integrator=integrator, clamp=clamp,
@@ -902,7 +931,8 @@ def _forward_op(kind: str, integrator: str, clamp: bool):
         )
 
     return make_batched_op(
-        functools.partial(_scan_forward_single, kind, integrator, clamp),
+        functools.partial(_scan_forward_single, kind, integrator, clamp,
+                          tracking),
         fused, f"{kind} forward rollout", min_batch=MIN_KERNEL_BATCH,
     )
 
@@ -928,16 +958,14 @@ def forward_rollout_op(problem, cc, Xb, Ub, k, K, alpha):
         lb = jnp.zeros((nu,), dtype)
         ub = jnp.zeros((nu,), dtype)
     goal = jnp.asarray(obj.reference_state, dtype)
-    if obj.reference_states is not None:
-        refs = jnp.asarray(obj.reference_states, dtype)
-    else:
-        refs = jnp.broadcast_to(goal[None], (Ub.shape[0], goal.shape[-1]))
-    op = _forward_op(kind, model.integration_type, cc is not None)
+    tracking = obj.reference_states is not None
+    op = _forward_op(kind, model.integration_type, cc is not None, tracking)
+    rest = ((jnp.asarray(obj.reference_states, dtype),) if tracking else ())
     Xt, Un, J = op(
         Xb[:-1], Ub, k, K, jnp.asarray(alpha, dtype),
         jnp.asarray(problem.timestep, dtype), params,
         jnp.asarray(obj.Q, dtype), jnp.asarray(obj.R, dtype),
-        jnp.asarray(obj.Qf, dtype), goal, refs,
+        jnp.asarray(obj.Qf, dtype), goal, *rest,
         lb, ub,
     )
     X_new = jnp.concatenate([Xb[:1], Xt], axis=0)
