@@ -315,7 +315,7 @@ def make_differentiable_solve(
             z = z + (1.0 - mask) * (Ubar - hv)
 
             def residual(p, u):
-                g = jax.grad(total_cost, argnums=1)(p, u)
+                g = grad_U(p, u)
                 lb, ub = _control_bounds(p)
                 # Not jnp.clip: clamped coordinates sit EXACTLY at the bound,
                 # and JAX's min/max JVP at a tie averages the operands (0.5

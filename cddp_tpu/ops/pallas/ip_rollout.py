@@ -828,7 +828,9 @@ def resolve_ip_forward(problem, options, stk):
         if cstage is None:
             cps = jnp.zeros((c.U.shape[0], 1), dtype)
         else:
-            cps = jnp.asarray(cstage, dtype)
+            # (N, n_sp) or (N+1, n_sp): the running cost only consumes
+            # rows 0..N-1 (terminal row belongs to the terminal cost).
+            cps = jnp.asarray(cstage, dtype)[: c.U.shape[0]]
         soc_flag = jnp.where(c.soc_on, 1.0, 0.0).astype(dtype)
         outs = op(
             c.X[:-1], c.U, c.Y, c.S, bp.k_u, bp.K_u, bp.k_lambda[:-1],

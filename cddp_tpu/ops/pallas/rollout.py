@@ -829,7 +829,9 @@ def forward_rollout_fused(problem, cc, Xb, Ub, k, K, alpha,
     Qf = bc(obj.Qf)
     goal = bc(obj.reference_state)
     if obj.reference_states is not None:
-        refs = bc(jnp.asarray(obj.reference_states))
+        # Accept (N, nx) or (N+1, nx) reference trajectories (the generic
+        # path only ever indexes rows 0..N-1; the terminal row is Qf's job).
+        refs = bc(jnp.asarray(obj.reference_states)[: Ub.shape[1]])
     else:
         refs = None
     nu = Ub.shape[2]
@@ -868,13 +870,13 @@ def forward_rollout_fused(problem, cc, Xb, Ub, k, K, alpha,
 
 def _scan_forward_single(kind, integrator, clamp, tracking, Xb, Ub, k, K,
                          alpha, dtv, params, Q, R, Qf, goal, *rest):
+    """Single-instance reference path (identical math to the kernel):
+    closed-loop rollout + quadratic cost as a lax.scan. The non-tracking
+    variant closes over ``goal`` directly (no per-step reference traffic)."""
     if tracking:
         refs, lb, ub = rest
     else:
         (lb, ub) = rest
-        refs = jnp.broadcast_to(goal, (Xb.shape[0],) + goal.shape)
-    """Single-instance reference path (identical math to the kernel):
-    closed-loop rollout + quadratic cost as a lax.scan."""
     entry = _REGISTRY[kind]
     n_params, lane_f = entry[0], entry[2]
     discrete = _is_discrete(entry)
@@ -883,7 +885,11 @@ def _scan_forward_single(kind, integrator, clamp, tracking, Xb, Ub, k, K,
 
     def step(carry, inp):
         x, J = carry
-        Xb_t, Ub_t, k_t, K_t, ref_t = inp
+        if tracking:
+            Xb_t, Ub_t, k_t, K_t, ref_t = inp
+        else:
+            Xb_t, Ub_t, k_t, K_t = inp
+            ref_t = goal
         u = Ub_t + alpha * k_t + K_t @ (x - Xb_t)
         if clamp:
             u = jnp.clip(u, lb, ub)
@@ -900,8 +906,9 @@ def _scan_forward_single(kind, integrator, clamp, tracking, Xb, Ub, k, K,
             )
         return (x_next, J), (x_next, u)
 
+    xs_in = (Xb, Ub, k, K, refs) if tracking else (Xb, Ub, k, K)
     (x_last, J), (Xt, Un) = jax.lax.scan(
-        step, (Xb[0], jnp.zeros((), Xb.dtype)), (Xb, Ub, k, K, refs)
+        step, (Xb[0], jnp.zeros((), Xb.dtype)), xs_in
     )
     ef = x_last - goal
     return Xt, Un, J + ef @ Qf @ ef
@@ -960,7 +967,9 @@ def forward_rollout_op(problem, cc, Xb, Ub, k, K, alpha):
     goal = jnp.asarray(obj.reference_state, dtype)
     tracking = obj.reference_states is not None
     op = _forward_op(kind, model.integration_type, cc is not None, tracking)
-    rest = ((jnp.asarray(obj.reference_states, dtype),) if tracking else ())
+    # (N, nx) or (N+1, nx) accepted; only rows 0..N-1 enter the running cost.
+    rest = ((jnp.asarray(obj.reference_states, dtype)[: Ub.shape[0]],)
+            if tracking else ())
     Xt, Un, J = op(
         Xb[:-1], Ub, k, K, jnp.asarray(alpha, dtype),
         jnp.asarray(problem.timestep, dtype), params,

@@ -172,9 +172,10 @@ class IPDDPOptions:
     lqr_backend: str = "sequential"
     # JAX-only: engine for the interior-point forward rollout. "auto"
     # dispatches vmap-batched TPU f32 solves (>= 128 instances) with a
-    # registered model lane + cost lane + single control-box stack to the
-    # fused Pallas rollout kernel (ops/pallas/ip_rollout.py); everything
-    # else — and "scan" always — keeps the reference lax.scan forward.
+    # registered model lane + cost lane + control/state-box constraint
+    # stacks to the fused Pallas rollout kernel (ops/pallas/ip_rollout.py);
+    # everything else — and "scan" always — keeps the reference lax.scan
+    # forward.
     forward_engine: str = "auto"
 
 

@@ -1017,9 +1017,10 @@ def _forward_pass(
         return (x_next, J, feasible), (x_next, u, s_new, y_new, g_new, lam_new)
 
     # Fused-forward dispatch: for registered (model lane, cost lane,
-    # single control-box) structure the whole scan above runs as one Pallas
-    # kernel under fleet vmaps (ops/pallas/ip_rollout.py). Same math, same
-    # outputs; the unbatched primal of the op is a scan of identical steps.
+    # control/state-box stacks) structure the whole scan above runs as one
+    # Pallas kernel under fleet vmaps (ops/pallas/ip_rollout.py). Same math,
+    # same outputs; the unbatched primal of the op is a scan of identical
+    # steps.
     fused_run = None
     if has_path:
         from cddp_tpu.ops.pallas.ip_rollout import resolve_ip_forward

@@ -28,10 +28,37 @@ from pathlib import Path
 
 # CDDP_TPU_XLA_CACHE_DIR overrides the location (e.g. to measure a cold
 # run against a fresh directory without discarding the warm cache).
+#
+# The cache key is suffixed with a host-CPU-feature fingerprint: XLA:CPU
+# stores AOT-compiled machine code whose cache key does NOT include the
+# host ISA, so a cache written on one machine and read on another (VM
+# migration between runs) loads executables built for missing CPU features
+# — observed here as a hard SIGSEGV inside
+# compilation_cache.get_executable_and_time during the fast tier.
+import hashlib
+
+
+def _host_cpu_fingerprint() -> str:
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return hashlib.sha256(feats.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.sha256(platform.processor().encode()).hexdigest()[:12]
+
+
 _cache = Path(
     os.environ.get(
         "CDDP_TPU_XLA_CACHE_DIR",
-        str(Path(tempfile.gettempdir()) / "cddp_tpu_xla_cache"),
+        str(
+            Path(tempfile.gettempdir())
+            / f"cddp_tpu_xla_cache-{_host_cpu_fingerprint()}"
+        ),
     )
 )
 _cache.mkdir(parents=True, exist_ok=True)

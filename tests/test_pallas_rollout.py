@@ -223,3 +223,41 @@ def test_clddp_tracking_dispatch_identical_on_cpu():
     X = np.asarray(s1.state_trajectory)
     N = refs.shape[0]
     assert np.abs(X[1:N, :2] - refs[1:N, :2]).max() < 0.15
+
+
+def test_tracking_accepts_n_plus_1_reference_rows():
+    """Review regression: reference_states with N+1 rows (one per state,
+    terminal row included — the layout quadratic_objective's last-row==goal
+    check encourages) must not crash the newly tracking-eligible fused
+    forward dispatch, and the auto/scan engines must agree. Only rows
+    0..N-1 enter the running cost (the terminal row is Qf's job)."""
+    N, dt = 20, 0.05
+    ts = jnp.linspace(0.0, 1.0, N + 1)
+    refs_full = jnp.stack([jnp.sin(ts), 1.0 - jnp.cos(ts), ts], axis=1)
+    obj = ct.quadratic_objective(
+        0.5 * jnp.eye(3), 0.05 * jnp.eye(2), 100.0 * jnp.eye(3),
+        refs_full[-1], dt, reference_states=refs_full,
+    )
+    prob = ct.problem(Unicycle(), obj, jnp.zeros(3), N, dt).add_constraint(
+        "ControlConstraint",
+        ct.control_constraint(jnp.array([-2.0, -2.0]),
+                              jnp.array([2.0, 2.0])),
+    )
+    assert forward_eligible(prob)
+    s1 = clddp.solve(prob, ct.CDDPOptions(max_iterations=25, tolerance=1e-8))
+    s2 = clddp.solve(prob, ct.CDDPOptions(max_iterations=25, tolerance=1e-8,
+                                          backward_engine="scan"))
+    np.testing.assert_allclose(
+        np.asarray(s1.state_trajectory), np.asarray(s2.state_trajectory),
+        rtol=0, atol=1e-12)
+    # IPDDP's fused forward gained the same stage-param eligibility; the
+    # N+1 layout must run there too (auto == scan forward engine).
+    si = ct.solve(prob, "IPDDP",
+                  ct.CDDPOptions(max_iterations=12, tolerance=1e-6))
+    ss = ct.solve(prob, "IPDDP",
+                  ct.CDDPOptions(max_iterations=12, tolerance=1e-6,
+                                 ipddp=ct.IPDDPOptions(
+                                     forward_engine="scan")))
+    np.testing.assert_allclose(
+        np.asarray(si.state_trajectory), np.asarray(ss.state_trajectory),
+        rtol=0, atol=1e-10)
