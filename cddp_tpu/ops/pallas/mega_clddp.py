@@ -1,0 +1,773 @@
+"""Whole-solve fused CLDDP kernel: the complete batched MPC solve as ONE
+``pallas_call``.
+
+The batched CLDDP iteration previously ran as three XLA program stages per
+iteration — a vmapped-AD derivative sweep materializing (B, N, ...) stage
+tensors in HBM, the fused backward kernel (ops/pallas/riccati.py), and the
+fused forward kernel (ops/pallas/rollout.py) — plus XLA glue for the
+line-search / regularization driver (solvers/clddp.py:_solve). This kernel
+runs the *entire* solve — initial cost, per-iteration dynamics Jacobians +
+quadratic-cost derivatives, the control-limited Riccati recursion with the
+exact 3^nu enum BoxQP, the sequential-first-success line search, and the
+acceptance / regularization / convergence driver — inside one kernel, with
+the trajectory, gains and candidate buffers resident in VMEM for the whole
+solve. HBM traffic collapses to (x0, seeds, consts) in and (solution) out.
+
+Semantics mirror ``solvers/clddp.py:_solve`` (itself mirroring
+cddp_solver_base.cpp:29-186 + clddp_solver.cpp) exactly:
+
+- backward regularization-retry loop (cddp_solver_base.cpp:94-111) as a
+  masked in-kernel loop with per-lane regularization;
+- dynamics linearization A = I + dt*Fx, B = dt*Fu of the *continuous*
+  dynamics (cddp_solver_base.cpp:319-358 parity — Euler linearization
+  regardless of rollout integrator), from an analytic derivative lane
+  function or a ``jax.jvp`` of the model lane function;
+- sequential first-success alpha ladder with Armijo-ratio acceptance
+  (cddp_solver_base.cpp:251-263); the geometric-with-min-step-tail ladder
+  is generated iteratively in-kernel (same values as
+  options.line_search_alphas);
+- per-lane convergence/status bookkeeping identical to the XLA driver
+  (lanes that finish freeze via masks, exactly like the vmapped
+  ``lax.while_loop`` select semantics).
+
+Dispatch: :func:`clddp_solve_op` builds a batch-aware op (scan = the XLA
+``_solve`` driver) so CLDDP solves route here automatically for vmapped TPU
+float32 batches when :func:`mega_eligible` holds (registered continuous
+lane model, goal-form quadratic objective, control box constraint with the
+enum BoxQP, default driver options). Parity with the XLA driver is pinned
+in tests/test_mega_clddp.py (interpret mode).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from itertools import product
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cddp_tpu.ops.pallas.batched_dispatch import make_batched_op
+from cddp_tpu.ops.pallas.riccati import clddp_backward_step_lanes
+from cddp_tpu.ops.pallas.rollout import (
+    MIN_KERNEL_BATCH,
+    _integrate_lane,
+    _is_discrete,
+    _registry_key,
+    _REGISTRY,
+)
+
+DEFAULT_TILE_B = 1024
+
+# Scalar lane slots in the `sc` scratch.
+_DONE, _STATUS, _COST, _REG, _INFDU, _ALPHA_PR, _IT = 0, 1, 2, 3, 4, 5, 6
+_BP_DONE, _BP_LIMIT, _DV0, _DV1 = 7, 8, 9, 10
+_LS_FOUND, _LS_OK, _LS_J, _LS_ALPHA, _ALPHA_CUR = 11, 12, 13, 14, 15
+_N_SCALARS = 16
+
+# Status codes (cddp_tpu.solution.Status) as kernel floats.
+_ST_MAX_ITER = 0.0
+_ST_OPTIMAL = 1.0
+_ST_ACCEPTABLE = 2.0
+_ST_REG_LIMIT = 3.0
+
+
+# --- analytic continuous-dynamics Jacobian lane functions -------------------
+# Each returns (Fx, Fu) as nested lists of lane vectors; must match
+# jax.jacfwd of the model's continuous dynamics (models/base.py) — pinned
+# against AD in tests/test_mega_clddp.py.
+
+
+def _unicycle_fxfu(x, u, p):
+    z = jnp.zeros_like(x[0])
+    s, c = jnp.sin(x[2]), jnp.cos(x[2])
+    Fx = [[z, z, -u[0] * s], [z, z, u[0] * c], [z, z, z]]
+    Fu = [[c, z], [s, z], [z, z + 1.0]]
+    return Fx, Fu
+
+
+def _pendulum_fxfu(x, u, p):
+    l, m, b = p[0], p[1], p[2]
+    g = p[3]
+    z = jnp.zeros_like(x[0])
+    ml2 = m * l * l
+    Fx = [[z, z + 1.0], [g * jnp.cos(x[0]) / l, -b / ml2]]
+    Fu = [[z], [1.0 / ml2]]
+    return Fx, Fu
+
+
+_DERIV_REGISTRY = {
+    "Unicycle": _unicycle_fxfu,
+    "Pendulum": _pendulum_fxfu,
+}
+
+
+def _jvp_deriv(lane_f, nx, nu):
+    """Generic continuous-Jacobian lane function via jax.jvp of the model
+    lane function — one directional derivative per state/control column
+    (trace-level; composes with the Pallas lowering)."""
+
+    def deriv(x, u, p):
+        zero = jnp.zeros_like(x[0])
+        one = jnp.ones_like(x[0])
+        cols_x = []
+        for j in range(nx):
+            tx = [one if i == j else zero for i in range(nx)]
+            _, dy = jax.jvp(lambda xx: lane_f(xx, u, p), (x,), (tx,))
+            cols_x.append(dy)
+        cols_u = []
+        for j in range(nu):
+            tu = [one if i == j else zero for i in range(nu)]
+            _, dy = jax.jvp(lambda uu: lane_f(x, uu, p), (u,), (tu,))
+            cols_u.append(dy)
+        Fx = [[cols_x[j][i] for j in range(nx)] for i in range(nx)]
+        Fu = [[cols_u[j][i] for j in range(nu)] for i in range(nx)]
+        return Fx, Fu
+
+    return deriv
+
+
+def deriv_lane_fn(kind, lane_f, nx, nu):
+    fn = _DERIV_REGISTRY.get(kind)
+    return fn if fn is not None else _jvp_deriv(lane_f, nx, nu)
+
+
+class _Cfg(NamedTuple):
+    """Static (trace-time) solver configuration baked into the kernel."""
+
+    max_iterations: int
+    tolerance: float
+    acceptable_tolerance: float
+    armijo: float
+    reg0: float
+    reg_uf: float
+    reg_max: float
+    reg_min: float
+    s_max: float
+    a0: float
+    a_r: float
+    a_min: float
+    n_alpha: int
+    bp_bound: int
+
+
+def _make_cfg(options) -> _Cfg:
+    from cddp_tpu.options import line_search_alphas
+
+    reg = options.regularization
+    # Worst-case backward retries: increases from reg_min until the limit
+    # fires (reg decreases to at most min_value between iterations).
+    bp_bound = (
+        int(
+            math.ceil(
+                math.log(reg.max_value / max(reg.min_value, 1e-300))
+                / math.log(reg.update_factor)
+            )
+        )
+        + 2
+        if reg.update_factor > 1.0
+        else 4
+    )
+    ls = options.line_search
+    return _Cfg(
+        max_iterations=int(options.max_iterations),
+        tolerance=float(options.tolerance),
+        acceptable_tolerance=float(options.acceptable_tolerance),
+        armijo=float(options.filter.armijo_constant),
+        reg0=float(reg.initial_value),
+        reg_uf=float(reg.update_factor),
+        reg_max=float(reg.max_value),
+        reg_min=float(reg.min_value),
+        s_max=float(options.termination_scaling_max_factor),
+        a0=float(ls.initial_step_size),
+        a_r=float(ls.step_reduction_factor),
+        a_min=float(ls.min_step_size),
+        n_alpha=len(line_search_alphas(ls)),
+        bp_bound=bp_bound,
+    )
+
+
+def make_solve_kernel(nx, nu, N, n_params, lane_f, deriv_f, integrator,
+                      cfg: _Cfg, tile_b: int = DEFAULT_TILE_B):
+    """Build the whole-solve pallas_call for static problem structure.
+
+    Inputs (batch-last, lane-folded): x0 (nx,B), X0 (N+1,nx,B), U0 (N,nu,B),
+    k0 (N,nu,B), K0 (N,nu,nx,B), dt (1,B), params (max(n_params,1),B),
+    Q (nx,nx,B) [dt-prescaled], R (nu,nu,B), Qf (nx,nx,B), goal (nx,B),
+    lbc/ubc (nu,B) [absolute control bounds].
+
+    Outputs: X (N+1,nx,B), U (N,nu,B), k (N,nu,B), K (N,nu,nx,B),
+    stats (6,B) = [cost, inf_du, reg, alpha_pr, iterations, status].
+    """
+    configs = list(product(range(3), repeat=nu))
+
+    def kernel(x0_ref, X0_ref, U0_ref, k0_ref, K0_ref, dt_ref, p_ref,
+               Q_ref, R_ref, Qf_ref, goal_ref, lbc_ref, ubc_ref,
+               Xo_ref, Uo_ref, ko_ref, Ko_ref, st_ref,
+               Xs, Us, Xc, Uc, ks, Ks, sc):
+        dt = dt_ref[0]
+        zeros = jnp.zeros_like(dt)
+        ones = zeros + 1.0
+        p = [p_ref[i] for i in range(n_params)]
+        Q = [[Q_ref[i, j] for j in range(nx)] for i in range(nx)]
+        R = [[R_ref[i, j] for j in range(nu)] for i in range(nu)]
+        Qf = [[Qf_ref[i, j] for j in range(nx)] for i in range(nx)]
+        goal = [goal_ref[i] for i in range(nx)]
+        lbc = [lbc_ref[i] for i in range(nu)]
+        ubc = [ubc_ref[i] for i in range(nu)]
+
+        def run_cost(x, u):
+            """e'Qe + u'Ru with the goal reference (QuadraticObjective)."""
+            e = [x[i] - goal[i] for i in range(nx)]
+            c = zeros
+            for i in range(nx):
+                for j in range(nx):
+                    c = c + e[i] * Q[i][j] * e[j]
+            for i in range(nu):
+                for j in range(nu):
+                    c = c + u[i] * R[i][j] * u[j]
+            return c
+
+        def term_cost(x):
+            e = [x[i] - goal[i] for i in range(nx)]
+            c = zeros
+            for i in range(nx):
+                for j in range(nx):
+                    c = c + e[i] * Qf[i][j] * e[j]
+            return c
+
+        # --- init: seed trajectories/gains, initial cost, driver state ----
+        Xs[...] = X0_ref[...]
+        Us[...] = U0_ref[...]
+        ks[...] = k0_ref[...]
+        Ks[...] = K0_ref[...]
+        Xc[...] = X0_ref[...]
+        Uc[...] = U0_ref[...]
+
+        def cost0_body(t, J):
+            x = [Xs[t, i] for i in range(nx)]
+            u = [Us[t, i] for i in range(nu)]
+            return J + run_cost(x, u)
+
+        J0 = jax.lax.fori_loop(0, N, cost0_body, zeros)
+        J0 = J0 + term_cost([Xs[N, i] for i in range(nx)])
+
+        sc[_DONE] = zeros
+        sc[_STATUS] = zeros + _ST_MAX_ITER
+        sc[_COST] = J0
+        sc[_REG] = zeros + cfg.reg0
+        sc[_INFDU] = zeros + jnp.inf
+        sc[_ALPHA_PR] = ones
+        sc[_IT] = zeros
+
+        # --- one driver iteration ------------------------------------------
+        def outer(_itn, carry):
+            done = sc[_DONE]
+            any_active = jnp.max(ones - done) > 0.5
+
+            @pl.when(any_active)
+            def _iteration():
+                active = sc[_DONE] < 0.5
+                sc[_IT] = jnp.where(active, sc[_IT] + 1.0, sc[_IT])
+
+                # ---- backward pass with regularization retry ----
+                sc[_BP_DONE] = sc[_DONE]
+                sc[_BP_LIMIT] = zeros
+
+                def bp_attempt(_a, c2):
+                    retry_any = jnp.max(ones - sc[_BP_DONE]) > 0.5
+
+                    @pl.when(retry_any)
+                    def _bp():
+                        mrt = sc[_BP_DONE] < 0.5
+                        regl = sc[_REG]
+
+                        xN = [Xs[N, i] for i in range(nx)]
+                        eN = [xN[i] - goal[i] for i in range(nx)]
+                        VxT = [
+                            2.0 * sum(Qf[i][j] * eN[j] for j in range(nx))
+                            for i in range(nx)
+                        ]
+                        nvx0 = sum(jnp.abs(VxT[i]) for i in range(nx))
+
+                        def bstep(s, carry):
+                            t = N - 1 - s
+                            Vx = list(carry[0])
+                            Vxx = [list(r) for r in carry[1]]
+                            dv0, dv1, qerr, nvx, okl = carry[2:]
+
+                            x = [Xs[t, i] for i in range(nx)]
+                            u = [Us[t, i] for i in range(nu)]
+                            Fx, Fu = deriv_f(x, u, p)
+                            A = [
+                                [
+                                    (ones if i == j else zeros)
+                                    + dt * Fx[i][j]
+                                    for j in range(nx)
+                                ]
+                                for i in range(nx)
+                            ]
+                            Bm = [[dt * Fu[i][j] for j in range(nu)]
+                                  for i in range(nx)]
+                            e = [x[i] - goal[i] for i in range(nx)]
+                            lx = [
+                                2.0 * sum(Q[i][j] * e[j] for j in range(nx))
+                                for i in range(nx)
+                            ]
+                            lu = [
+                                2.0 * sum(R[i][j] * u[j] for j in range(nu))
+                                for i in range(nu)
+                            ]
+                            lxx = [[2.0 * Q[i][j] for j in range(nx)]
+                                   for i in range(nx)]
+                            luu = [[2.0 * R[i][j] for j in range(nu)]
+                                   for i in range(nu)]
+                            lux = [[zeros] * nx for _ in range(nu)]
+                            lb = [lbc[i] - u[i] for i in range(nu)]
+                            ub = [ubc[i] - u[i] for i in range(nu)]
+
+                            (k_sel, K_t, Vx_new, Vxx_new, dv0s, dv1s, fail,
+                             qabs) = clddp_backward_step_lanes(
+                                A, Bm, lx, lu, lxx, luu, lux, lb, ub, Vx,
+                                Vxx, regl, zeros, nx, nu, configs,
+                            )
+
+                            for i in range(nu):
+                                ks[t, i] = jnp.where(mrt, k_sel[i], ks[t, i])
+                                for j in range(nx):
+                                    Ks[t, i, j] = jnp.where(
+                                        mrt, K_t[i][j], Ks[t, i, j]
+                                    )
+
+                            return (
+                                tuple(Vx_new),
+                                tuple(tuple(r) for r in Vxx_new),
+                                dv0 + dv0s,
+                                dv1 + dv1s,
+                                jnp.maximum(qerr, qabs),
+                                nvx + sum(jnp.abs(Vx_new[i])
+                                          for i in range(nx)),
+                                okl * jnp.where(fail, 0.0, 1.0),
+                            )
+
+                        init = (
+                            tuple(VxT),
+                            tuple(
+                                tuple(2.0 * Qf[i][j] for j in range(nx))
+                                for i in range(nx)
+                            ),
+                            zeros, zeros, zeros, nvx0, ones,
+                        )
+                        out = jax.lax.fori_loop(0, N, bstep, init)
+                        dv0, dv1, qerr, nvx, okl = out[2:]
+
+                        scaling = (
+                            jnp.maximum(cfg.s_max, nvx / (N * nx)) / cfg.s_max
+                        )
+                        infdu = qerr / scaling
+                        okb = okl > 0.5
+                        reg_next = jnp.where(
+                            okb, regl,
+                            jnp.minimum(regl * cfg.reg_uf, cfg.reg_max),
+                        )
+                        limit = (~okb) & (reg_next >= cfg.reg_max)
+
+                        sc[_REG] = jnp.where(mrt, reg_next, sc[_REG])
+                        sc[_DV0] = jnp.where(mrt, dv0, sc[_DV0])
+                        sc[_DV1] = jnp.where(mrt, dv1, sc[_DV1])
+                        sc[_INFDU] = jnp.where(mrt, infdu, sc[_INFDU])
+                        sc[_BP_LIMIT] = jnp.where(
+                            mrt, jnp.where(limit, ones, zeros), sc[_BP_LIMIT]
+                        )
+                        sc[_BP_DONE] = jnp.where(
+                            mrt, jnp.where(okb | limit, ones, zeros),
+                            sc[_BP_DONE],
+                        )
+
+                    return c2
+
+                jax.lax.fori_loop(0, cfg.bp_bound, bp_attempt, 0)
+
+                # ---- sequential first-success line search ----
+                bpl = sc[_BP_LIMIT] > 0.5
+                mab = active & (~bpl)
+                infdu = sc[_INFDU]
+                early = infdu < cfg.tolerance
+                participate = mab & (~early)
+
+                sc[_LS_FOUND] = jnp.where(participate, zeros, ones)
+                sc[_LS_OK] = zeros
+                sc[_LS_J] = zeros + jnp.inf
+                sc[_LS_ALPHA] = ones
+                sc[_ALPHA_CUR] = zeros + cfg.a0
+
+                def ls_iter(_i, c3):
+                    pending_any = jnp.max(ones - sc[_LS_FOUND]) > 0.5
+
+                    @pl.when(pending_any)
+                    def _rollout():
+                        alpha = sc[_ALPHA_CUR]
+                        mnf = sc[_LS_FOUND] < 0.5
+
+                        def fstep(t, carry):
+                            x = list(carry[0])
+                            J = carry[1]
+                            dx = [x[i] - Xs[t, i] for i in range(nx)]
+                            u = []
+                            for i in range(nu):
+                                ui = Us[t, i] + alpha * ks[t, i]
+                                for j in range(nx):
+                                    ui = ui + Ks[t, i, j] * dx[j]
+                                ui = jnp.minimum(
+                                    jnp.maximum(ui, lbc[i]), ubc[i]
+                                )
+                                u.append(ui)
+                            J = J + run_cost(x, u)
+                            x_next = _integrate_lane(
+                                lane_f, integrator, x, u, p, dt
+                            )
+                            for i in range(nu):
+                                Uc[t, i] = jnp.where(mnf, u[i], Uc[t, i])
+                            for i in range(nx):
+                                Xc[t + 1, i] = jnp.where(
+                                    mnf, x_next[i], Xc[t + 1, i]
+                                )
+                            return (tuple(x_next), J)
+
+                        x0l = tuple(Xs[0, i] for i in range(nx))
+                        xN, J = jax.lax.fori_loop(0, N, fstep, (x0l, zeros))
+                        J = J + term_cost(list(xN))
+
+                        dJ = sc[_COST] - J
+                        expected = -alpha * (sc[_DV0] + 0.5 * alpha * sc[_DV1])
+                        ratio = jnp.where(
+                            expected > 0.0, dJ / expected, jnp.sign(dJ)
+                        )
+                        accept = ratio > cfg.armijo
+                        take = accept & mnf
+                        sc[_LS_J] = jnp.where(take, J, sc[_LS_J])
+                        sc[_LS_ALPHA] = jnp.where(take, alpha, sc[_LS_ALPHA])
+                        sc[_LS_OK] = jnp.where(take, ones, sc[_LS_OK])
+                        sc[_LS_FOUND] = jnp.where(take, ones, sc[_LS_FOUND])
+                        a_next = alpha * cfg.a_r
+                        sc[_ALPHA_CUR] = jnp.where(
+                            a_next < cfg.a_min, zeros + cfg.a_min, a_next
+                        )
+
+                    return c3
+
+                jax.lax.fori_loop(0, cfg.n_alpha, ls_iter, 0)
+
+                # ---- acceptance / regularization / convergence ----
+                fp_ok = sc[_LS_OK] > 0.5  # participate & first-success
+
+                def copy_body(t, c4):
+                    for i in range(nx):
+                        Xs[t + 1, i] = jnp.where(
+                            fp_ok, Xc[t + 1, i], Xs[t + 1, i]
+                        )
+                    for i in range(nu):
+                        Us[t, i] = jnp.where(fp_ok, Uc[t, i], Us[t, i])
+                    return c4
+
+                jax.lax.fori_loop(0, N, copy_body, 0)
+
+                cost = sc[_COST]
+                J_new = sc[_LS_J]
+                dJ = cost - J_new
+                regb = sc[_REG]
+                reg_new = jnp.where(
+                    fp_ok,
+                    jnp.maximum(regb / cfg.reg_uf, cfg.reg_min),
+                    jnp.where(
+                        early, regb,
+                        jnp.minimum(regb * cfg.reg_uf, cfg.reg_max),
+                    ),
+                )
+                fp_limit = (
+                    mab & (~fp_ok) & (~early) & (reg_new >= cfg.reg_max)
+                )
+                conv_acc = (
+                    fp_ok
+                    & (dJ > 0.0)
+                    & (dJ < cfg.acceptable_tolerance)
+                )
+
+                status_new = jnp.where(
+                    early, zeros + _ST_OPTIMAL,
+                    jnp.where(
+                        conv_acc, zeros + _ST_ACCEPTABLE,
+                        jnp.where(
+                            fp_limit, zeros + _ST_REG_LIMIT, sc[_STATUS]
+                        ),
+                    ),
+                )
+                done_new = early | conv_acc | fp_limit
+
+                mbpl = active & bpl
+                sc[_COST] = jnp.where(mab & fp_ok, J_new, sc[_COST])
+                sc[_REG] = jnp.where(mab, reg_new, sc[_REG])
+                sc[_ALPHA_PR] = jnp.where(
+                    mab & fp_ok, sc[_LS_ALPHA], sc[_ALPHA_PR]
+                )
+                sc[_STATUS] = jnp.where(
+                    mbpl, zeros + _ST_REG_LIMIT,
+                    jnp.where(mab, status_new, sc[_STATUS]),
+                )
+                sc[_DONE] = jnp.where(
+                    mbpl, ones,
+                    jnp.where(
+                        mab, jnp.where(done_new, ones, zeros), sc[_DONE]
+                    ),
+                )
+
+            return carry
+
+        jax.lax.fori_loop(0, cfg.max_iterations, outer, 0)
+
+        # --- emit ---
+        Xo_ref[...] = Xs[...]
+        Uo_ref[...] = Us[...]
+        ko_ref[...] = ks[...]
+        Ko_ref[...] = Ks[...]
+        st_ref[0] = sc[_COST]
+        st_ref[1] = sc[_INFDU]
+        st_ref[2] = sc[_REG]
+        st_ref[3] = sc[_ALPHA_PR]
+        st_ref[4] = sc[_IT]
+        st_ref[5] = sc[_STATUS]
+
+    assert tile_b % 1024 == 0, tile_b
+    tbs = tile_b // 128
+    np_eff = max(n_params, 1)
+
+    def call(x0, X0, U0, k0, K0, dtv, params, Q, R, Qf, goal, lbc, ubc,
+             interpret=False):
+        Btot = x0.shape[-1]
+        assert Btot % tile_b == 0, (Btot, tile_b)
+        grid = (Btot // tile_b,)
+        dtype = x0.dtype
+        rows = Btot // 128
+
+        def fold(v):
+            return v.reshape(*v.shape[:-1], rows, 128)
+
+        def spec(*dims):
+            blk = tuple(dims) + (tbs, 128)
+            nd = len(dims)
+            return pl.BlockSpec(
+                blk, lambda b, _nd=nd: (0,) * _nd + (b, 0),
+                memory_space=pltpu.VMEM,
+            )
+
+        in_specs = [
+            spec(nx), spec(N + 1, nx), spec(N, nu), spec(N, nu),
+            spec(N, nu, nx), spec(1), spec(np_eff), spec(nx, nx),
+            spec(nu, nu), spec(nx, nx), spec(nx), spec(nu), spec(nu),
+        ]
+        out_specs = (
+            spec(N + 1, nx), spec(N, nu), spec(N, nu), spec(N, nu, nx),
+            spec(6),
+        )
+        out_shape = (
+            jax.ShapeDtypeStruct((N + 1, nx, rows, 128), dtype),
+            jax.ShapeDtypeStruct((N, nu, rows, 128), dtype),
+            jax.ShapeDtypeStruct((N, nu, rows, 128), dtype),
+            jax.ShapeDtypeStruct((N, nu, nx, rows, 128), dtype),
+            jax.ShapeDtypeStruct((6, rows, 128), dtype),
+        )
+        scratch = [
+            pltpu.VMEM((N + 1, nx, tbs, 128), dtype),   # Xs
+            pltpu.VMEM((N, nu, tbs, 128), dtype),       # Us
+            pltpu.VMEM((N + 1, nx, tbs, 128), dtype),   # Xc
+            pltpu.VMEM((N, nu, tbs, 128), dtype),       # Uc
+            pltpu.VMEM((N, nu, tbs, 128), dtype),       # ks
+            pltpu.VMEM((N, nu, nx, tbs, 128), dtype),   # Ks
+            pltpu.VMEM((_N_SCALARS, tbs, 128), dtype),  # sc
+        ]
+        args = [
+            fold(v)
+            for v in (x0, X0, U0, k0, K0, dtv, params, Q, R, Qf, goal,
+                      lbc, ubc)
+        ]
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=(pltpu.PARALLEL,)
+            ),
+            interpret=interpret,
+        )(*args)
+        return tuple(o.reshape(*o.shape[:-2], Btot) for o in outs)
+
+    return call
+
+
+def mega_eligible(problem, options) -> bool:
+    """Static dispatch predicate for the whole-solve kernel.
+
+    Requires: registered continuous-dynamics lane model, goal-form
+    QuadraticObjective, a ControlConstraint with the enum BoxQP eligible,
+    and none of the driver features the kernel doesn't model (history
+    recording, verbose/debug printing, cpu-time limit, parallel line
+    search). All non-(x0/X0/U0/gains) problem leaves must be concrete —
+    checked separately at the dispatch site.
+    """
+    import os
+
+    from cddp_tpu.costs.objective import QuadraticObjective
+
+    if os.environ.get("CDDP_TPU_NO_MEGA"):  # emergency kill switch
+        return False
+    obj = problem.objective
+    cc = problem.get_constraint("ControlConstraint")
+    kind = _registry_key(problem.model)
+    if kind is None or cc is None:
+        return False
+    if _is_discrete(_REGISTRY[kind]):
+        return False
+    enum_ok = options.box_qp.method == "enum" or (
+        options.box_qp.method == "auto"
+        and problem.control_dim <= options.box_qp.enum_max_dim
+    )
+    return (
+        isinstance(obj, QuadraticObjective)
+        and obj.reference_states is None
+        and enum_ok
+        and problem.model.integration_type in ("euler", "heun", "rk3", "rk4")
+        and options.solve_engine != "xla"
+        and options.backward_engine != "scan"
+        and not options.enable_parallel
+        and not options.return_iteration_info
+        and not options.verbose
+        and not options.debug
+        and options.max_cpu_time <= 0
+        and options.max_iterations >= 1
+    )
+
+
+def problem_consts_concrete(problem) -> bool:
+    """True when every problem leaf except x0 is a concrete array — the op
+    closes over them as constants, so tracers (e.g. a user vmapping over
+    cost matrices) must fall back to the XLA driver."""
+    leaves = jax.tree_util.tree_leaves(
+        (problem.objective, problem.constraints, problem.model)
+    )
+    return not any(isinstance(l, jax.core.Tracer) for l in leaves)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "kind", "integrator", "tile_b", "interpret"),
+)
+def _mega_impl(x0, X0, U0, k0, K0, dtv, params, Q, R, Qf, goal, lbc, ubc,
+               cfg: _Cfg, kind: str, integrator: str,
+               tile_b: int = DEFAULT_TILE_B, interpret: bool = False):
+    """Batch-first wrapper: pad to a tile multiple, transpose to batch-last,
+    run the kernel, trim. Returns (X, U, k, K, stats(B,6))."""
+    B0 = x0.shape[0]
+    nx, nu = x0.shape[1], U0.shape[2]
+    N = U0.shape[1]
+    pad = (-B0) % tile_b
+
+    def prep(v):
+        if pad:
+            v = jnp.concatenate([v, jnp.repeat(v[-1:], pad, 0)], 0)
+        return jnp.moveaxis(v, 0, -1)
+
+    entry = _REGISTRY[kind]
+    n_params, lane_f = entry[0], entry[2]
+    deriv_f = deriv_lane_fn(kind, lane_f, nx, nu)
+    call = make_solve_kernel(
+        nx, nu, N, n_params, lane_f, deriv_f, integrator, cfg, tile_b
+    )
+    args = [prep(v) for v in (x0, X0, U0, k0, K0, dtv[:, None], params, Q,
+                              R, Qf, goal, lbc, ubc)]
+    X, U, k, K, st = call(*args, interpret=interpret)
+    unprep = lambda v: jnp.moveaxis(v, -1, 0)[:B0]
+    return unprep(X), unprep(U), unprep(k), unprep(K), unprep(st)
+
+
+def build_fused_solve(problem, options, interpret: bool = False):
+    """Batch-first fused whole-solve for a concrete (problem, options):
+    ``fused(x0, X0, U0, k0, K0) -> (X, U, k, K, cost, inf_du, reg,
+    alpha_pr, iterations(int32), status(int32))``. Also the test entry for
+    interpret-mode parity runs."""
+    cfg = _make_cfg(options)
+    kind = _registry_key(problem.model)
+    integrator = problem.model.integration_type
+    obj = problem.objective
+    cc = problem.get_constraint("ControlConstraint")
+    entry = _REGISTRY[kind]
+    n_params, param_fn = entry[0], entry[1]
+
+    def fused_impl(x0, X0, U0, k0, K0):
+        B = x0.shape[0]
+        dtype = x0.dtype
+
+        def bc(a):
+            a = jnp.asarray(a, dtype)
+            return jnp.broadcast_to(a, (B,) + a.shape)
+
+        params = bc(jnp.asarray(param_fn(problem.model), dtype))
+        if n_params == 0:
+            params = jnp.zeros((B, 1), dtype)
+        X, U, k, K, st = _mega_impl(
+            x0, X0, U0, k0, K0,
+            jnp.broadcast_to(jnp.asarray(problem.timestep, dtype), (B,)),
+            params, bc(obj.Q), bc(obj.R), bc(obj.Qf),
+            bc(obj.reference_state), bc(jnp.asarray(cc.lower, dtype)),
+            bc(jnp.asarray(cc.upper, dtype)),
+            cfg=cfg, kind=kind, integrator=integrator,
+            tile_b=DEFAULT_TILE_B, interpret=interpret,
+        )
+        return (
+            X, U, k, K, st[:, 0], st[:, 1], st[:, 2], st[:, 3],
+            st[:, 4].astype(jnp.int32), st[:, 5].astype(jnp.int32),
+        )
+
+    return fused_impl
+
+
+def clddp_solve_op(problem, options, interpret: bool = False):
+    """Batch-aware whole-solve op for this (problem, options) pair.
+
+    ``op(x0, X0, U0, k0, K0) -> (X, U, k, K, cost, inf_du, reg, alpha_pr,
+    iterations(int32), status(int32))``. Unbatched / CPU / non-f32 calls run
+    the XLA driver per instance; vmapped TPU float32 batches >= MIN_KERNEL_
+    BATCH run the fused kernel.
+    """
+    from cddp_tpu.solvers import clddp as _clddp
+
+    kind = _registry_key(problem.model)
+    fused_impl = build_fused_solve(problem, options, interpret)
+
+    def scan_single(x0, X0, U0, k0, K0):
+        sol = _clddp._solve(
+            problem.replace(x0=x0), options, X0, U0, k0, K0
+        )
+        return (
+            sol.state_trajectory,
+            sol.control_trajectory,
+            sol.feedforward_gains,
+            sol.feedback_gains,
+            sol.final_objective,
+            sol.inf_du,
+            sol.final_regularization,
+            sol.final_step_length,
+            sol.iterations_completed,
+            sol.status_code,
+        )
+
+    return make_batched_op(
+        scan_single, fused_impl, "CLDDP solve",
+        min_batch=MIN_KERNEL_BATCH,
+        log_detail=lambda x0, *rest: dict(model=kind),
+    )

@@ -103,6 +103,136 @@ def _leading_minors_pd(A, n):
     return ok
 
 
+def clddp_backward_step_lanes(A, Bm, lx, lu, lxx, luu, lux, lb, ub, Vx, Vxx,
+                              reg, zeros, nx, nu, configs):
+    """One control-limited Riccati step over lists of lane vectors.
+
+    The Q-expansion + exact 3^nu enum BoxQP + masked-free feedback + value
+    update of clddp_solver.cpp:96-203, shared between the streamed backward
+    kernel below and the whole-solve kernel (ops/pallas/mega_clddp.py).
+
+    Returns ``(k_sel, K_t, Vx_new, Vxx_new, dv0, dv1, fail, qu_absmax)``
+    where ``fail`` is a boolean lane mask and ``qu_absmax = max_i |Qu_i|``.
+    """
+    At = _transpose(A, nx, nx)
+    Bt = _transpose(Bm, nx, nu)
+
+    Qx = [lx[i] + v for i, v in enumerate(_matvec(At, Vx, nx, nx))]
+    Qu = [lu[i] + v for i, v in enumerate(_matvec(Bt, Vx, nu, nx))]
+    VA = _matmul(Vxx, A, nx, nx, nx)
+    Qxx = [[lxx[i][j] + v for j, v in enumerate(row)]
+           for i, row in enumerate(_matmul(At, VA, nx, nx, nx))]
+    Qux = [[lux[i][j] + v for j, v in enumerate(row)]
+           for i, row in enumerate(_matmul(Bt, VA, nu, nx, nx))]
+    VB = _matmul(Vxx, Bm, nx, nx, nu)
+    Quu = [[luu[i][j] + v for j, v in enumerate(row)]
+           for i, row in enumerate(_matmul(Bt, VB, nu, nx, nu))]
+
+    Quu_reg = [[Quu[i][j] + (reg if i == j else zeros)
+                for j in range(nu)] for i in range(nu)]
+
+    # --- exact enum BoxQP (boxqp_solve_enum, unrolled) -------------
+    pd_all = _leading_minors_pd(Quu_reg, nu)
+    k_sel = [zeros] * nu
+    Hinv_free_sel = [[zeros] * nu for _ in range(nu)]
+    taken = zeros > 1.0  # all-false
+
+    for cfg in configs:
+        free_idx = [i for i in range(nu) if cfg[i] == 0]
+        x_cfg = [
+            zeros if cfg[i] == 0 else (lb[i] if cfg[i] == 1 else ub[i])
+            for i in range(nu)
+        ]
+        if free_idx:
+            # Solve free block: Hff xf = -(Qu_f + H_fc x_c)
+            Hff = [[Quu_reg[a][b] for b in free_idx] for a in free_idx]
+            rhs = [
+                -(Qu[a] + sum(Quu_reg[a][b] * x_cfg[b]
+                              for b in range(nu) if cfg[b] != 0))
+                for a in free_idx
+            ]
+            nf = len(free_idx)
+            Hinv, det = _inv(Hff, nf)
+            pd = _leading_minors_pd(Hff, nf)
+            xf = _matvec(Hinv, rhs, nf, nf)
+            x_full = list(x_cfg)
+            for a, fi in enumerate(free_idx):
+                x_full[fi] = xf[a]
+        else:
+            pd = zeros == zeros  # true
+            x_full = x_cfg
+
+        grad = [Qu[i] + sum(Quu_reg[i][j] * x_full[j] for j in range(nu))
+                for i in range(nu)]
+        valid = pd
+        for i in range(nu):
+            if cfg[i] == 0:
+                valid = valid & (x_full[i] >= lb[i]) & (x_full[i] <= ub[i])
+            elif cfg[i] == 1:
+                valid = valid & (grad[i] >= 0.0)
+            else:
+                valid = valid & (grad[i] <= 0.0)
+        take = valid & (~taken)
+        taken = taken | valid
+        for i in range(nu):
+            k_sel[i] = jnp.where(take, x_full[i], k_sel[i])
+        if free_idx:
+            for a, fi in enumerate(free_idx):
+                for b, fj in enumerate(free_idx):
+                    Hinv_free_sel[fi][fj] = jnp.where(
+                        take, Hinv[a][b], Hinv_free_sel[fi][fj]
+                    )
+
+    fail = (~pd_all) | (~taken)
+
+    # K = -Hfree^-1 Qux on free rows (zero on clamped rows/cols mix)
+    K_t = [
+        [
+            -sum(Hinv_free_sel[i][l] * Qux[l][j] for l in range(nu))
+            for j in range(nx)
+        ]
+        for i in range(nu)
+    ]
+
+    # dV += [Qu.k, 0.5 k'Quu k]
+    dv0 = sum(Qu[i] * k_sel[i] for i in range(nu))
+    dv1 = 0.5 * sum(
+        k_sel[i] * Quu[i][j] * k_sel[j]
+        for i in range(nu) for j in range(nu)
+    )
+
+    # V updates (clddp_solver.cpp:186-193)
+    Quu_k = _matvec(Quu, k_sel, nu, nu)
+    Kt = _transpose(K_t, nu, nx)
+    Vx_new = [
+        Qx[i]
+        + sum(Kt[i][l] * Quu_k[l] for l in range(nu))
+        + sum(Qux[l][i] * k_sel[l] for l in range(nu))
+        + sum(Kt[i][l] * Qu[l] for l in range(nu))
+        for i in range(nx)
+    ]
+    QuuK = _matmul(Quu, K_t, nu, nu, nx)
+    KtQuuK = _matmul(Kt, QuuK, nx, nu, nx)
+    QuxtK = _matmul(_transpose(Qux, nu, nx), K_t, nx, nu, nx)
+    Vxx_new = [
+        [
+            Qxx[i][j] + KtQuuK[i][j] + QuxtK[i][j] + QuxtK[j][i]
+            for j in range(nx)
+        ]
+        for i in range(nx)
+    ]
+    Vxx_new = [
+        [0.5 * (Vxx_new[i][j] + Vxx_new[j][i]) for j in range(nx)]
+        for i in range(nx)
+    ]
+
+    qu_absmax = jnp.abs(Qu[0])
+    for i in range(1, nu):
+        qu_absmax = jnp.maximum(qu_absmax, jnp.abs(Qu[i]))
+
+    return k_sel, K_t, Vx_new, Vxx_new, dv0, dv1, fail, qu_absmax
+
+
 def make_backward_kernel(nx: int, nu: int, N: int, tile_b: int = DEFAULT_TILE_B):
     """Build the fused backward-pass pallas_call for static (nx, nu, N).
 
@@ -160,127 +290,20 @@ def make_backward_kernel(nx: int, nu: int, N: int, tile_b: int = DEFAULT_TILE_B)
         lb = [lb_ref[0, i] for i in range(nu)]
         ub = [ub_ref[0, i] for i in range(nu)]
 
-        At = _transpose(A, nx, nx)
-        Bt = _transpose(Bm, nx, nu)
-
-        Qx = [lx[i] + v for i, v in enumerate(_matvec(At, Vx, nx, nx))]
-        Qu = [lu[i] + v for i, v in enumerate(_matvec(Bt, Vx, nu, nx))]
-        VA = _matmul(Vxx, A, nx, nx, nx)
-        Qxx = [[lxx[i][j] + v for j, v in enumerate(row)]
-               for i, row in enumerate(_matmul(At, VA, nx, nx, nx))]
-        Qux = [[lux[i][j] + v for j, v in enumerate(row)]
-               for i, row in enumerate(_matmul(Bt, VA, nu, nx, nx))]
-        VB = _matmul(Vxx, Bm, nx, nx, nu)
-        Quu = [[luu[i][j] + v for j, v in enumerate(row)]
-               for i, row in enumerate(_matmul(Bt, VB, nu, nx, nu))]
-
-        Quu_reg = [[Quu[i][j] + (reg if i == j else zeros)
-                    for j in range(nu)] for i in range(nu)]
-
-        # --- exact enum BoxQP (boxqp_solve_enum, unrolled) -------------
-        pd_all = _leading_minors_pd(Quu_reg, nu)
-        k_sel = [zeros] * nu
-        Hinv_free_sel = [[zeros] * nu for _ in range(nu)]
-        taken = zeros > 1.0  # all-false
-
-        for cfg in configs:
-            free_idx = [i for i in range(nu) if cfg[i] == 0]
-            x_cfg = [
-                zeros if cfg[i] == 0 else (lb[i] if cfg[i] == 1 else ub[i])
-                for i in range(nu)
-            ]
-            if free_idx:
-                # Solve free block: Hff xf = -(Qu_f + H_fc x_c)
-                Hff = [[Quu_reg[a][b] for b in free_idx] for a in free_idx]
-                rhs = [
-                    -(Qu[a] + sum(Quu_reg[a][b] * x_cfg[b]
-                                  for b in range(nu) if cfg[b] != 0))
-                    for a in free_idx
-                ]
-                nf = len(free_idx)
-                Hinv, det = _inv(Hff, nf)
-                pd = _leading_minors_pd(Hff, nf)
-                xf = _matvec(Hinv, rhs, nf, nf)
-                x_full = list(x_cfg)
-                for a, fi in enumerate(free_idx):
-                    x_full[fi] = xf[a]
-            else:
-                pd = zeros == zeros  # true
-                x_full = x_cfg
-
-            grad = [Qu[i] + sum(Quu_reg[i][j] * x_full[j] for j in range(nu))
-                    for i in range(nu)]
-            valid = pd
-            for i in range(nu):
-                if cfg[i] == 0:
-                    valid = valid & (x_full[i] >= lb[i]) & (x_full[i] <= ub[i])
-                elif cfg[i] == 1:
-                    valid = valid & (grad[i] >= 0.0)
-                else:
-                    valid = valid & (grad[i] <= 0.0)
-            take = valid & (~taken)
-            taken = taken | valid
-            for i in range(nu):
-                k_sel[i] = jnp.where(take, x_full[i], k_sel[i])
-            if free_idx:
-                for a, fi in enumerate(free_idx):
-                    for b, fj in enumerate(free_idx):
-                        Hinv_free_sel[fi][fj] = jnp.where(
-                            take, Hinv[a][b], Hinv_free_sel[fi][fj]
-                        )
-
-        fail = (~pd_all) | (~taken)
-        ok = ok * jnp.where(fail, 0.0, 1.0)
-
-        # K = -Hfree^-1 Qux on free rows (zero on clamped rows/cols mix)
-        K_t = [
-            [
-                -sum(Hinv_free_sel[i][l] * Qux[l][j] for l in range(nu))
-                for j in range(nx)
-            ]
-            for i in range(nu)
-        ]
-
-        # dV += [Qu.k, 0.5 k'Quu k]
-        dv0 = sum(Qu[i] * k_sel[i] for i in range(nu))
-        dv1 = 0.5 * sum(
-            k_sel[i] * Quu[i][j] * k_sel[j]
-            for i in range(nu) for j in range(nu)
+        (k_sel, K_t, Vx_new, Vxx_new, dv0, dv1, fail, qu_absmax) = (
+            clddp_backward_step_lanes(
+                A, Bm, lx, lu, lxx, luu, lux, lb, ub, Vx, Vxx, reg, zeros,
+                nx, nu, configs,
+            )
         )
-
-        # V updates (clddp_solver.cpp:186-193)
-        Quu_k = _matvec(Quu, k_sel, nu, nu)
-        Kt = _transpose(K_t, nu, nx)
-        Vx_new = [
-            Qx[i]
-            + sum(Kt[i][l] * Quu_k[l] for l in range(nu))
-            + sum(Qux[l][i] * k_sel[l] for l in range(nu))
-            + sum(Kt[i][l] * Qu[l] for l in range(nu))
-            for i in range(nx)
-        ]
-        QuuK = _matmul(Quu, K_t, nu, nu, nx)
-        KtQuuK = _matmul(Kt, QuuK, nx, nu, nx)
-        QuxtK = _matmul(_transpose(Qux, nu, nx), K_t, nx, nu, nx)
-        Vxx_new = [
-            [
-                Qxx[i][j] + KtQuuK[i][j] + QuxtK[i][j] + QuxtK[j][i]
-                for j in range(nx)
-            ]
-            for i in range(nx)
-        ]
-        Vxx_new = [
-            [0.5 * (Vxx_new[i][j] + Vxx_new[j][i]) for j in range(nx)]
-            for i in range(nx)
-        ]
+        ok = ok * jnp.where(fail, 0.0, 1.0)
 
         for i in range(nu):
             k_ref[0, i] = k_sel[i]
             for j in range(nx):
                 K_ref[0, i, j] = K_t[i][j]
 
-        qerr_new = qerr
-        for i in range(nu):
-            qerr_new = jnp.maximum(qerr_new, jnp.abs(Qu[i]))
+        qerr_new = jnp.maximum(qerr, qu_absmax)
         nvx_new = nvx + sum(jnp.abs(Vx_new[i]) for i in range(nx))
 
         for i in range(nx):

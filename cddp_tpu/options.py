@@ -269,6 +269,14 @@ class CDDPOptions:
     # custom-call boundary costs more than the kernel saves). All engines
     # run identical math; see ops/pallas/riccati.py and ipddp_riccati.py.
     backward_engine: str = "auto"
+    # JAX-only: whole-solve engine for CLDDP. "auto" runs the entire batched
+    # solve (derivatives + backward + line search + driver) as ONE Pallas
+    # kernel for vmapped TPU float32 fleets when the problem qualifies
+    # (registered continuous lane model, goal-form quadratic objective,
+    # control box constraint with the enum BoxQP, default driver features);
+    # "xla" forces the per-pass XLA driver; "fused" asserts eligibility (a
+    # dispatch-debugging aid). See ops/pallas/mega_clddp.py.
+    solve_engine: str = "auto"
     # JAX-only: dot/einsum precision for every matmul the solver traces
     # (jax.default_matmul_precision). On TPU the MXU runs f32 matmuls at
     # bf16 input precision by default, which floors the achievable KKT

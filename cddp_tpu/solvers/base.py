@@ -354,6 +354,7 @@ def with_matmul_precision(fn):
 
 _ENGINE_CHOICES = {
     "backward_engine": ("auto", "scan", "fused"),
+    "solve_engine": ("auto", "xla", "fused"),
     "ipddp.forward_engine": ("auto", "scan"),
     "ipddp.lqr_backend": ("sequential", "parallel"),
     "log_barrier.lqr_backend": ("sequential", "parallel"),

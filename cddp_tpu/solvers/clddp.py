@@ -460,4 +460,47 @@ def solve(
     else:
         k0 = jnp.zeros((N, nu), X.dtype)
         K0 = jnp.zeros((N, nu, nx), X.dtype)
+
+    # Whole-solve fused engine (ops/pallas/mega_clddp.py): for qualifying
+    # problems the complete solve is a batch-aware op — the XLA driver per
+    # unbatched instance, ONE Pallas kernel for vmapped TPU f32 fleets.
+    # The op closes over the problem's cost/model/constraint leaves, so
+    # they must be concrete here (a vmap over x0 keeps them concrete; a
+    # vmap/jit over cost matrices makes them tracers -> XLA driver).
+    from cddp_tpu.ops.pallas import mega_clddp
+
+    if options.solve_engine == "fused" or (
+        options.solve_engine == "auto"
+        and mega_clddp.mega_eligible(problem, options)
+        and mega_clddp.problem_consts_concrete(problem)
+    ):
+        if options.solve_engine == "fused":
+            assert mega_clddp.mega_eligible(problem, options), (
+                "solve_engine='fused' requires a mega-eligible problem "
+                "(registered continuous lane model, goal-form quadratic "
+                "objective, control box constraint, default driver options)"
+            )
+        op = mega_clddp.clddp_solve_op(problem, options)
+        (Xs, Us, ks, Ks, cost, inf_du, reg, alpha_pr, iters, status) = op(
+            problem.x0, X, U, k0, K0
+        )
+        time_points = (
+            jnp.arange(N + 1, dtype=X.dtype) * problem.timestep
+        )
+        return Solution(
+            solver_name="CLDDP",
+            status_code=status,
+            iterations_completed=iters,
+            final_objective=cost,
+            final_step_length=alpha_pr,
+            final_regularization=reg,
+            time_points=time_points,
+            state_trajectory=Xs,
+            control_trajectory=Us,
+            feedback_gains=Ks,
+            feedforward_gains=ks,
+            inf_du=inf_du,
+            history=None,
+        )
+
     return _solve(problem, options, X, U, k0, K0)

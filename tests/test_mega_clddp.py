@@ -1,0 +1,228 @@
+"""Whole-solve fused CLDDP kernel (ops/pallas/mega_clddp.py) vs the XLA
+driver — interpret-mode parity, derivative lane functions vs AD, and the
+dispatch plumbing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import cddp_tpu as ct
+from cddp_tpu.models import CartPole, Pendulum, Unicycle
+from cddp_tpu.ops.pallas import mega_clddp
+from cddp_tpu.solvers import clddp
+
+
+def _box_problem(model, nx, nu, goal, x0, lower, upper, horizon=12,
+                 dt=0.05, integrator="rk4"):
+    obj = ct.quadratic_objective(
+        Q=np.eye(nx) * 0.05,
+        R=np.eye(nu) * 0.1,
+        Qf=np.eye(nx) * 50.0,
+        reference_state=goal,
+        timestep=dt,
+    )
+    return ct.problem(
+        model=model.replace(integration_type=integrator),
+        objective=obj,
+        x0=np.asarray(x0, np.float64),
+        horizon=horizon,
+        timestep=dt,
+        constraints={
+            "ControlConstraint": ct.ControlConstraint(
+                lower=np.full(nu, lower), upper=np.full(nu, upper)
+            )
+        },
+    )
+
+
+def _run_both(problem, options, x0_batch):
+    """Fused kernel (interpret) and vmapped XLA driver on the same batch."""
+    B = x0_batch.shape[0]
+    N, nx, nu = problem.horizon, problem.state_dim, problem.control_dim
+    dtype = x0_batch.dtype
+    X0 = jnp.broadcast_to(x0_batch[:, None, :], (B, N + 1, nx))
+    U0 = jnp.zeros((B, N, nu), dtype)
+    k0 = jnp.zeros((B, N, nu), dtype)
+    K0 = jnp.zeros((B, N, nu, nx), dtype)
+
+    fused = mega_clddp.build_fused_solve(problem, options, interpret=True)
+    got = fused(x0_batch, X0, U0, k0, K0)
+
+    def one(x0, X0i, U0i, k0i, K0i):
+        sol = clddp._solve(problem.replace(x0=x0), options, X0i, U0i,
+                           k0i, K0i)
+        return (
+            sol.state_trajectory, sol.control_trajectory,
+            sol.feedforward_gains, sol.feedback_gains,
+            sol.final_objective, sol.inf_du, sol.final_regularization,
+            sol.final_step_length, sol.iterations_completed,
+            sol.status_code,
+        )
+
+    want = jax.vmap(one)(x0_batch, X0, U0, k0, K0)
+    return got, want
+
+
+def _assert_solutions_match(got, want, atol=1e-8):
+    names = ("X", "U", "k", "K", "cost", "inf_du", "reg", "alpha_pr",
+             "iters", "status")
+    for name, g, w in zip(names, got, want):
+        if name in ("iters", "status"):
+            np.testing.assert_array_equal(
+                np.asarray(g), np.asarray(w), err_msg=name
+            )
+        else:
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w), rtol=1e-8, atol=atol,
+                err_msg=name,
+            )
+
+
+class TestDerivLanes:
+    """Analytic continuous-Jacobian lane functions vs the models' AD."""
+
+    @pytest.mark.parametrize("model,kind,nx,nu", [
+        (Unicycle(), "Unicycle", 3, 2),
+        (Pendulum(), "Pendulum", 2, 1),
+    ])
+    def test_analytic_matches_ad(self, model, kind, nx, nu):
+        from cddp_tpu.ops.pallas.rollout import _REGISTRY
+
+        entry = _REGISTRY[kind]
+        param_fn = entry[1]
+        p = list(np.asarray(param_fn(model), np.float64))
+        deriv = mega_clddp._DERIV_REGISTRY[kind]
+        rng = np.random.default_rng(0)
+        for _ in range(3):
+            x = [jnp.asarray(v) for v in rng.normal(size=nx)]
+            u = [jnp.asarray(v) for v in rng.normal(size=nu)]
+            Fx, Fu = deriv(x, u, [jnp.asarray(v) for v in p])
+            xa = jnp.asarray([float(v) for v in x])
+            ua = jnp.asarray([float(v) for v in u])
+            Fx_ad, Fu_ad = model.jacobians(xa, ua, 0.0)
+            got_fx = np.asarray([[float(Fx[i][j]) for j in range(nx)]
+                                 for i in range(nx)])
+            got_fu = np.asarray([[float(Fu[i][j]) for j in range(nu)]
+                                 for i in range(nx)])
+            np.testing.assert_allclose(got_fx, np.asarray(Fx_ad),
+                                       rtol=1e-12, atol=1e-12)
+            np.testing.assert_allclose(got_fu, np.asarray(Fu_ad),
+                                       rtol=1e-12, atol=1e-12)
+
+    def test_jvp_fallback_matches_ad(self):
+        from cddp_tpu.ops.pallas.rollout import _REGISTRY
+
+        model = CartPole()
+        entry = _REGISTRY["CartPole"]
+        n_params, param_fn, lane_f = entry[0], entry[1], entry[2]
+        deriv = mega_clddp._jvp_deriv(lane_f, 4, 1)
+        p = [jnp.asarray(v) for v in np.asarray(param_fn(model), np.float64)]
+        rng = np.random.default_rng(1)
+        x = [jnp.asarray(v) for v in rng.normal(size=4)]
+        u = [jnp.asarray(v) for v in rng.normal(size=1)]
+        Fx, Fu = deriv(x, u, p)
+        xa = jnp.asarray([float(v) for v in x])
+        ua = jnp.asarray([float(v) for v in u])
+        Fx_ad, Fu_ad = model.jacobians(xa, ua, 0.0)
+        got_fx = np.asarray([[float(Fx[i][j]) for j in range(4)]
+                             for i in range(4)])
+        got_fu = np.asarray([[float(Fu[i][0])] for i in range(4)])
+        np.testing.assert_allclose(got_fx, np.asarray(Fx_ad), rtol=1e-10,
+                                   atol=1e-12)
+        np.testing.assert_allclose(got_fu, np.asarray(Fu_ad), rtol=1e-10,
+                                   atol=1e-12)
+
+
+class TestMegaParity:
+    """Kernel (interpret mode, f64) == vmapped XLA driver, including
+    statuses, iteration counts and regularization trails."""
+
+    def test_unicycle(self):
+        prob = _box_problem(
+            Unicycle(), 3, 2, goal=[1.0, 1.0, np.pi / 4],
+            x0=[0.0, 0.0, 0.0], lower=-1.0, upper=1.0, horizon=12,
+        )
+        opts = ct.CDDPOptions(max_iterations=8, tolerance=1e-4)
+        rng = np.random.default_rng(2)
+        x0b = jnp.asarray(
+            rng.uniform(-0.5, 0.5, size=(5, 3)), jnp.float64
+        )
+        got, want = _run_both(prob, opts, x0b)
+        _assert_solutions_match(got, want)
+        # The batch must exercise real work: some lane improved the cost.
+        assert np.asarray(got[8]).max() >= 1
+
+    @pytest.mark.slow
+    def test_pendulum_rk4(self):
+        prob = _box_problem(
+            Pendulum(), 2, 1, goal=[np.pi, 0.0], x0=[0.0, 0.0],
+            lower=-5.0, upper=5.0, horizon=15, dt=0.05,
+        )
+        opts = ct.CDDPOptions(max_iterations=10, tolerance=1e-5)
+        rng = np.random.default_rng(3)
+        x0b = jnp.asarray(rng.uniform(-1.0, 1.0, size=(4, 2)), jnp.float64)
+        got, want = _run_both(prob, opts, x0b)
+        _assert_solutions_match(got, want)
+
+    @pytest.mark.slow
+    def test_cartpole_jvp_euler(self):
+        prob = _box_problem(
+            CartPole(), 4, 1, goal=[0.0, np.pi, 0.0, 0.0],
+            x0=[0.0, 0.0, 0.0, 0.0], lower=-10.0, upper=10.0,
+            horizon=10, dt=0.05, integrator="euler",
+        )
+        opts = ct.CDDPOptions(max_iterations=6, tolerance=1e-5)
+        rng = np.random.default_rng(4)
+        x0b = jnp.asarray(rng.uniform(-0.3, 0.3, size=(3, 4)), jnp.float64)
+        got, want = _run_both(prob, opts, x0b)
+        _assert_solutions_match(got, want)
+
+
+class TestDispatch:
+    def test_eligibility(self):
+        prob = _box_problem(Unicycle(), 3, 2, goal=[1.0, 1.0, 0.0],
+                            x0=[0.0, 0.0, 0.0], lower=-1.0, upper=1.0)
+        opts = ct.CDDPOptions(max_iterations=5)
+        assert mega_clddp.mega_eligible(prob, opts)
+        assert not mega_clddp.mega_eligible(
+            prob, opts.replace(solve_engine="xla")
+        )
+        assert not mega_clddp.mega_eligible(
+            prob, opts.replace(enable_parallel=True)
+        )
+        assert not mega_clddp.mega_eligible(
+            prob, opts.replace(verbose=True)
+        )
+        assert not mega_clddp.mega_eligible(
+            prob, opts.replace(return_iteration_info=True)
+        )
+        # No control constraint -> ineligible.
+        bare = prob.replace(constraints={})
+        assert not mega_clddp.mega_eligible(bare, opts)
+
+    def test_batched_solve_routes_and_matches(self):
+        """batched_solve through the solve-op boundary == per-instance
+        driver solves (CPU: the op's vmapped-scan path; the op must be
+        transparent)."""
+        from cddp_tpu.parallel.batch import batched_solve
+
+        prob = _box_problem(Unicycle(), 3, 2, goal=[1.0, 1.0, 0.0],
+                            x0=[0.0, 0.0, 0.0], lower=-1.0, upper=1.0,
+                            horizon=10)
+        opts = ct.CDDPOptions(max_iterations=5, tolerance=1e-4)
+        rng = np.random.default_rng(5)
+        x0b = jnp.asarray(rng.uniform(-0.4, 0.4, size=(3, 3)), jnp.float64)
+        sol = batched_solve(prob, x0b, solver="CLDDP", options=opts)
+        for i in range(x0b.shape[0]):
+            p_i = prob.replace(x0=x0b[i])
+            X0 = jnp.broadcast_to(x0b[i], (prob.horizon + 1, 3))
+            ref = clddp.solve(p_i, opts, X0=X0)
+            np.testing.assert_allclose(
+                np.asarray(sol.final_objective)[i],
+                float(ref.final_objective), rtol=1e-10,
+            )
+            np.testing.assert_allclose(
+                np.asarray(sol.control_trajectory)[i],
+                np.asarray(ref.control_trajectory), rtol=1e-9, atol=1e-10,
+            )
