@@ -179,6 +179,69 @@ class TestMegaParity:
         _assert_solutions_match(got, want)
 
 
+class TestMegaEdgeCases:
+    """Driver-parity on the failure/edge paths: regularization-limit
+    termination (exercises the masked backward-retry loop), the reference's
+    max_iterations=1 default, and the heun integrator."""
+
+    def test_regularization_limit_parity(self):
+        # An indefinite Quu (negative R outweighing Vxx curvature) forces
+        # the enum BoxQP's PD check to fail at every regularization the
+        # tiny ladder can reach -> REGULARIZATION_LIMIT_NOT_CONVERGED.
+        dt = 0.05
+        obj = ct.quadratic_objective(
+            Q=np.eye(3) * 0.05, R=np.eye(2) * 0.1, Qf=np.eye(3) * 50.0,
+            reference_state=[1.0, 1.0, 0.0], timestep=dt,
+        )
+        obj = obj.replace(R=jnp.asarray(-np.eye(2) * 5.0))  # indefinite
+        prob = ct.problem(
+            model=Unicycle(), objective=obj, x0=np.zeros(3), horizon=8,
+            timestep=dt,
+            constraints={
+                "ControlConstraint": ct.ControlConstraint(
+                    lower=np.full(2, -1.0), upper=np.full(2, 1.0)
+                )
+            },
+        )
+        from cddp_tpu.options import RegularizationOptions
+
+        opts = ct.CDDPOptions(
+            max_iterations=4,
+            regularization=RegularizationOptions(
+                initial_value=1e-6, update_factor=10.0, max_value=1e-2
+            ),
+        )
+        x0b = jnp.asarray(np.linspace(-0.2, 0.2, 9).reshape(3, 3))
+        got, want = _run_both(prob, opts, x0b)
+        _assert_solutions_match(got, want)
+        from cddp_tpu.solution import Status
+
+        assert np.all(
+            np.asarray(want[9]) == Status.REGULARIZATION_LIMIT_NOT_CONVERGED
+        )
+
+    def test_single_iteration_default(self):
+        # max_iterations=1 is the reference default (options.hpp:215).
+        prob = _box_problem(Unicycle(), 3, 2, goal=[1.0, 1.0, 0.0],
+                            x0=[0.0, 0.0, 0.0], lower=-1.0, upper=1.0,
+                            horizon=10)
+        opts = ct.CDDPOptions(max_iterations=1)
+        x0b = jnp.asarray(np.linspace(-0.3, 0.3, 6).reshape(2, 3))
+        got, want = _run_both(prob, opts, x0b)
+        _assert_solutions_match(got, want)
+        assert np.all(np.asarray(got[8]) == 1)
+
+    @pytest.mark.slow
+    def test_heun_integrator(self):
+        prob = _box_problem(Unicycle(), 3, 2, goal=[0.8, -0.5, 0.0],
+                            x0=[0.0, 0.0, 0.0], lower=-1.5, upper=1.5,
+                            horizon=9, integrator="heun")
+        opts = ct.CDDPOptions(max_iterations=6, tolerance=1e-5)
+        x0b = jnp.asarray(np.linspace(-0.2, 0.4, 6).reshape(2, 3))
+        got, want = _run_both(prob, opts, x0b)
+        _assert_solutions_match(got, want)
+
+
 class TestDispatch:
     def test_eligibility(self):
         prob = _box_problem(Unicycle(), 3, 2, goal=[1.0, 1.0, 0.0],
