@@ -33,9 +33,10 @@ cddp_solver_base.cpp:29-186 + clddp_solver.cpp) exactly:
 Dispatch: :func:`clddp_solve_op` builds a batch-aware op (scan = the XLA
 ``_solve`` driver) so CLDDP solves route here automatically for vmapped TPU
 float32 batches when :func:`mega_eligible` holds (registered continuous
-lane model, goal-form quadratic objective, control box constraint with the
-enum BoxQP, default driver options). Parity with the XLA driver is pinned
-in tests/test_mega_clddp.py (interpret mode).
+lane model, quadratic objective — goal or per-step ``reference_states``
+tracking — and a control box constraint with the enum BoxQP, default
+driver options). Parity with the XLA driver is pinned in
+tests/test_mega_clddp.py (interpret mode).
 """
 
 from __future__ import annotations
@@ -191,7 +192,8 @@ def _make_cfg(options) -> _Cfg:
 
 
 def make_solve_kernel(nx, nu, N, n_params, lane_f, deriv_f, integrator,
-                      cfg: _Cfg, tile_b: int = DEFAULT_TILE_B):
+                      cfg: _Cfg, tracking: bool = False,
+                      tile_b: int = DEFAULT_TILE_B):
     """Build the whole-solve pallas_call for static problem structure.
 
     Inputs (batch-last, lane-folded): x0 (nx,B), X0 (N+1,nx,B), U0 (N,nu,B),
@@ -205,9 +207,14 @@ def make_solve_kernel(nx, nu, N, n_params, lane_f, deriv_f, integrator,
     configs = list(product(range(3), repeat=nu))
 
     def kernel(x0_ref, X0_ref, U0_ref, k0_ref, K0_ref, dt_ref, p_ref,
-               Q_ref, R_ref, Qf_ref, goal_ref, lbc_ref, ubc_ref,
-               Xo_ref, Uo_ref, ko_ref, Ko_ref, st_ref,
-               Xs, Us, Xc, Uc, ks, Ks, sc):
+               Q_ref, R_ref, Qf_ref, goal_ref, *rest):
+        if tracking:
+            (refs_ref, lbc_ref, ubc_ref, Xo_ref, Uo_ref, ko_ref, Ko_ref,
+             st_ref, Xs, Us, Xc, Uc, ks, Ks, sc) = rest
+        else:
+            refs_ref = None
+            (lbc_ref, ubc_ref, Xo_ref, Uo_ref, ko_ref, Ko_ref,
+             st_ref, Xs, Us, Xc, Uc, ks, Ks, sc) = rest
         dt = dt_ref[0]
         zeros = jnp.zeros_like(dt)
         ones = zeros + 1.0
@@ -219,9 +226,18 @@ def make_solve_kernel(nx, nu, N, n_params, lane_f, deriv_f, integrator,
         lbc = [lbc_ref[i] for i in range(nu)]
         ubc = [ubc_ref[i] for i in range(nu)]
 
-        def run_cost(x, u):
-            """e'Qe + u'Ru with the goal reference (QuadraticObjective)."""
-            e = [x[i] - goal[i] for i in range(nx)]
+        def ref_row(t):
+            """Per-step running reference: reference_states row when
+            tracking, the goal otherwise (QuadraticObjective semantics;
+            the terminal cost always tracks the goal)."""
+            if tracking:
+                return [refs_ref[t, i] for i in range(nx)]
+            return goal
+
+        def run_cost(x, u, t):
+            """e'Qe + u'Ru (QuadraticObjective, dt-prescaled Q/R)."""
+            ref = ref_row(t)
+            e = [x[i] - ref[i] for i in range(nx)]
             c = zeros
             for i in range(nx):
                 for j in range(nx):
@@ -250,7 +266,7 @@ def make_solve_kernel(nx, nu, N, n_params, lane_f, deriv_f, integrator,
         def cost0_body(t, J):
             x = [Xs[t, i] for i in range(nx)]
             u = [Us[t, i] for i in range(nu)]
-            return J + run_cost(x, u)
+            return J + run_cost(x, u, t)
 
         J0 = jax.lax.fori_loop(0, N, cost0_body, zeros)
         J0 = J0 + term_cost([Xs[N, i] for i in range(nx)])
@@ -312,7 +328,8 @@ def make_solve_kernel(nx, nu, N, n_params, lane_f, deriv_f, integrator,
                             ]
                             Bm = [[dt * Fu[i][j] for j in range(nu)]
                                   for i in range(nx)]
-                            e = [x[i] - goal[i] for i in range(nx)]
+                            ref = ref_row(t)
+                            e = [x[i] - ref[i] for i in range(nx)]
                             lx = [
                                 2.0 * sum(Q[i][j] * e[j] for j in range(nx))
                                 for i in range(nx)
@@ -425,7 +442,7 @@ def make_solve_kernel(nx, nu, N, n_params, lane_f, deriv_f, integrator,
                                     jnp.maximum(ui, lbc[i]), ubc[i]
                                 )
                                 u.append(ui)
-                            J = J + run_cost(x, u)
+                            J = J + run_cost(x, u, t)
                             x_next = _integrate_lane(
                                 lane_f, integrator, x, u, p, dt
                             )
@@ -544,8 +561,9 @@ def make_solve_kernel(nx, nu, N, n_params, lane_f, deriv_f, integrator,
     tbs = tile_b // 128
     np_eff = max(n_params, 1)
 
-    def call(x0, X0, U0, k0, K0, dtv, params, Q, R, Qf, goal, lbc, ubc,
-             interpret=False):
+    def call(x0, X0, U0, k0, K0, dtv, params, Q, R, Qf, goal, refs, lbc,
+             ubc, interpret=False):
+        # refs is None (and unused) when not tracking.
         Btot = x0.shape[-1]
         assert Btot % tile_b == 0, (Btot, tile_b)
         grid = (Btot // tile_b,)
@@ -566,8 +584,8 @@ def make_solve_kernel(nx, nu, N, n_params, lane_f, deriv_f, integrator,
         in_specs = [
             spec(nx), spec(N + 1, nx), spec(N, nu), spec(N, nu),
             spec(N, nu, nx), spec(1), spec(np_eff), spec(nx, nx),
-            spec(nu, nu), spec(nx, nx), spec(nx), spec(nu), spec(nu),
-        ]
+            spec(nu, nu), spec(nx, nx), spec(nx),
+        ] + ([spec(N, nx)] if tracking else []) + [spec(nu), spec(nu)]
         out_specs = (
             spec(N + 1, nx), spec(N, nu), spec(N, nu), spec(N, nu, nx),
             spec(6),
@@ -588,11 +606,10 @@ def make_solve_kernel(nx, nu, N, n_params, lane_f, deriv_f, integrator,
             pltpu.VMEM((N, nu, nx, tbs, 128), dtype),   # Ks
             pltpu.VMEM((_N_SCALARS, tbs, 128), dtype),  # sc
         ]
-        args = [
-            fold(v)
-            for v in (x0, X0, U0, k0, K0, dtv, params, Q, R, Qf, goal,
-                      lbc, ubc)
-        ]
+        ins = (x0, X0, U0, k0, K0, dtv, params, Q, R, Qf, goal)
+        if tracking:
+            ins = ins + (refs,)
+        args = [fold(v) for v in ins + (lbc, ubc)]
         outs = pl.pallas_call(
             kernel,
             grid=grid,
@@ -613,8 +630,8 @@ def make_solve_kernel(nx, nu, N, n_params, lane_f, deriv_f, integrator,
 def mega_eligible(problem, options) -> bool:
     """Static dispatch predicate for the whole-solve kernel.
 
-    Requires: registered continuous-dynamics lane model, goal-form
-    QuadraticObjective, a ControlConstraint with the enum BoxQP eligible,
+    Requires: registered continuous-dynamics lane model, a
+    QuadraticObjective (goal or per-step reference_states tracking), a ControlConstraint with the enum BoxQP eligible,
     and none of the driver features the kernel doesn't model (history
     recording, verbose/debug printing, cpu-time limit, parallel line
     search). All non-(x0/X0/U0/gains) problem leaves must be concrete —
@@ -639,7 +656,6 @@ def mega_eligible(problem, options) -> bool:
     )
     return (
         isinstance(obj, QuadraticObjective)
-        and obj.reference_states is None
         and enum_ok
         and problem.model.integration_type in ("euler", "heun", "rk3", "rk4")
         and options.solve_engine != "xla"
@@ -667,15 +683,17 @@ def problem_consts_concrete(problem) -> bool:
     jax.jit,
     static_argnames=("cfg", "kind", "integrator", "tile_b", "interpret"),
 )
-def _mega_impl(x0, X0, U0, k0, K0, dtv, params, Q, R, Qf, goal, lbc, ubc,
-               cfg: _Cfg, kind: str, integrator: str,
+def _mega_impl(x0, X0, U0, k0, K0, dtv, params, Q, R, Qf, goal, refs, lbc,
+               ubc, cfg: _Cfg, kind: str, integrator: str,
                tile_b: int = DEFAULT_TILE_B, interpret: bool = False):
     """Batch-first wrapper: pad to a tile multiple, transpose to batch-last,
-    run the kernel, trim. Returns (X, U, k, K, stats(B,6))."""
+    run the kernel, trim. ``refs`` is None for goal-form objectives.
+    Returns (X, U, k, K, stats(B,6))."""
     B0 = x0.shape[0]
     nx, nu = x0.shape[1], U0.shape[2]
     N = U0.shape[1]
     pad = (-B0) % tile_b
+    tracking = refs is not None
 
     def prep(v):
         if pad:
@@ -686,10 +704,14 @@ def _mega_impl(x0, X0, U0, k0, K0, dtv, params, Q, R, Qf, goal, lbc, ubc,
     n_params, lane_f = entry[0], entry[2]
     deriv_f = deriv_lane_fn(kind, lane_f, nx, nu)
     call = make_solve_kernel(
-        nx, nu, N, n_params, lane_f, deriv_f, integrator, cfg, tile_b
+        nx, nu, N, n_params, lane_f, deriv_f, integrator, cfg, tracking,
+        tile_b,
     )
-    args = [prep(v) for v in (x0, X0, U0, k0, K0, dtv[:, None], params, Q,
-                              R, Qf, goal, lbc, ubc)]
+    args = [
+        prep(v) if v is not None else None
+        for v in (x0, X0, U0, k0, K0, dtv[:, None], params, Q, R, Qf,
+                  goal, refs, lbc, ubc)
+    ]
     X, U, k, K, st = call(*args, interpret=interpret)
     unprep = lambda v: jnp.moveaxis(v, -1, 0)[:B0]
     return unprep(X), unprep(U), unprep(k), unprep(K), unprep(st)
@@ -719,11 +741,17 @@ def build_fused_solve(problem, options, interpret: bool = False):
         params = bc(jnp.asarray(param_fn(problem.model), dtype))
         if n_params == 0:
             params = jnp.zeros((B, 1), dtype)
+        if obj.reference_states is not None:
+            # (N, nx) or (N+1, nx): only rows 0..N-1 are running refs.
+            refs = bc(jnp.asarray(obj.reference_states)[: U0.shape[1]])
+        else:
+            refs = None
         X, U, k, K, st = _mega_impl(
             x0, X0, U0, k0, K0,
             jnp.broadcast_to(jnp.asarray(problem.timestep, dtype), (B,)),
             params, bc(obj.Q), bc(obj.R), bc(obj.Qf),
-            bc(obj.reference_state), bc(jnp.asarray(cc.lower, dtype)),
+            bc(obj.reference_state), refs,
+            bc(jnp.asarray(cc.lower, dtype)),
             bc(jnp.asarray(cc.upper, dtype)),
             cfg=cfg, kind=kind, integrator=integrator,
             tile_b=DEFAULT_TILE_B, interpret=interpret,

@@ -272,7 +272,7 @@ class CDDPOptions:
     # JAX-only: whole-solve engine for CLDDP. "auto" runs the entire batched
     # solve (derivatives + backward + line search + driver) as ONE Pallas
     # kernel for vmapped TPU float32 fleets when the problem qualifies
-    # (registered continuous lane model, goal-form quadratic objective,
+    # (registered continuous lane model, quadratic objective,
     # control box constraint with the enum BoxQP, default driver features);
     # "xla" forces the per-pass XLA driver; "fused" asserts eligibility (a
     # dispatch-debugging aid). See ops/pallas/mega_clddp.py.

@@ -231,6 +231,34 @@ class TestMegaEdgeCases:
         _assert_solutions_match(got, want)
         assert np.all(np.asarray(got[8]) == 1)
 
+    def test_tracking_reference_states(self):
+        # Per-step reference_states trajectory tracking (stage refs ride a
+        # kernel input; terminal still tracks reference_state).
+        dt, N = 0.05, 10
+        goal = np.array([1.0, 0.5, 0.0])
+        refs = np.stack([
+            np.array([t / N, 0.5 * t / N, 0.0]) for t in range(N)
+        ]) + goal * 0.0
+        refs[-1] = goal
+        obj = ct.quadratic_objective(
+            Q=np.eye(3) * 0.5, R=np.eye(2) * 0.1, Qf=np.eye(3) * 50.0,
+            reference_state=goal, timestep=dt, reference_states=refs,
+        )
+        prob = ct.problem(
+            model=Unicycle(), objective=obj, x0=np.zeros(3), horizon=N,
+            timestep=dt,
+            constraints={
+                "ControlConstraint": ct.ControlConstraint(
+                    lower=np.full(2, -2.0), upper=np.full(2, 2.0)
+                )
+            },
+        )
+        opts = ct.CDDPOptions(max_iterations=7, tolerance=1e-5)
+        x0b = jnp.asarray(np.linspace(-0.2, 0.2, 9).reshape(3, 3))
+        got, want = _run_both(prob, opts, x0b)
+        _assert_solutions_match(got, want)
+        assert np.asarray(got[8]).max() >= 1
+
     @pytest.mark.slow
     def test_heun_integrator(self):
         prob = _box_problem(Unicycle(), 3, 2, goal=[0.8, -0.5, 0.0],
