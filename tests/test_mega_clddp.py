@@ -259,6 +259,33 @@ class TestMegaEdgeCases:
         _assert_solutions_match(got, want)
         assert np.asarray(got[8]).max() >= 1
 
+    def test_warm_start_gains_through_op(self):
+        # solve(warm_start=True, gains=...) under vmap routes k0/K0 through
+        # the whole-solve op; the enum BoxQP ignores gain warm starts, so
+        # the result must equal the cold solve bit-for-bit on both engines.
+        prob = _box_problem(Unicycle(), 3, 2, goal=[1.0, 1.0, 0.0],
+                            x0=[0.0, 0.0, 0.0], lower=-1.0, upper=1.0,
+                            horizon=10)
+        opts = ct.CDDPOptions(max_iterations=5, tolerance=1e-4,
+                              warm_start=True)
+        rng = np.random.default_rng(7)
+        x0b = jnp.asarray(rng.uniform(-0.3, 0.3, size=(3, 3)))
+        N, nx, nu = prob.horizon, 3, 2
+        kw = jnp.asarray(rng.normal(size=(3, N, nu)) * 0.01)
+        Kw = jnp.asarray(rng.normal(size=(3, N, nu, nx)) * 0.01)
+
+        def one(x0, k0, K0):
+            p = prob.replace(x0=x0)
+            X0 = jnp.broadcast_to(x0, (N + 1, nx))
+            return clddp.solve(p, opts, X0=X0, gains=(k0, K0)).final_objective
+
+        warm = jax.vmap(one)(x0b, kw, Kw)
+        cold = jax.vmap(lambda x0: clddp.solve(
+            prob.replace(x0=x0), opts,
+            X0=jnp.broadcast_to(x0, (N + 1, nx))).final_objective)(x0b)
+        np.testing.assert_allclose(np.asarray(warm), np.asarray(cold),
+                                   rtol=1e-12)
+
     @pytest.mark.slow
     def test_heun_integrator(self):
         prob = _box_problem(Unicycle(), 3, 2, goal=[0.8, -0.5, 0.0],
