@@ -159,16 +159,15 @@ def _make_cfg(options) -> _Cfg:
     from cddp_tpu.options import line_search_alphas
 
     reg = options.regularization
-    # Worst-case backward retries: increases from reg_min until the limit
-    # fires (reg decreases to at most min_value between iterations).
+    # Worst-case backward retries: increases until the limit fires, from the
+    # lowest regularization any iteration can start at (initial_value on the
+    # first, decreased-to-at-most-min_value afterwards). update_factor <= 1
+    # never reaches the limit at all (the XLA driver's retry while_loop
+    # would spin forever too) — mega_eligible rejects it.
+    reg_floor = max(min(reg.initial_value, reg.min_value), 1e-300)
     bp_bound = (
-        int(
-            math.ceil(
-                math.log(reg.max_value / max(reg.min_value, 1e-300))
-                / math.log(reg.update_factor)
-            )
-        )
-        + 2
+        int(math.ceil(math.log(reg.max_value / reg_floor)
+                      / math.log(reg.update_factor))) + 2
         if reg.update_factor > 1.0
         else 4
     )
@@ -454,6 +453,12 @@ def make_solve_kernel(nx, nu, N, n_params, lane_f, deriv_f, integrator,
                                 )
                             return (tuple(x_next), J)
 
+                        # Roll from the nominal Xs[0] — identical to the
+                        # driver's fused/scan forward op, which starts at
+                        # Xb[:, 0] (rollout.py:_scan_forward_single). The
+                        # solve() entry guarantees X0[0] == x0
+                        # (Problem.initial_trajectories), so this equals
+                        # problem.x0 on every reachable input.
                         x0l = tuple(Xs[0, i] for i in range(nx))
                         xN, J = jax.lax.fori_loop(0, N, fstep, (x0l, zeros))
                         J = J + term_cost(list(xN))
@@ -491,6 +496,8 @@ def make_solve_kernel(nx, nu, N, n_params, lane_f, deriv_f, integrator,
                     return c4
 
                 jax.lax.fori_loop(0, N, copy_body, 0)
+                # Xs[0] never changes: the forward op's X_new[0] is the
+                # nominal Xb[:, 0] (== x0 by the solve() precondition).
 
                 cost = sc[_COST]
                 J_new = sc[_LS_J]
@@ -666,15 +673,46 @@ def mega_eligible(problem, options) -> bool:
         and not options.debug
         and options.max_cpu_time <= 0
         and options.max_iterations >= 1
+        # update_factor <= 1 can never reach the regularization limit; the
+        # retry loop has no finite bound (the XLA driver spins too, but it
+        # matches the reference — keep it there).
+        and options.regularization.update_factor > 1.0
+        and _vmem_estimate_bytes(problem) <= _VMEM_BUDGET_BYTES
     )
+
+
+# The kernel keeps the whole horizon VMEM-resident: every (N, ...) input/
+# output block plus the trajectory/gain/candidate scratch lives on-chip for
+# the whole solve (that is the point — zero HBM round-trips between passes).
+# v5e/v4 cores have ~16 MiB of VMEM; leave headroom for Mosaic temporaries.
+# Long horizons or big state dims must keep the streamed per-pass kernels
+# (riccati.py walks one timestep per grid step precisely so VMEM stays flat
+# in N). Unicycle N=20 totals ~3.9 MB; N~90 crosses the budget.
+_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+
+
+def _vmem_estimate_bytes(problem, tile_b: int = DEFAULT_TILE_B) -> int:
+    """Lane-vector count x tile bytes for all kernel blocks + scratch."""
+    nx, nu, N = problem.state_dim, problem.control_dim, problem.horizon
+    kind = _registry_key(problem.model)
+    np_eff = max(_REGISTRY[kind][0], 1) if kind else 1
+    tracking = problem.objective.reference_states is not None
+    ins = (
+        nx + (N + 1) * nx + 2 * N * nu + N * nu * nx + 1 + np_eff
+        + 2 * nx * nx + nu * nu + nx + 2 * nu + (N * nx if tracking else 0)
+    )
+    outs = (N + 1) * nx + 2 * N * nu + N * nu * nx + 6
+    scratch = 2 * (N + 1) * nx + 3 * N * nu + N * nu * nx + _N_SCALARS
+    return (ins + outs + scratch) * tile_b * 4
 
 
 def problem_consts_concrete(problem) -> bool:
     """True when every problem leaf except x0 is a concrete array — the op
     closes over them as constants, so tracers (e.g. a user vmapping over
-    cost matrices) must fall back to the XLA driver."""
+    cost matrices or the timestep) must fall back to the XLA driver."""
     leaves = jax.tree_util.tree_leaves(
-        (problem.objective, problem.constraints, problem.model)
+        (problem.objective, problem.constraints, problem.model,
+         problem.timestep)
     )
     return not any(isinstance(l, jax.core.Tracer) for l in leaves)
 

@@ -476,9 +476,13 @@ def solve(
     ):
         if options.solve_engine == "fused":
             assert mega_clddp.mega_eligible(problem, options), (
-                "solve_engine='fused' requires a mega-eligible problem "
-                "(registered continuous lane model, goal-form quadratic "
-                "objective, control box constraint, default driver options)"
+                "solve_engine='fused' requires a mega-eligible problem: "
+                "registered continuous lane model, quadratic objective "
+                "(goal or reference_states tracking), control box "
+                "constraint with the enum BoxQP, default driver features "
+                "(no verbose/debug/history/max_cpu_time/enable_parallel), "
+                "and a horizon small enough to fit VMEM "
+                "(mega_clddp._vmem_estimate_bytes)"
             )
         op = mega_clddp.clddp_solve_op(problem, options)
         (Xs, Us, ks, Ks, cost, inf_du, reg, alpha_pr, iters, status) = op(

@@ -298,6 +298,67 @@ class TestMegaEdgeCases:
 
 
 class TestDispatch:
+    def test_warm_trajectory_seed_parity(self):
+        # A non-trivial warm-start X0 (row 0 = x0, as Problem.
+        # initial_trajectories guarantees; later rows an arbitrary guess):
+        # both engines must use the same nominal for the iteration-1
+        # feedback terms.
+        prob = _box_problem(Unicycle(), 3, 2, goal=[1.0, 1.0, 0.0],
+                            x0=[0.0, 0.0, 0.0], lower=-1.0, upper=1.0,
+                            horizon=10)
+        opts = ct.CDDPOptions(max_iterations=5, tolerance=1e-4)
+        rng = np.random.default_rng(11)
+        x0b = jnp.asarray(rng.uniform(-0.3, 0.3, size=(3, 3)))
+        B, N, nx, nu = 3, 10, 3, 2
+        guess = jnp.asarray(rng.uniform(-0.5, 0.5, size=(B, N + 1, nx)))
+        X0 = guess.at[:, 0, :].set(x0b)
+        U0 = jnp.zeros((B, N, nu), x0b.dtype)
+        k0 = jnp.zeros((B, N, nu), x0b.dtype)
+        K0 = jnp.zeros((B, N, nu, nx), x0b.dtype)
+
+        fused = mega_clddp.build_fused_solve(prob, opts, interpret=True)
+        got = fused(x0b, X0, U0, k0, K0)
+
+        def one(x0, X0i, U0i, k0i, K0i):
+            sol = clddp._solve(prob.replace(x0=x0), opts, X0i, U0i, k0i,
+                               K0i)
+            return (sol.state_trajectory, sol.control_trajectory,
+                    sol.feedforward_gains, sol.feedback_gains,
+                    sol.final_objective, sol.inf_du,
+                    sol.final_regularization, sol.final_step_length,
+                    sol.iterations_completed, sol.status_code)
+
+        want = jax.vmap(one)(x0b, X0, U0, k0, K0)
+        _assert_solutions_match(got, want)
+
+    def test_vmem_gate(self):
+        prob = _box_problem(Unicycle(), 3, 2, goal=[1.0, 1.0, 0.0],
+                            x0=[0.0, 0.0, 0.0], lower=-1.0, upper=1.0,
+                            horizon=20)
+        opts = ct.CDDPOptions(max_iterations=5)
+        assert mega_clddp.mega_eligible(prob, opts)
+        big = prob.replace(horizon=200)
+        assert mega_clddp._vmem_estimate_bytes(big) > \
+            mega_clddp._VMEM_BUDGET_BYTES
+        assert not mega_clddp.mega_eligible(big, opts)
+
+    def test_timestep_tracer_blocks_op(self):
+        prob = _box_problem(Unicycle(), 3, 2, goal=[1.0, 1.0, 0.0],
+                            x0=[0.0, 0.0, 0.0], lower=-1.0, upper=1.0)
+        assert mega_clddp.problem_consts_concrete(prob)
+        seen = []
+
+        def f(ts):
+            seen.append(
+                mega_clddp.problem_consts_concrete(
+                    prob.replace(timestep=ts)
+                )
+            )
+            return ts
+
+        jax.make_jaxpr(f)(0.05)
+        assert seen == [False]
+
     def test_eligibility(self):
         prob = _box_problem(Unicycle(), 3, 2, goal=[1.0, 1.0, 0.0],
                             x0=[0.0, 0.0, 0.0], lower=-1.0, upper=1.0)
