@@ -100,9 +100,108 @@ def _pendulum_fxfu(x, u, p):
     return Fx, Fu
 
 
+def _cartpole_fxfu(x, u, p):
+    mc, mp, l, g, b = p[0], p[1], p[2], p[3], p[4]
+    theta, theta_dot = x[1], x[3]
+    force = u[0]
+    z = jnp.zeros_like(x[0])
+    one = z + 1.0
+    s, c = jnp.sin(theta), jnp.cos(theta)
+    den = mc + mp * s * s
+    dden = 2.0 * mp * s * c  # d(den)/dtheta
+    # x_ddot = (F + mp*s*(l*w^2 + g*c)) / den
+    num1 = force + mp * s * (l * theta_dot * theta_dot + g * c)
+    xdd = num1 / den
+    dxdd_dth = (
+        mp * c * (l * theta_dot * theta_dot + g * c) - mp * s * g * s
+    ) / den - xdd * dden / den
+    dxdd_dw = 2.0 * mp * s * l * theta_dot / den
+    # theta_ddot = (-F*c - mp*l*w^2*c*s - (mc+mp)*g*s - b*w) / (l*den)
+    num2 = (
+        -force * c - mp * l * theta_dot * theta_dot * c * s
+        - (mc + mp) * g * s - b * theta_dot
+    )
+    tdd = num2 / (l * den)
+    dtdd_dth = (
+        force * s - mp * l * theta_dot * theta_dot * (c * c - s * s)
+        - (mc + mp) * g * c
+    ) / (l * den) - tdd * dden / den
+    dtdd_dw = (-2.0 * mp * l * theta_dot * c * s - b) / (l * den)
+    Fx = [
+        [z, z, one, z],
+        [z, z, z, one],
+        [z, dxdd_dth, z, dxdd_dw],
+        [z, dtdd_dth, z, dtdd_dw],
+    ]
+    Fu = [[z], [z], [1.0 / den], [-c / (l * den)]]
+    return Fx, Fu
+
+
+def _bicycle_fxfu(x, u, p):
+    wheelbase = p[0]
+    theta, v = x[2], x[3]
+    delta = u[1]
+    z = jnp.zeros_like(x[0])
+    one = z + 1.0
+    s, c = jnp.sin(theta), jnp.cos(theta)
+    cd = jnp.cos(delta)
+    td = jnp.sin(delta) / cd
+    Fx = [
+        [z, z, -v * s, c],
+        [z, z, v * c, s],
+        [z, z, z, td / wheelbase],
+        [z, z, z, z],
+    ]
+    Fu = [
+        [z, z],
+        [z, z],
+        [z, v / (wheelbase * cd * cd)],
+        [one, z],
+    ]
+    return Fx, Fu
+
+
+def _dubins_fxfu(x, u, p):
+    speed = p[0]
+    theta = x[2]
+    z = jnp.zeros_like(x[0])
+    Fx = [
+        [z, z, -speed * jnp.sin(theta)],
+        [z, z, speed * jnp.cos(theta)],
+        [z, z, z],
+    ]
+    Fu = [[z], [z], [z + 1.0]]
+    return Fx, Fu
+
+
+def _hcw_fxfu(x, u, p):
+    n, mass = p[0], p[1]
+    z = jnp.zeros_like(x[0])
+    one = z + 1.0
+    im = 1.0 / mass
+    n2 = n * n
+    Fx = [
+        [z, z, z, one, z, z],
+        [z, z, z, z, one, z],
+        [z, z, z, z, z, one],
+        [3.0 * n2, z, z, z, 2.0 * n, z],
+        [z, z, z, -2.0 * n, z, z],
+        [z, z, -n2 + z, z, z, z],
+    ]
+    Fu = [
+        [z, z, z], [z, z, z], [z, z, z],
+        [im + z, z, z], [z, im + z, z], [z, z, im + z],
+    ]
+    return Fx, Fu
+
+
 _DERIV_REGISTRY = {
     "Unicycle": _unicycle_fxfu,
     "Pendulum": _pendulum_fxfu,
+    "CartPole": _cartpole_fxfu,
+    "Bicycle": _bicycle_fxfu,
+    "DubinsCar": _dubins_fxfu,
+    "HCW": _hcw_fxfu,
 }
 
 

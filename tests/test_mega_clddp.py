@@ -8,7 +8,7 @@ import numpy as np
 import pytest
 
 import cddp_tpu as ct
-from cddp_tpu.models import CartPole, Pendulum, Unicycle
+from cddp_tpu.models import HCW, Bicycle, CartPole, DubinsCar, Pendulum, Unicycle
 from cddp_tpu.ops.pallas import mega_clddp
 from cddp_tpu.solvers import clddp
 
@@ -85,6 +85,10 @@ class TestDerivLanes:
     @pytest.mark.parametrize("model,kind,nx,nu", [
         (Unicycle(), "Unicycle", 3, 2),
         (Pendulum(), "Pendulum", 2, 1),
+        (CartPole(), "CartPole", 4, 1),
+        (Bicycle(), "Bicycle", 4, 2),
+        (DubinsCar(), "DubinsCar", 3, 1),
+        (HCW(), "HCW", 6, 3),
     ])
     def test_analytic_matches_ad(self, model, kind, nx, nu):
         from cddp_tpu.ops.pallas.rollout import _REGISTRY
