@@ -63,6 +63,15 @@ from cddp_tpu.ops.pallas.rollout import (
 
 DEFAULT_TILE_B = 1024
 
+
+def _i32(v):
+    """Loop bounds as concrete int32: python-int bounds become i64
+    under x64 and Mosaic then mixes i64 jaxpr indices with its i32
+    scf.for induction variables (arith.subi type mismatch)."""
+    import numpy as _np
+
+    return _np.int32(v)
+
 # Scalar lane slots in the `sc` scratch.
 _DONE, _STATUS, _COST, _REG, _INFDU, _ALPHA_PR, _IT = 0, 1, 2, 3, 4, 5, 6
 _BP_DONE, _BP_LIMIT, _DV0, _DV1 = 7, 8, 9, 10
@@ -361,12 +370,19 @@ def make_solve_kernel(nx, nu, N, n_params, lane_f, deriv_f, integrator,
         Xc[...] = X0_ref[...]
         Uc[...] = U0_ref[...]
 
-        def cost0_body(t, J):
+        # NOTE on every index-using loop below: the fori induction variable
+        # is unusable under x64 (it traces i64 while Mosaic substitutes an
+        # i32 scf.for var -> verifier errors), so each loop carries its own
+        # int32 counter and ignores the index.
+        def cost0_body(_s, carry):
+            J, t = carry
             x = [Xs[t, i] for i in range(nx)]
             u = [Us[t, i] for i in range(nu)]
-            return J + run_cost(x, u, t)
+            return (J + run_cost(x, u, t), t + _i32(1))
 
-        J0 = jax.lax.fori_loop(0, N, cost0_body, zeros)
+        J0, _ = jax.lax.fori_loop(
+            _i32(0), _i32(N), cost0_body, (zeros, jnp.asarray(0, jnp.int32))
+        )
         J0 = J0 + term_cost([Xs[N, i] for i in range(nx)])
 
         sc[_DONE] = zeros
@@ -407,11 +423,11 @@ def make_solve_kernel(nx, nu, N, n_params, lane_f, deriv_f, integrator,
                         ]
                         nvx0 = sum(jnp.abs(VxT[i]) for i in range(nx))
 
-                        def bstep(s, carry):
-                            t = N - 1 - s
+                        def bstep(_s, carry):
+                            t = carry[-1]
                             Vx = list(carry[0])
                             Vxx = [list(r) for r in carry[1]]
-                            dv0, dv1, qerr, nvx, okl = carry[2:]
+                            dv0, dv1, qerr, nvx, okl = carry[2:-1]
 
                             x = [Xs[t, i] for i in range(nx)]
                             u = [Us[t, i] for i in range(nu)]
@@ -465,7 +481,11 @@ def make_solve_kernel(nx, nu, N, n_params, lane_f, deriv_f, integrator,
                                 jnp.maximum(qerr, qabs),
                                 nvx + sum(jnp.abs(Vx_new[i])
                                           for i in range(nx)),
-                                okl * jnp.where(fail, 0.0, 1.0),
+                                # zeros/ones lanes, not python scalars: a
+                                # scalar where() is f64 under x64, and
+                                # Mosaic rejects the f64->f32 cast.
+                                okl * jnp.where(fail, zeros, ones),
+                                t - _i32(1),
                             )
 
                         init = (
@@ -475,9 +495,10 @@ def make_solve_kernel(nx, nu, N, n_params, lane_f, deriv_f, integrator,
                                 for i in range(nx)
                             ),
                             zeros, zeros, zeros, nvx0, ones,
+                            jnp.asarray(N - 1, jnp.int32),
                         )
-                        out = jax.lax.fori_loop(0, N, bstep, init)
-                        dv0, dv1, qerr, nvx, okl = out[2:]
+                        out = jax.lax.fori_loop(_i32(0), _i32(N), bstep, init)
+                        dv0, dv1, qerr, nvx, okl = out[2:-1]
 
                         scaling = (
                             jnp.maximum(cfg.s_max, nvx / (N * nx)) / cfg.s_max
@@ -504,7 +525,7 @@ def make_solve_kernel(nx, nu, N, n_params, lane_f, deriv_f, integrator,
 
                     return c2
 
-                jax.lax.fori_loop(0, cfg.bp_bound, bp_attempt, 0)
+                jax.lax.fori_loop(_i32(0), _i32(cfg.bp_bound), bp_attempt, 0)
 
                 # ---- sequential first-success line search ----
                 bpl = sc[_BP_LIMIT] > 0.5
@@ -527,9 +548,11 @@ def make_solve_kernel(nx, nu, N, n_params, lane_f, deriv_f, integrator,
                         alpha = sc[_ALPHA_CUR]
                         mnf = sc[_LS_FOUND] < 0.5
 
-                        def fstep(t, carry):
+                        def fstep(_s, carry):
                             x = list(carry[0])
                             J = carry[1]
+                            t = carry[2]
+                            tp1 = t + _i32(1)
                             dx = [x[i] - Xs[t, i] for i in range(nx)]
                             u = []
                             for i in range(nu):
@@ -547,10 +570,10 @@ def make_solve_kernel(nx, nu, N, n_params, lane_f, deriv_f, integrator,
                             for i in range(nu):
                                 Uc[t, i] = jnp.where(mnf, u[i], Uc[t, i])
                             for i in range(nx):
-                                Xc[t + 1, i] = jnp.where(
-                                    mnf, x_next[i], Xc[t + 1, i]
+                                Xc[tp1, i] = jnp.where(
+                                    mnf, x_next[i], Xc[tp1, i]
                                 )
-                            return (tuple(x_next), J)
+                            return (tuple(x_next), J, tp1)
 
                         # Roll from the nominal Xs[0] — identical to the
                         # driver's fused/scan forward op, which starts at
@@ -559,13 +582,25 @@ def make_solve_kernel(nx, nu, N, n_params, lane_f, deriv_f, integrator,
                         # (Problem.initial_trajectories), so this equals
                         # problem.x0 on every reachable input.
                         x0l = tuple(Xs[0, i] for i in range(nx))
-                        xN, J = jax.lax.fori_loop(0, N, fstep, (x0l, zeros))
+                        xN, J, _ = jax.lax.fori_loop(
+                            _i32(0), _i32(N), fstep,
+                            (x0l, zeros, jnp.asarray(0, jnp.int32)),
+                        )
                         J = J + term_cost(list(xN))
 
                         dJ = sc[_COST] - J
                         expected = -alpha * (sc[_DV0] + 0.5 * alpha * sc[_DV1])
+                        # Explicit where-chain instead of sign(): Mosaic's
+                        # sign lowering rule synthesizes f64 constants under
+                        # x64 and dies on the f64->f32 cast. Semantics match
+                        # jnp.sign exactly: +/-1 on nonzero, +/-0 on zero,
+                        # NaN propagates (both comparisons false -> dJ*0).
+                        sign_dJ = jnp.where(
+                            dJ > 0.0, ones,
+                            jnp.where(dJ < 0.0, -ones, dJ * 0.0),
+                        )
                         ratio = jnp.where(
-                            expected > 0.0, dJ / expected, jnp.sign(dJ)
+                            expected > 0.0, dJ / expected, sign_dJ
                         )
                         accept = ratio > cfg.armijo
                         take = accept & mnf
@@ -580,21 +615,23 @@ def make_solve_kernel(nx, nu, N, n_params, lane_f, deriv_f, integrator,
 
                     return c3
 
-                jax.lax.fori_loop(0, cfg.n_alpha, ls_iter, 0)
+                jax.lax.fori_loop(_i32(0), _i32(cfg.n_alpha), ls_iter, 0)
 
                 # ---- acceptance / regularization / convergence ----
                 fp_ok = sc[_LS_OK] > 0.5  # participate & first-success
 
-                def copy_body(t, c4):
+                def copy_body(_s, t):
+                    tp1 = t + _i32(1)
                     for i in range(nx):
-                        Xs[t + 1, i] = jnp.where(
-                            fp_ok, Xc[t + 1, i], Xs[t + 1, i]
+                        Xs[tp1, i] = jnp.where(
+                            fp_ok, Xc[tp1, i], Xs[tp1, i]
                         )
                     for i in range(nu):
                         Us[t, i] = jnp.where(fp_ok, Uc[t, i], Us[t, i])
-                    return c4
+                    return tp1
 
-                jax.lax.fori_loop(0, N, copy_body, 0)
+                jax.lax.fori_loop(_i32(0), _i32(N), copy_body,
+                                  jnp.asarray(0, jnp.int32))
                 # Xs[0] never changes: the forward op's X_new[0] is the
                 # nominal Xb[:, 0] (== x0 by the solve() precondition).
 
@@ -649,7 +686,7 @@ def make_solve_kernel(nx, nu, N, n_params, lane_f, deriv_f, integrator,
 
             return carry
 
-        jax.lax.fori_loop(0, cfg.max_iterations, outer, 0)
+        jax.lax.fori_loop(_i32(0), _i32(cfg.max_iterations), outer, 0)
 
         # --- emit ---
         Xo_ref[...] = Xs[...]

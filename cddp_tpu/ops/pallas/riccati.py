@@ -296,7 +296,9 @@ def make_backward_kernel(nx: int, nu: int, N: int, tile_b: int = DEFAULT_TILE_B)
                 nx, nu, configs,
             )
         )
-        ok = ok * jnp.where(fail, 0.0, 1.0)
+        # zeros-lane where, not python scalars: a scalar where() is f64
+        # under x64 and Mosaic rejects the f64->f32 cast at export time.
+        ok = ok * jnp.where(fail, zeros, zeros + 1.0)
 
         for i in range(nu):
             k_ref[0, i] = k_sel[i]

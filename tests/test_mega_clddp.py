@@ -301,6 +301,74 @@ class TestMegaEdgeCases:
         _assert_solutions_match(got, want)
 
 
+class TestTpuLowering:
+    """Mosaic lowering for the TPU target via jax.export — catches kernel
+    legalization regressions without TPU hardware (the pallas_call is
+    lowered and serialized for platforms=['tpu'] on any host)."""
+
+    @pytest.mark.slow
+    @pytest.mark.parametrize("model,nx,nu,tracking", [
+        (Unicycle(), 3, 2, False),      # analytic derivs, headline shape
+        (Unicycle(), 3, 2, True),       # tracking variant
+        (CartPole(), 4, 1, False),      # analytic derivs, 4-state
+    ])
+    def test_export_for_tpu(self, model, nx, nu, tracking):
+        dt, N, B = 0.05, 20, 1024
+        goal = np.zeros(nx, np.float32)
+        refs = (np.tile(goal, (N, 1)).astype(np.float32)
+                if tracking else None)
+        obj = ct.quadratic_objective(
+            Q=np.eye(nx, dtype=np.float32) * 0.1,
+            R=np.eye(nu, dtype=np.float32) * 0.05,
+            Qf=np.eye(nx, dtype=np.float32) * 100.0,
+            reference_state=goal, timestep=dt, reference_states=refs,
+        )
+        prob = ct.problem(
+            model, obj, np.zeros(nx, np.float32), N, dt,
+            constraints={"ControlConstraint": ct.ControlConstraint(
+                lower=np.full(nu, -2.0, np.float32),
+                upper=np.full(nu, 2.0, np.float32))},
+        )
+        opts = ct.CDDPOptions(max_iterations=10, tolerance=1e-4)
+        fused = mega_clddp.build_fused_solve(prob, opts)
+        f32 = jnp.float32
+        args = (jnp.zeros((B, nx), f32), jnp.zeros((B, N + 1, nx), f32),
+                jnp.zeros((B, N, nu), f32), jnp.zeros((B, N, nu), f32),
+                jnp.zeros((B, N, nu, nx), f32))
+        exp = jax.export.export(jax.jit(fused), platforms=["tpu"])(*args)
+        assert len(exp.mlir_module_serialized) > 0
+
+    @pytest.mark.slow
+    def test_export_jvp_deriv_model_for_tpu(self):
+        # A model with NO analytic derivative lane exercises the in-kernel
+        # jax.jvp fallback through the Mosaic lowering.
+        from cddp_tpu.models import Acrobot
+
+        assert "Acrobot" not in mega_clddp._DERIV_REGISTRY
+        dt, N, B = 0.05, 10, 1024
+        nx, nu = 4, 1
+        obj = ct.quadratic_objective(
+            Q=np.eye(nx, dtype=np.float32) * 0.1,
+            R=np.eye(nu, dtype=np.float32) * 0.05,
+            Qf=np.eye(nx, dtype=np.float32) * 100.0,
+            reference_state=np.zeros(nx, np.float32), timestep=dt,
+        )
+        prob = ct.problem(
+            Acrobot(), obj, np.zeros(nx, np.float32), N, dt,
+            constraints={"ControlConstraint": ct.ControlConstraint(
+                lower=np.full(nu, -5.0, np.float32),
+                upper=np.full(nu, 5.0, np.float32))},
+        )
+        opts = ct.CDDPOptions(max_iterations=5)
+        fused = mega_clddp.build_fused_solve(prob, opts)
+        f32 = jnp.float32
+        args = (jnp.zeros((B, nx), f32), jnp.zeros((B, N + 1, nx), f32),
+                jnp.zeros((B, N, nu), f32), jnp.zeros((B, N, nu), f32),
+                jnp.zeros((B, N, nu, nx), f32))
+        exp = jax.export.export(jax.jit(fused), platforms=["tpu"])(*args)
+        assert len(exp.mlir_module_serialized) > 0
+
+
 class TestDispatch:
     def test_warm_trajectory_seed_parity(self):
         # A non-trivial warm-start X0 (row 0 = x0, as Problem.
