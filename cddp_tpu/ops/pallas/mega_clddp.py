@@ -261,6 +261,7 @@ class _Cfg(NamedTuple):
     a_min: float
     n_alpha: int
     bp_bound: int
+    parallel_ls: bool
 
 
 def _make_cfg(options) -> _Cfg:
@@ -295,6 +296,7 @@ def _make_cfg(options) -> _Cfg:
         a_min=float(ls.min_step_size),
         n_alpha=len(line_search_alphas(ls)),
         bp_bound=bp_bound,
+        parallel_ls=bool(options.enable_parallel),
     )
 
 
@@ -313,15 +315,21 @@ def make_solve_kernel(nx, nu, N, n_params, lane_f, deriv_f, integrator,
     """
     configs = list(product(range(3), repeat=nu))
 
+    parallel_ls = cfg.parallel_ls
+
     def kernel(x0_ref, X0_ref, U0_ref, k0_ref, K0_ref, dt_ref, p_ref,
                Q_ref, R_ref, Qf_ref, goal_ref, *rest):
         if tracking:
-            (refs_ref, lbc_ref, ubc_ref, Xo_ref, Uo_ref, ko_ref, Ko_ref,
-             st_ref, Xs, Us, Xc, Uc, ks, Ks, sc) = rest
+            refs_ref, rest = rest[0], rest[1:]
         else:
             refs_ref = None
-            (lbc_ref, ubc_ref, Xo_ref, Uo_ref, ko_ref, Ko_ref,
-             st_ref, Xs, Us, Xc, Uc, ks, Ks, sc) = rest
+        (lbc_ref, ubc_ref, Xo_ref, Uo_ref, ko_ref, Ko_ref,
+         st_ref, Xs, Us, Xc, Uc, ks, Ks, sc) = rest[:14]
+        # parallel (best-merit) line search needs per-attempt trial
+        # buffers: the keep/discard decision arrives only after the
+        # rollout's merit is known, unlike first-success mode where the
+        # accepting attempt is simply the last one written.
+        Xt_s, Ut_s = rest[14:] if parallel_ls else (None, None)
         dt = dt_ref[0]
         zeros = jnp.zeros_like(dt)
         ones = zeros + 1.0
@@ -527,7 +535,8 @@ def make_solve_kernel(nx, nu, N, n_params, lane_f, deriv_f, integrator,
 
                 jax.lax.fori_loop(_i32(0), _i32(cfg.bp_bound), bp_attempt, 0)
 
-                # ---- sequential first-success line search ----
+                # ---- line search: sequential first-success, or
+                # ---- best-merit over the full ladder (enable_parallel) ----
                 bpl = sc[_BP_LIMIT] > 0.5
                 mab = active & (~bpl)
                 infdu = sc[_INFDU]
@@ -567,12 +576,20 @@ def make_solve_kernel(nx, nu, N, n_params, lane_f, deriv_f, integrator,
                             x_next = _integrate_lane(
                                 lane_f, integrator, x, u, p, dt
                             )
-                            for i in range(nu):
-                                Uc[t, i] = jnp.where(mnf, u[i], Uc[t, i])
-                            for i in range(nx):
-                                Xc[tp1, i] = jnp.where(
-                                    mnf, x_next[i], Xc[tp1, i]
-                                )
+                            if parallel_ls:
+                                for i in range(nu):
+                                    Ut_s[t, i] = u[i]
+                                for i in range(nx):
+                                    Xt_s[tp1, i] = x_next[i]
+                            else:
+                                for i in range(nu):
+                                    Uc[t, i] = jnp.where(
+                                        mnf, u[i], Uc[t, i]
+                                    )
+                                for i in range(nx):
+                                    Xc[tp1, i] = jnp.where(
+                                        mnf, x_next[i], Xc[tp1, i]
+                                    )
                             return (tuple(x_next), J, tp1)
 
                         # Roll from the nominal Xs[0] — identical to the
@@ -603,11 +620,37 @@ def make_solve_kernel(nx, nu, N, n_params, lane_f, deriv_f, integrator,
                             expected > 0.0, dJ / expected, sign_dJ
                         )
                         accept = ratio > cfg.armijo
-                        take = accept & mnf
+                        if parallel_ls:
+                            # best merit among successes, first-min wins on
+                            # ties (select_forward_result argmin parity);
+                            # _LS_FOUND stays = participation so every
+                            # ladder entry is evaluated.
+                            take = accept & mnf & (J < sc[_LS_J])
+
+                            def commit(_s2, t):
+                                tp1 = t + _i32(1)
+                                for i in range(nx):
+                                    Xc[tp1, i] = jnp.where(
+                                        take, Xt_s[tp1, i], Xc[tp1, i]
+                                    )
+                                for i in range(nu):
+                                    Uc[t, i] = jnp.where(
+                                        take, Ut_s[t, i], Uc[t, i]
+                                    )
+                                return tp1
+
+                            jax.lax.fori_loop(
+                                _i32(0), _i32(N), commit,
+                                jnp.asarray(0, jnp.int32),
+                            )
+                        else:
+                            take = accept & mnf
+                            sc[_LS_FOUND] = jnp.where(
+                                take, ones, sc[_LS_FOUND]
+                            )
                         sc[_LS_J] = jnp.where(take, J, sc[_LS_J])
                         sc[_LS_ALPHA] = jnp.where(take, alpha, sc[_LS_ALPHA])
                         sc[_LS_OK] = jnp.where(take, ones, sc[_LS_OK])
-                        sc[_LS_FOUND] = jnp.where(take, ones, sc[_LS_FOUND])
                         a_next = alpha * cfg.a_r
                         sc[_ALPHA_CUR] = jnp.where(
                             a_next < cfg.a_min, zeros + cfg.a_min, a_next
@@ -749,6 +792,11 @@ def make_solve_kernel(nx, nu, N, n_params, lane_f, deriv_f, integrator,
             pltpu.VMEM((N, nu, nx, tbs, 128), dtype),   # Ks
             pltpu.VMEM((_N_SCALARS, tbs, 128), dtype),  # sc
         ]
+        if parallel_ls:
+            scratch += [
+                pltpu.VMEM((N + 1, nx, tbs, 128), dtype),  # Xt (trial)
+                pltpu.VMEM((N, nu, tbs, 128), dtype),      # Ut (trial)
+            ]
         ins = (x0, X0, U0, k0, K0, dtv, params, Q, R, Qf, goal)
         if tracking:
             ins = ins + (refs,)
@@ -776,8 +824,9 @@ def mega_eligible(problem, options) -> bool:
     Requires: registered continuous-dynamics lane model, a
     QuadraticObjective (goal or per-step reference_states tracking), a ControlConstraint with the enum BoxQP eligible,
     and none of the driver features the kernel doesn't model (history
-    recording, verbose/debug printing, cpu-time limit, parallel line
-    search). All non-(x0/X0/U0/gains) problem leaves must be concrete —
+    recording, verbose/debug printing, cpu-time limit). Both line-search
+    modes are supported (sequential first-success and enable_parallel
+    best-merit). All non-(x0/X0/U0/gains) problem leaves must be concrete —
     checked separately at the dispatch site.
     """
     import os
@@ -803,7 +852,6 @@ def mega_eligible(problem, options) -> bool:
         and problem.model.integration_type in ("euler", "heun", "rk3", "rk4")
         and options.solve_engine != "xla"
         and options.backward_engine != "scan"
-        and not options.enable_parallel
         and not options.return_iteration_info
         and not options.verbose
         and not options.debug
@@ -813,7 +861,7 @@ def mega_eligible(problem, options) -> bool:
         # retry loop has no finite bound (the XLA driver spins too, but it
         # matches the reference — keep it there).
         and options.regularization.update_factor > 1.0
-        and _vmem_estimate_bytes(problem) <= _VMEM_BUDGET_BYTES
+        and _vmem_estimate_bytes(problem, options) <= _VMEM_BUDGET_BYTES
     )
 
 
@@ -827,18 +875,22 @@ def mega_eligible(problem, options) -> bool:
 _VMEM_BUDGET_BYTES = 12 * 1024 * 1024
 
 
-def _vmem_estimate_bytes(problem, tile_b: int = DEFAULT_TILE_B) -> int:
+def _vmem_estimate_bytes(problem, options=None,
+                         tile_b: int = DEFAULT_TILE_B) -> int:
     """Lane-vector count x tile bytes for all kernel blocks + scratch."""
     nx, nu, N = problem.state_dim, problem.control_dim, problem.horizon
     kind = _registry_key(problem.model)
     np_eff = max(_REGISTRY[kind][0], 1) if kind else 1
     tracking = problem.objective.reference_states is not None
+    parallel_ls = bool(options.enable_parallel) if options else False
     ins = (
         nx + (N + 1) * nx + 2 * N * nu + N * nu * nx + 1 + np_eff
         + 2 * nx * nx + nu * nu + nx + 2 * nu + (N * nx if tracking else 0)
     )
     outs = (N + 1) * nx + 2 * N * nu + N * nu * nx + 6
     scratch = 2 * (N + 1) * nx + 3 * N * nu + N * nu * nx + _N_SCALARS
+    if parallel_ls:
+        scratch += (N + 1) * nx + N * nu
     return (ins + outs + scratch) * tile_b * 4
 
 

@@ -157,6 +157,20 @@ class TestMegaParity:
         # The batch must exercise real work: some lane improved the cost.
         assert np.asarray(got[8]).max() >= 1
 
+    def test_unicycle_parallel_ls(self):
+        # enable_parallel=True: best merit over the FULL alpha ladder
+        # (cddp_solver_base.cpp:264-314) instead of first success.
+        prob = _box_problem(
+            Unicycle(), 3, 2, goal=[1.0, 1.0, np.pi / 4],
+            x0=[0.0, 0.0, 0.0], lower=-1.0, upper=1.0, horizon=12,
+        )
+        opts = ct.CDDPOptions(max_iterations=8, tolerance=1e-4,
+                              enable_parallel=True)
+        rng = np.random.default_rng(13)
+        x0b = jnp.asarray(rng.uniform(-0.5, 0.5, size=(5, 3)), jnp.float64)
+        got, want = _run_both(prob, opts, x0b)
+        _assert_solutions_match(got, want)
+
     @pytest.mark.slow
     def test_pendulum_rk4(self):
         prob = _box_problem(
@@ -439,7 +453,8 @@ class TestDispatch:
         assert not mega_clddp.mega_eligible(
             prob, opts.replace(solve_engine="xla")
         )
-        assert not mega_clddp.mega_eligible(
+        # both line-search modes are supported
+        assert mega_clddp.mega_eligible(
             prob, opts.replace(enable_parallel=True)
         )
         assert not mega_clddp.mega_eligible(
