@@ -321,12 +321,13 @@ class TestTpuLowering:
     lowered and serialized for platforms=['tpu'] on any host)."""
 
     @pytest.mark.slow
-    @pytest.mark.parametrize("model,nx,nu,tracking", [
-        (Unicycle(), 3, 2, False),      # analytic derivs, headline shape
-        (Unicycle(), 3, 2, True),       # tracking variant
-        (CartPole(), 4, 1, False),      # analytic derivs, 4-state
+    @pytest.mark.parametrize("model,nx,nu,tracking,parallel", [
+        (Unicycle(), 3, 2, False, False),  # analytic derivs, headline shape
+        (Unicycle(), 3, 2, True, False),   # tracking variant
+        (Unicycle(), 3, 2, False, True),   # best-merit ladder variant
+        (CartPole(), 4, 1, False, False),  # analytic derivs, 4-state
     ])
-    def test_export_for_tpu(self, model, nx, nu, tracking):
+    def test_export_for_tpu(self, model, nx, nu, tracking, parallel):
         dt, N, B = 0.05, 20, 1024
         goal = np.zeros(nx, np.float32)
         refs = (np.tile(goal, (N, 1)).astype(np.float32)
@@ -343,7 +344,8 @@ class TestTpuLowering:
                 lower=np.full(nu, -2.0, np.float32),
                 upper=np.full(nu, 2.0, np.float32))},
         )
-        opts = ct.CDDPOptions(max_iterations=10, tolerance=1e-4)
+        opts = ct.CDDPOptions(max_iterations=10, tolerance=1e-4,
+                              enable_parallel=parallel)
         fused = mega_clddp.build_fused_solve(prob, opts)
         f32 = jnp.float32
         args = (jnp.zeros((B, nx), f32), jnp.zeros((B, N + 1, nx), f32),
