@@ -14,8 +14,11 @@ analogous number exists; 10k/s is the target set in BASELINE.md).
 One "solve" = a cold control-limited unicycle MPC solve (H=20, dt=0.05,
 CLDDP with BoxQP, 10 iterations max) — the per-tick workload of a
 receding-horizon controller. The whole vmapped batch of solves is a single
-XLA program; throughput = batch / wall-clock. Batch 16384 saturates one
-v5e (measured 301k/403k/466k solves/s at B=4096/8192/16384).
+XLA program; throughput = batch / wall-clock. With the whole-solve fused
+kernel (ops/pallas/mega_clddp.py) one v5e measures 3.28M/3.73M/3.94M/4.08M/
+4.17M solves/s at B=16384/32768/65536/131072/262144 (plateau at 262144,
+the default); the per-pass engines (CDDP_TPU_NO_MEGA=1) measure 569k at
+B=16384 — the mega kernel is a 5.8x same-batch win on hardware.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -55,7 +58,7 @@ def main():
         latency_main()
         return
     dtype = jnp.float32  # TPU-native precision for the throughput path
-    batch = int(os.environ.get("BENCH_BATCH", "16384"))
+    batch = int(os.environ.get("BENCH_BATCH", "262144"))
     # 20 reps: at ~31 ms/rep the 5-rep default under-amortized per-rep
     # dispatch by ~8% (33.9 ms/rep measured at reps=5 vs 31.0 at reps>=10).
     reps = int(os.environ.get("BENCH_REPS", "20"))
