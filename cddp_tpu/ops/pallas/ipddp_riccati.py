@@ -50,6 +50,120 @@ _EPS_SLACK = 1e-10
 _MAX_RATIO = 1e6
 
 
+def ipddp_condensed_step_lanes(A, Bm, lx, lu, lxx, luu, lux, y, s, g, Gx, Gu,
+                               Vx, Vxx, mu, reg, nx, nu, m, cap=_MAX_RATIO):
+    """One interior-point condensed Riccati step over lists of lane vectors.
+
+    The Q-expansion + condensation + closed-form gain solve + value update of
+    ipddp_solver.cpp:1380-1509 (iLQR Hessians), shared between the streamed
+    backward kernel below and the whole-solve kernel
+    (ops/pallas/mega_ipddp.py). Mirrors
+    ``cddp_tpu.solvers.ipddp._condensed_step_math`` exactly; ``cap`` is the
+    barrier-ratio clip (``ipddp._max_ratio``: 1e6 in f32, 1e12 in f64).
+
+    Returns ``(k_u, K_u, k_y, K_y, k_s, K_s, Vx_new, Vxx_new, dv0_step,
+    dv1_step, Qu_c, pr, comp, pd_ok)`` where the gain/value entries are
+    nested lane lists, ``Qu_c``/``pr``/``comp`` are the per-row condensed
+    gradient / primal / complementarity residual lists for the caller's
+    inf-norm bookkeeping, and ``pd_ok`` is a boolean lane (leading-minors
+    positive-definiteness of the regularized condensed Quu).
+    """
+    zeros = jnp.zeros_like(mu)
+
+    At = _transpose(A, nx, nx)
+    Bt = _transpose(Bm, nx, nu)
+    Gxt = _transpose(Gx, m, nx)
+    Gut = _transpose(Gu, m, nu)
+
+    # Q-expansions with the dual term (ipddp_solver.cpp:1380-1395)
+    Gty = _matvec(Gxt, y, nx, m)
+    Qx = [lx[i] + Gty[i] + v for i, v in enumerate(_matvec(At, Vx, nx, nx))]
+    Guy = _matvec(Gut, y, nu, m)
+    Qu = [lu[i] + Guy[i] + v for i, v in enumerate(_matvec(Bt, Vx, nu, nx))]
+    VA = _matmul(Vxx, A, nx, nx, nx)
+    Qxx = [[lxx[i][j] + v for j, v in enumerate(row)]
+           for i, row in enumerate(_matmul(At, VA, nx, nx, nx))]
+    Qux = [[lux[i][j] + v for j, v in enumerate(row)]
+           for i, row in enumerate(_matmul(Bt, VA, nu, nx, nx))]
+    VB = _matmul(Vxx, Bm, nx, nx, nu)
+    Quu = [[luu[i][j] + v for j, v in enumerate(row)]
+           for i, row in enumerate(_matmul(Bt, VB, nu, nx, nu))]
+
+    # Interior-point condensation (_condense_path)
+    mu_floor = jnp.maximum(mu * 1e-3, _EPS_SLACK)
+    s_safe = [jnp.maximum(s[i], mu_floor) for i in range(m)]
+    sigma = [jnp.clip(y[i] / s_safe[i], 0.0, cap) for i in range(m)]
+    pr = [g[i] + s[i] for i in range(m)]
+    comp = [y[i] * s[i] - mu for i in range(m)]
+    rhat = [y[i] * pr[i] - comp[i] for i in range(m)]
+    sir = [jnp.clip(rhat[i] / s_safe[i], -cap, cap) for i in range(m)]
+
+    # sGu/sGx = diag(sigma) @ Gu/Gx
+    sGu = [[sigma[i] * Gu[i][j] for j in range(nu)] for i in range(m)]
+    sGx = [[sigma[i] * Gx[i][j] for j in range(nx)] for i in range(m)]
+    GtSGu = _matmul(Gut, sGu, nu, m, nu)
+    GtSGx_u = _matmul(Gut, sGx, nu, m, nx)
+
+    Quu_sym = [[0.5 * (Quu[i][j] + Quu[j][i]) for j in range(nu)]
+               for i in range(nu)]
+    Quu_reg = [[Quu_sym[i][j] + GtSGu[i][j] + (reg if i == j else zeros)
+                for j in range(nu)] for i in range(nu)]
+    Gt_sir = _matvec(Gut, sir, nu, m)
+    rhs_k = [Qu[i] + Gt_sir[i] for i in range(nu)]
+    rhs_K = [[Qux[i][j] + GtSGx_u[i][j] for j in range(nx)]
+             for i in range(nu)]
+
+    Hinv, _ = _inv(Quu_reg, nu)
+    pd_ok = _leading_minors_pd(Quu_reg, nu)
+    k_u = [-v for v in _matvec(Hinv, rhs_k, nu, nu)]
+    K_u = [[-v for v in row] for row in _matmul(Hinv, rhs_K, nu, nu, nx)]
+
+    # _path_gains: dual/slack feedforward + feedback
+    temp = _matvec(Gu, k_u, m, nu)
+    GuKu = _matmul(Gu, K_u, m, nu, nx)
+    k_y = [jnp.clip((rhat[i] + y[i] * temp[i]) / s_safe[i], -cap, cap)
+           for i in range(m)]
+    K_y = [[jnp.clip(sigma[i] * (Gx[i][j] + GuKu[i][j]), -cap, cap)
+            for j in range(nx)] for i in range(m)]
+    k_s = [-pr[i] - temp[i] for i in range(m)]
+    K_s = [[-Gx[i][j] - GuKu[i][j] for j in range(nx)] for i in range(m)]
+
+    # Condensed expansions folded back (ipddp_solver.cpp:1488-1509)
+    Gx_sir = _matvec(Gxt, sir, nx, m)
+    GtSGx_x = _matmul(Gxt, sGx, nx, m, nx)
+    Qu_c = rhs_k
+    Qx_c = [Qx[i] + Gx_sir[i] for i in range(nx)]
+    Qxx_c = [[Qxx[i][j] + GtSGx_x[i][j] for j in range(nx)]
+             for i in range(nx)]
+    Qux_c = rhs_K
+    Quu_c = [[Quu[i][j] + GtSGu[i][j] for j in range(nu)]
+             for i in range(nu)]
+
+    dv0_step = sum(k_u[i] * Qu_c[i] for i in range(nu))
+    dv1_step = 0.5 * sum(k_u[i] * Quu_c[i][j] * k_u[j]
+                         for i in range(nu) for j in range(nu))
+
+    Kut = _transpose(K_u, nu, nx)
+    Quuc_k = _matvec(Quu_c, k_u, nu, nu)
+    Vx_new = [
+        Qx_c[i]
+        + sum(Kut[i][l] * Qu_c[l] for l in range(nu))
+        + sum(Qux_c[l][i] * k_u[l] for l in range(nu))
+        + sum(Kut[i][l] * Quuc_k[l] for l in range(nu))
+        for i in range(nx)
+    ]
+    QuucK = _matmul(Quu_c, K_u, nu, nu, nx)
+    KtQK = _matmul(Kut, QuucK, nx, nu, nx)
+    QuxtK = _matmul(_transpose(Qux_c, nu, nx), K_u, nx, nu, nx)
+    Vxx_new = [[Qxx_c[i][j] + KtQK[i][j] + QuxtK[i][j] + QuxtK[j][i]
+                for j in range(nx)] for i in range(nx)]
+    Vxx_new = [[0.5 * (Vxx_new[i][j] + Vxx_new[j][i]) for j in range(nx)]
+               for i in range(nx)]
+
+    return (k_u, K_u, k_y, K_y, k_s, K_s, Vx_new, Vxx_new, dv0_step,
+            dv1_step, Qu_c, pr, comp, pd_ok)
+
+
 def make_ipddp_backward_kernel(nx: int, nu: int, m: int, N: int,
                                tile_b: int = DEFAULT_TILE_B):
     """Build the fused condensed-backward pallas_call for static
@@ -102,98 +216,14 @@ def make_ipddp_backward_kernel(nx: int, nu: int, m: int, N: int,
         Gx = [[Gx_ref[0, i, j] for j in range(nx)] for i in range(m)]
         Gu = [[Gu_ref[0, i, j] for j in range(nu)] for i in range(m)]
 
-        At = _transpose(A, nx, nx)
-        Bt = _transpose(Bm, nx, nu)
-        Gxt = _transpose(Gx, m, nx)
-        Gut = _transpose(Gu, m, nu)
-
-        # Q-expansions with the dual term (ipddp_solver.cpp:1380-1395)
-        Gty = _matvec(Gxt, y, nx, m)
-        Qx = [lx[i] + Gty[i] + v for i, v in enumerate(_matvec(At, Vx, nx, nx))]
-        Guy = _matvec(Gut, y, nu, m)
-        Qu = [lu[i] + Guy[i] + v for i, v in enumerate(_matvec(Bt, Vx, nu, nx))]
-        VA = _matmul(Vxx, A, nx, nx, nx)
-        Qxx = [[lxx[i][j] + v for j, v in enumerate(row)]
-               for i, row in enumerate(_matmul(At, VA, nx, nx, nx))]
-        Qux = [[lux[i][j] + v for j, v in enumerate(row)]
-               for i, row in enumerate(_matmul(Bt, VA, nu, nx, nx))]
-        VB = _matmul(Vxx, Bm, nx, nx, nu)
-        Quu = [[luu[i][j] + v for j, v in enumerate(row)]
-               for i, row in enumerate(_matmul(Bt, VB, nu, nx, nu))]
-
-        # Interior-point condensation (_condense_path)
-        mu_floor = jnp.maximum(mu * 1e-3, _EPS_SLACK)
-        s_safe = [jnp.maximum(s[i], mu_floor) for i in range(m)]
-        sigma = [jnp.clip(y[i] / s_safe[i], 0.0, _MAX_RATIO) for i in range(m)]
-        pr = [g[i] + s[i] for i in range(m)]
-        comp = [y[i] * s[i] - mu for i in range(m)]
-        rhat = [y[i] * pr[i] - comp[i] for i in range(m)]
-        sir = [jnp.clip(rhat[i] / s_safe[i], -_MAX_RATIO, _MAX_RATIO)
-               for i in range(m)]
-
-        # sGu/sGx = diag(sigma) @ Gu/Gx
-        sGu = [[sigma[i] * Gu[i][j] for j in range(nu)] for i in range(m)]
-        sGx = [[sigma[i] * Gx[i][j] for j in range(nx)] for i in range(m)]
-        GtSGu = _matmul(Gut, sGu, nu, m, nu)
-        GtSGx_u = _matmul(Gut, sGx, nu, m, nx)
-
-        Quu_sym = [[0.5 * (Quu[i][j] + Quu[j][i]) for j in range(nu)]
-                   for i in range(nu)]
-        Quu_reg = [[Quu_sym[i][j] + GtSGu[i][j] + (reg if i == j else zeros)
-                    for j in range(nu)] for i in range(nu)]
-        Gt_sir = _matvec(Gut, sir, nu, m)
-        rhs_k = [Qu[i] + Gt_sir[i] for i in range(nu)]
-        rhs_K = [[Qux[i][j] + GtSGx_u[i][j] for j in range(nx)]
-                 for i in range(nu)]
-
-        Hinv, _ = _inv(Quu_reg, nu)
-        pd_ok = _leading_minors_pd(Quu_reg, nu)
+        (k_u, K_u, k_y, K_y, k_s, K_s, Vx_new, Vxx_new, dv0_step, dv1_step,
+         Qu_c, pr, comp, pd_ok) = ipddp_condensed_step_lanes(
+            A, Bm, lx, lu, lxx, luu, lux, y, s, g, Gx, Gu, Vx, Vxx, mu, reg,
+            nx, nu, m, cap=_MAX_RATIO,
+        )
         ok = ok * jnp.where(pd_ok, 1.0, 0.0)
-        k_u = [-v for v in _matvec(Hinv, rhs_k, nu, nu)]
-        K_u = [[-v for v in row] for row in _matmul(Hinv, rhs_K, nu, nu, nx)]
-
-        # _path_gains: dual/slack feedforward + feedback
-        temp = _matvec(Gu, k_u, m, nu)
-        GuKu = _matmul(Gu, K_u, m, nu, nx)
-        k_y = [jnp.clip((rhat[i] + y[i] * temp[i]) / s_safe[i],
-                        -_MAX_RATIO, _MAX_RATIO) for i in range(m)]
-        K_y = [[jnp.clip(sigma[i] * (Gx[i][j] + GuKu[i][j]),
-                         -_MAX_RATIO, _MAX_RATIO) for j in range(nx)]
-               for i in range(m)]
-        k_s = [-pr[i] - temp[i] for i in range(m)]
-        K_s = [[-Gx[i][j] - GuKu[i][j] for j in range(nx)] for i in range(m)]
-
-        # Condensed expansions folded back (ipddp_solver.cpp:1488-1509)
-        Gx_sir = _matvec(Gxt, sir, nx, m)
-        GtSGx_x = _matmul(Gxt, sGx, nx, m, nx)
-        Qu_c = rhs_k
-        Qx_c = [Qx[i] + Gx_sir[i] for i in range(nx)]
-        Qxx_c = [[Qxx[i][j] + GtSGx_x[i][j] for j in range(nx)]
-                 for i in range(nx)]
-        Qux_c = rhs_K
-        Quu_c = [[Quu[i][j] + GtSGu[i][j] for j in range(nu)]
-                 for i in range(nu)]
-
-        dV0 = dV0 + sum(k_u[i] * Qu_c[i] for i in range(nu))
-        dV1 = dV1 + 0.5 * sum(k_u[i] * Quu_c[i][j] * k_u[j]
-                              for i in range(nu) for j in range(nu))
-
-        Kut = _transpose(K_u, nu, nx)
-        Quuc_k = _matvec(Quu_c, k_u, nu, nu)
-        Vx_new = [
-            Qx_c[i]
-            + sum(Kut[i][l] * Qu_c[l] for l in range(nu))
-            + sum(Qux_c[l][i] * k_u[l] for l in range(nu))
-            + sum(Kut[i][l] * Quuc_k[l] for l in range(nu))
-            for i in range(nx)
-        ]
-        QuucK = _matmul(Quu_c, K_u, nu, nu, nx)
-        KtQK = _matmul(Kut, QuucK, nx, nu, nx)
-        QuxtK = _matmul(_transpose(Qux_c, nu, nx), K_u, nx, nu, nx)
-        Vxx_new = [[Qxx_c[i][j] + KtQK[i][j] + QuxtK[i][j] + QuxtK[j][i]
-                    for j in range(nx)] for i in range(nx)]
-        Vxx_new = [[0.5 * (Vxx_new[i][j] + Vxx_new[j][i]) for j in range(nx)]
-                   for i in range(nx)]
+        dV0 = dV0 + dv0_step
+        dV1 = dV1 + dv1_step
 
         for i in range(nu):
             inf_du = jnp.maximum(inf_du, jnp.abs(Qu_c[i]))
