@@ -1432,6 +1432,37 @@ def _solve(problem: Problem, options: CDDPOptions, X0, U0,
            warm: Optional[IPDDPSolverState], trajectory_warm: bool = False):
     stk = PathStacker(problem)
     tstk = TerminalStacker(problem)
+    nx, nu, N = problem.state_dim, problem.control_dim, problem.horizon
+    dtype = X0.dtype
+
+    (X, U, Y, S, G, G_T, S_T, Y_T, Lambda, Lambda_T_eq, mu0, reset) = (
+        _initialize(problem, options, stk, tstk, U0, warm, trajectory_warm, dtype)
+    )
+
+    # Warm-start control-gain seed (applyWarmStart, ipddp_solver.cpp:652-735),
+    # zeroed again on an x0-drift reset.
+    ku0 = jnp.zeros((N, nu), dtype)
+    Ku0 = jnp.zeros((N, nu, nx), dtype)
+    if warm is not None and options.warm_start:
+        if reset is not None:
+            ku0 = jnp.where(reset, ku0, warm.k_u)
+            Ku0 = jnp.where(reset, Ku0, warm.K_u)
+        else:
+            ku0, Ku0 = warm.k_u, warm.K_u
+
+    return _drive(problem, options, X, U, Y, S, G, G_T, S_T, Y_T, Lambda,
+                  Lambda_T_eq, mu0, ku0, Ku0)
+
+
+def _drive(problem: Problem, options: CDDPOptions, X, U, Y, S, G, G_T, S_T,
+           Y_T, Lambda, Lambda_T_eq, mu0, ku0, Ku0):
+    """The IPDDP iteration driver from a pre-initialized carry (the state
+    :func:`_initialize` + warm-gain selection produce). Factored out of
+    :func:`_solve` so the whole-solve fused kernel's batch-aware op
+    (ops/pallas/mega_ipddp.py) can run this exact XLA driver per unbatched
+    instance. Returns ``(Solution, IPDDPSolverState)``."""
+    stk = PathStacker(problem)
+    tstk = TerminalStacker(problem)
     has_path = bool(stk)
     has_ti = tstk.ineq_dim > 0
     has_te = tstk.eq_dim > 0
@@ -1439,11 +1470,7 @@ def _solve(problem: Problem, options: CDDPOptions, X0, U0,
 
     nx, nu, N = problem.state_dim, problem.control_dim, problem.horizon
     m, mT, p = stk.total_dim, tstk.ineq_dim, tstk.eq_dim
-    dtype = X0.dtype
-
-    (X, U, Y, S, G, G_T, S_T, Y_T, Lambda, Lambda_T_eq, mu0, reset) = (
-        _initialize(problem, options, stk, tstk, U0, warm, trajectory_warm, dtype)
-    )
+    dtype = X.dtype
 
     cost0 = problem.objective.evaluate(X, U)
     h_T0 = tstk.eq_evaluate(X[-1]) if has_te else jnp.zeros((0,), dtype)
@@ -1458,8 +1485,8 @@ def _solve(problem: Problem, options: CDDPOptions, X0, U0,
         filt0, _ = flt.accept_entry(filt0, merit0, filter_theta0)
 
     bp0 = _BP(
-        k_u=jnp.zeros((N, nu), dtype),
-        K_u=jnp.zeros((N, nu, nx), dtype),
+        k_u=ku0,
+        K_u=Ku0,
         k_y=jnp.zeros((N, m), dtype),
         K_y=jnp.zeros((N, m, nx), dtype),
         k_s=jnp.zeros((N, m), dtype),
@@ -1479,15 +1506,6 @@ def _solve(problem: Problem, options: CDDPOptions, X0, U0,
         ok=jnp.asarray(True),
         state_stationarity=jnp.zeros((), dtype),
     )
-
-    if warm is not None and options.warm_start:
-        if reset is not None:
-            bp0 = bp0._replace(
-                k_u=jnp.where(reset, jnp.zeros_like(warm.k_u), warm.k_u),
-                K_u=jnp.where(reset, jnp.zeros_like(warm.K_u), warm.K_u),
-            )
-        else:
-            bp0 = bp0._replace(k_u=warm.k_u, K_u=warm.K_u)
 
     record = options.return_iteration_info
     hist0 = base.history_init(options.max_iterations if record else 0, dtype)
