@@ -50,6 +50,38 @@ _EPS_SLACK = 1e-10
 _MAX_RATIO = 1e6
 
 
+def ipddp_condense_lanes(y, s, g, mu, m, cap=_MAX_RATIO):
+    """``ipddp._condense_path`` over lane vectors: per-row interior-point
+    condensation quantities (ipddp_solver.cpp:1404-1453). Returns
+    ``(s_safe, sigma, pr, comp, rhat, sir)`` lane lists."""
+    mu_floor = jnp.maximum(mu * 1e-3, _EPS_SLACK)
+    s_safe = [jnp.maximum(s[i], mu_floor) for i in range(m)]
+    sigma = [jnp.clip(y[i] / s_safe[i], 0.0, cap) for i in range(m)]
+    pr = [g[i] + s[i] for i in range(m)]
+    comp = [y[i] * s[i] - mu for i in range(m)]
+    rhat = [y[i] * pr[i] - comp[i] for i in range(m)]
+    sir = [jnp.clip(rhat[i] / s_safe[i], -cap, cap) for i in range(m)]
+    return s_safe, sigma, pr, comp, rhat, sir
+
+
+def ipddp_path_gain_lanes(y, s_safe, sigma, pr, rhat, Gx, Gu, k_u, K_u,
+                          nx, nu, m, cap=_MAX_RATIO):
+    """``ipddp._path_gains`` over lane vectors: closed-form dual/slack
+    feedforward + feedback given the control gains
+    (ipddp_solver.cpp:1458-1486). Shared between the streamed backward
+    kernel, the whole-solve kernel's forward/max-step recomputation
+    (ops/pallas/mega_ipddp.py) and :func:`ipddp_condensed_step_lanes`."""
+    temp = _matvec(Gu, k_u, m, nu)
+    GuKu = _matmul(Gu, K_u, m, nu, nx)
+    k_y = [jnp.clip((rhat[i] + y[i] * temp[i]) / s_safe[i], -cap, cap)
+           for i in range(m)]
+    K_y = [[jnp.clip(sigma[i] * (Gx[i][j] + GuKu[i][j]), -cap, cap)
+            for j in range(nx)] for i in range(m)]
+    k_s = [-pr[i] - temp[i] for i in range(m)]
+    K_s = [[-Gx[i][j] - GuKu[i][j] for j in range(nx)] for i in range(m)]
+    return k_y, K_y, k_s, K_s
+
+
 def ipddp_condensed_step_lanes(A, Bm, lx, lu, lxx, luu, lux, y, s, g, Gx, Gu,
                                Vx, Vxx, mu, reg, nx, nu, m, cap=_MAX_RATIO):
     """One interior-point condensed Riccati step over lists of lane vectors.
@@ -90,13 +122,9 @@ def ipddp_condensed_step_lanes(A, Bm, lx, lu, lxx, luu, lux, y, s, g, Gx, Gu,
            for i, row in enumerate(_matmul(Bt, VB, nu, nx, nu))]
 
     # Interior-point condensation (_condense_path)
-    mu_floor = jnp.maximum(mu * 1e-3, _EPS_SLACK)
-    s_safe = [jnp.maximum(s[i], mu_floor) for i in range(m)]
-    sigma = [jnp.clip(y[i] / s_safe[i], 0.0, cap) for i in range(m)]
-    pr = [g[i] + s[i] for i in range(m)]
-    comp = [y[i] * s[i] - mu for i in range(m)]
-    rhat = [y[i] * pr[i] - comp[i] for i in range(m)]
-    sir = [jnp.clip(rhat[i] / s_safe[i], -cap, cap) for i in range(m)]
+    s_safe, sigma, pr, comp, rhat, sir = ipddp_condense_lanes(
+        y, s, g, mu, m, cap
+    )
 
     # sGu/sGx = diag(sigma) @ Gu/Gx
     sGu = [[sigma[i] * Gu[i][j] for j in range(nu)] for i in range(m)]
@@ -119,14 +147,9 @@ def ipddp_condensed_step_lanes(A, Bm, lx, lu, lxx, luu, lux, y, s, g, Gx, Gu,
     K_u = [[-v for v in row] for row in _matmul(Hinv, rhs_K, nu, nu, nx)]
 
     # _path_gains: dual/slack feedforward + feedback
-    temp = _matvec(Gu, k_u, m, nu)
-    GuKu = _matmul(Gu, K_u, m, nu, nx)
-    k_y = [jnp.clip((rhat[i] + y[i] * temp[i]) / s_safe[i], -cap, cap)
-           for i in range(m)]
-    K_y = [[jnp.clip(sigma[i] * (Gx[i][j] + GuKu[i][j]), -cap, cap)
-            for j in range(nx)] for i in range(m)]
-    k_s = [-pr[i] - temp[i] for i in range(m)]
-    K_s = [[-Gx[i][j] - GuKu[i][j] for j in range(nx)] for i in range(m)]
+    k_y, K_y, k_s, K_s = ipddp_path_gain_lanes(
+        y, s_safe, sigma, pr, rhat, Gx, Gu, k_u, K_u, nx, nu, m, cap
+    )
 
     # Condensed expansions folded back (ipddp_solver.cpp:1488-1509)
     Gx_sir = _matvec(Gxt, sir, nx, m)

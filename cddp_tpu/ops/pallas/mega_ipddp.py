@@ -1,0 +1,1366 @@
+"""Whole-solve fused IPDDP kernel: the complete batched interior-point
+solve as ONE ``pallas_call``.
+
+The batched IPDDP iteration previously ran as several XLA program stages per
+iteration — a vmapped-AD derivative sweep materializing (B, N, ...) stage
+tensors in HBM, the condensed backward scan (or the streamed kernel in
+ops/pallas/ipddp_riccati.py), the fused interior-point forward kernel
+(ops/pallas/ip_rollout.py), and XLA glue for the filter line-search /
+barrier / regularization driver (solvers/ipddp.py:_drive). This kernel runs
+the *entire* solve — initial cost/merit/residuals, per-iteration dynamics
+Jacobians + quadratic-cost derivatives, the interior-point condensed
+Riccati recursion with its regularization-retry loop, the
+fraction-to-boundary maximum step sizes, the sequential first-success
+filter line search with the IPOPT-style acceptance cases, the barrier-mu
+schedule (adaptive or monotone) and the fixed-size filter maintenance —
+inside one kernel, with trajectories, duals, slacks, gains, costates and
+value-function sequences resident in VMEM for the whole solve. HBM traffic
+collapses to (seed state, consts) in and (solution) out.
+
+Semantics mirror ``solvers/ipddp.py:_drive`` for the path-constraint regime
+(ipddp_solver.cpp:1355-1568 backward, :1571-1876 forward, :2548-2660
+barrier update) exactly, scoped to:
+
+- box-only path constraint stacks (ControlConstraint / StateConstraint —
+  the same family as the fused forward kernel, constant +-scale Jacobians);
+- QuadraticObjective (goal or per-step ``reference_states`` tracking);
+- iLQR Hessians (``use_ilqr=True``), sequential condensed backward,
+  sequential first-success line search, no terminal constraints;
+- both barrier strategies (ADAPTIVE tiered factors and the MONOTONIC/IPOPT
+  kappa rule) and both theta norms.
+
+The per-step backward block is the shared
+:func:`cddp_tpu.ops.pallas.ipddp_riccati.ipddp_condensed_step_lanes`; the
+forward pass re-derives the dual/slack gains from the stored control gains
+via the shared :func:`ipddp_path_gain_lanes` closed forms instead of
+storing four (N, m(, nx)) gain tensors — that recomputation is what keeps
+the whole solve inside VMEM.
+
+Dispatch: :func:`ipddp_solve_op` builds a batch-aware op (scan = the XLA
+``_drive`` driver per instance) so IPDDP solves route here automatically
+for vmapped TPU float32 batches when :func:`mega_eligible` holds. Parity
+with the XLA driver is pinned in tests/test_mega_ipddp.py (interpret mode).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cddp_tpu.ops.pallas.batched_dispatch import make_batched_op
+from cddp_tpu.ops.pallas.ipddp_riccati import (
+    ipddp_condense_lanes,
+    ipddp_condensed_step_lanes,
+    ipddp_path_gain_lanes,
+)
+from cddp_tpu.ops.pallas.mega_clddp import _i32, deriv_lane_fn
+from cddp_tpu.ops.pallas.rollout import (
+    MIN_KERNEL_BATCH,
+    _integrate_lane,
+    _is_discrete,
+    _registry_key,
+    _REGISTRY,
+)
+
+DEFAULT_TILE_B = 1024
+
+# Scalar lane slots in the `sc` scratch.
+(_DONE, _STATUS, _IT, _COST, _MERIT, _FTHETA, _THETA, _MU, _REG,
+ _INFPR, _INFDU, _INFCOMP, _STEPN, _APR, _ADU, _DV0, _DV1,
+ _BP_DONE, _BP_LIMIT, _APRMAX, _ADUMAX, _LS_FOUND, _LS_OK, _ALPHA_CUR,
+ _EARLY, _TJ, _TMERIT, _TTHETA, _TINFPR, _TMAXYS, _TMINYS, _TSUMLOG,
+ _TAPR, _TADU) = range(34)
+_F_CAP = 7  # max_filter_size (5) + 2, interior_point_utils.cpp:114-139
+_F_M0 = 34
+_F_V0 = _F_M0 + _F_CAP
+_F_OK0 = _F_V0 + _F_CAP
+_N_SCALARS = _F_OK0 + _F_CAP
+
+# Status codes (cddp_tpu.solution.Status) as kernel floats.
+_ST_MAX_ITER = 0.0
+_ST_OPTIMAL = 1.0
+_ST_ACCEPTABLE = 2.0
+_ST_REG_LIMIT = 3.0
+
+_EPS_SLACK = 1e-10  # ipddp.EPS_SLACK
+
+
+class _Cfg(NamedTuple):
+    """Static (trace-time) solver configuration baked into the kernel."""
+
+    max_iterations: int
+    tolerance: float
+    acceptable_tolerance: float
+    reg0: float
+    reg_uf: float
+    reg_max: float
+    reg_min: float
+    a0: float
+    a_r: float
+    a_min: float
+    n_alpha: int
+    bp_bound: int
+    # barrier
+    adaptive: bool
+    mu_update_factor: float
+    mu_update_power: float
+    mu_min_value: float
+    min_ftb: float
+    btm: float  # barrier_tol_mult
+    dual_weight: float  # barrier_update_dual_weight (monotone)
+    kappa_eps: float  # mu_kappa_epsilon (monotone)
+    # filter acceptance (options.filter)
+    armijo: float
+    mat: float  # merit_acceptance_threshold
+    vat: float  # violation_acceptance_threshold
+    max_viol: float  # max_violation_threshold
+    mvfac: float  # min_violation_for_armijo_check
+    theta_l2: bool
+    theta0_floor: float
+    f_max: int  # max_filter_size
+
+
+def _make_cfg(options) -> _Cfg:
+    from cddp_tpu.options import BarrierStrategy, line_search_alphas
+
+    reg = options.regularization
+    reg_floor = max(min(reg.initial_value, reg.min_value), 1e-300)
+    bp_bound = (
+        int(math.ceil(math.log(reg.max_value / reg_floor)
+                      / math.log(reg.update_factor))) + 2
+        if reg.update_factor > 1.0
+        else 4
+    )
+    ls = options.line_search
+    ip = options.ipddp
+    b = ip.barrier
+    return _Cfg(
+        max_iterations=int(options.max_iterations),
+        tolerance=float(options.tolerance),
+        acceptable_tolerance=float(options.acceptable_tolerance),
+        reg0=float(reg.initial_value),
+        reg_uf=float(reg.update_factor),
+        reg_max=float(reg.max_value),
+        reg_min=float(reg.min_value),
+        a0=float(ls.initial_step_size),
+        a_r=float(ls.step_reduction_factor),
+        a_min=float(ls.min_step_size),
+        n_alpha=len(line_search_alphas(ls)),
+        bp_bound=bp_bound,
+        adaptive=b.strategy == BarrierStrategy.ADAPTIVE,
+        mu_update_factor=float(b.mu_update_factor),
+        mu_update_power=float(b.mu_update_power),
+        mu_min_value=float(b.mu_min_value),
+        min_ftb=float(b.min_fraction_to_boundary),
+        btm=float(ip.barrier_tol_mult),
+        dual_weight=float(ip.barrier_update_dual_weight),
+        kappa_eps=float(ip.mu_kappa_epsilon),
+        armijo=float(options.filter.armijo_constant),
+        mat=float(options.filter.merit_acceptance_threshold),
+        vat=float(options.filter.violation_acceptance_threshold),
+        max_viol=float(options.filter.max_violation_threshold),
+        mvfac=float(options.filter.min_violation_for_armijo_check),
+        theta_l2=ip.theta_norm == "l2",
+        theta0_floor=max(float(ip.theta_0_floor), 1e-8),
+        f_max=int(ip.max_filter_size),
+    )
+
+
+# --- in-kernel fixed-size filter over scalar lanes ---------------------------
+# Replicates cddp_tpu.solvers.filter (itself interior_point_utils.cpp:79-139)
+# over _F_CAP lane slots. Entries are always a valid prefix (every producer
+# below preserves that), so back() = last valid slot in ascending order.
+
+
+def _filter_back(fm, fv, fval, zeros):
+    mf, cv, ne = zeros, zeros, zeros
+    for i in range(_F_CAP):
+        live = fval[i] > 0.5
+        mf = jnp.where(live, fm[i], mf)
+        cv = jnp.where(live, fv[i], cv)
+        ne = jnp.maximum(ne, fval[i])
+    return mf, cv, ne > 0.5
+
+
+def _filter_accept(fm, fv, fval, mf, cv, zeros, ones):
+    """accept_entry: reject if dominated; else drop dominated points
+    (stable compaction) and append the candidate."""
+    inf = zeros + jnp.inf
+    dominated = zeros > ones  # False lane
+    for i in range(_F_CAP):
+        dominated = dominated | (
+            (fval[i] > 0.5) & (fm[i] <= mf) & (fv[i] <= cv)
+        )
+    keep = [
+        (fval[i] > 0.5) & ~((mf <= fm[i]) & (cv <= fv[i]))
+        for i in range(_F_CAP)
+    ]
+    pos = []
+    cnt = zeros
+    for i in range(_F_CAP):
+        pos.append(cnt)
+        cnt = cnt + jnp.where(keep[i], ones, zeros)
+    n_kept = cnt
+    nm, nv, nval = [], [], []
+    for j in range(_F_CAP):
+        mj, vj = inf, inf
+        for i in range(_F_CAP):
+            sel = keep[i] & (pos[i] == float(j))
+            mj = jnp.where(sel, fm[i], mj)
+            vj = jnp.where(sel, fv[i], vj)
+        is_cand = n_kept == float(j)
+        mj = jnp.where(is_cand, mf, mj)
+        vj = jnp.where(is_cand, cv, vj)
+        valid_j = (zeros + float(j)) <= n_kept
+        nm.append(jnp.where(dominated, fm[j], mj))
+        nv.append(jnp.where(dominated, fv[j], vj))
+        nval.append(
+            jnp.where(dominated, fval[j], jnp.where(valid_j, ones, zeros))
+        )
+    return nm, nv, nval
+
+
+def _filter_prune(fm, fv, fval, zeros, ones):
+    """prune_to_best: min-violation point + min-merit point if distinct."""
+    inf = zeros + jnp.inf
+    nonempty = zeros > ones
+    bv_v, bv_m = inf, inf
+    bm_v, bm_m = inf, inf
+    for i in range(_F_CAP):
+        live = fval[i] > 0.5
+        nonempty = nonempty | live
+        vm = jnp.where(live, fv[i], inf)
+        mm = jnp.where(live, fm[i], inf)
+        bv_better = vm < bv_v  # strict: first-min wins (argmin parity)
+        bv_v = jnp.where(bv_better, vm, bv_v)
+        bv_m = jnp.where(bv_better, fm[i], bv_m)
+        bm_better = mm < bm_m
+        bm_m = jnp.where(bm_better, mm, bm_m)
+        bm_v = jnp.where(bm_better, fv[i], bm_v)
+    distinct = (jnp.abs(bm_v - bv_v) > 1e-12) | (jnp.abs(bm_m - bv_m) > 1e-12)
+    nm, nv, nval = [], [], []
+    for j in range(_F_CAP):
+        if j == 0:
+            mj, vj, okj = bv_m, bv_v, ones
+        elif j == 1:
+            mj = jnp.where(distinct, bm_m, inf)
+            vj = jnp.where(distinct, bm_v, inf)
+            okj = jnp.where(distinct, ones, zeros)
+        else:
+            mj, vj, okj = inf, inf, zeros
+        nm.append(jnp.where(nonempty, mj, fm[j]))
+        nv.append(jnp.where(nonempty, vj, fv[j]))
+        nval.append(jnp.where(nonempty, okj, fval[j]))
+    return nm, nv, nval
+
+
+def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
+                      box_layout, cfg: _Cfg, cap, tracking: bool = False,
+                      tile_b: int = DEFAULT_TILE_B):
+    """Build the whole-solve pallas_call for static problem structure.
+
+    Inputs (batch-last, lane-folded): X0 (N+1,nx,B), U0 (N,nu,B),
+    Y0/S0 (N,m,B), ku0 (N,nu,B), Ku0 (N,nu,nx,B), L0 (N+1,nx,B), mu0 (1,B),
+    dt (1,B), params (max(n_params,1),B), Q/Qf (nx,nx,B) [dt-prescaled Q],
+    R (nu,nu,B), goal (nx,B), [refs (N,nx,B)], lo/hi (nb,B), sf (n_items,B).
+
+    Outputs: X (N+1,nx,B), U (N,nu,B), k (N,nu,B), K (N,nu,nx,B),
+    Y (N,m,B), S (N,m,B), Lambda (N+1,nx,B), stats (9,B) =
+    [cost, inf_pr, inf_du, inf_comp, mu, reg, alpha_pr, iterations, status].
+    """
+    n_items = len(box_layout)
+    nb = sum(nu if kind == "control" else nx for kind in box_layout)
+
+    def kernel(X0_ref, U0_ref, Y0_ref, S0_ref, ku0_ref, Ku0_ref, L0_ref,
+               mu0_ref, dt_ref, p_ref, Q_ref, R_ref, Qf_ref, goal_ref,
+               *rest):
+        if tracking:
+            refs_ref, rest = rest[0], rest[1:]
+        else:
+            refs_ref = None
+        (lo_ref, hi_ref, sf_ref,
+         Xo, Uo, ko, Ko, Yo, So, Lo, st_ref,
+         Vxs, Vxxs, Xc, Uc, Yc, Sc, Lc, sc) = rest
+        dt = dt_ref[0]
+        zeros = jnp.zeros_like(dt)
+        ones = zeros + 1.0
+        p = [p_ref[i] for i in range(n_params)]
+        Q = [[Q_ref[i, j] for j in range(nx)] for i in range(nx)]
+        R = [[R_ref[i, j] for j in range(nu)] for i in range(nu)]
+        Qf = [[Qf_ref[i, j] for j in range(nx)] for i in range(nx)]
+        goal = [goal_ref[i] for i in range(nx)]
+        sf = [sf_ref[i] for i in range(n_items)]
+
+        def ref_row(t):
+            if tracking:
+                return [refs_ref[t, i] for i in range(nx)]
+            return goal
+
+        def run_cost(x, u, t):
+            ref = ref_row(t)
+            e = [x[i] - ref[i] for i in range(nx)]
+            c = zeros
+            for i in range(nx):
+                for j in range(nx):
+                    c = c + e[i] * Q[i][j] * e[j]
+            for i in range(nu):
+                for j in range(nu):
+                    c = c + u[i] * R[i][j] * u[j]
+            return c
+
+        def term_cost(x):
+            e = [x[i] - goal[i] for i in range(nx)]
+            c = zeros
+            for i in range(nx):
+                for j in range(nx):
+                    c = c + e[i] * Qf[i][j] * e[j]
+            return c
+
+        def box_g(x, u):
+            """g = [(lo - var); (var - hi)] * scale per item, stack order
+            (ip_rollout kernel / constraints/path.py _BoxConstraint)."""
+            g = []
+            off = 0
+            for it, kind in enumerate(box_layout):
+                var, n = (u, nu) if kind == "control" else (x, nx)
+                g += [(lo_ref[off + i] - var[i]) * sf[it] for i in range(n)]
+                g += [(var[i] - hi_ref[off + i]) * sf[it] for i in range(n)]
+                off += n
+            return g
+
+        # Constant constraint Jacobian lane matrices (box rows: -+scale).
+        Gx_c = [[zeros for _ in range(nx)] for _ in range(m)]
+        Gu_c = [[zeros for _ in range(nu)] for _ in range(m)]
+        row = 0
+        for it, kind in enumerate(box_layout):
+            n = nu if kind == "control" else nx
+            tgt = Gu_c if kind == "control" else Gx_c
+            for i in range(n):
+                tgt[row + i][i] = zeros - sf[it]
+                tgt[row + n + i][i] = zeros + sf[it]
+            row += 2 * n
+
+        def fin(v):
+            return jnp.where(jnp.isfinite(v), ones, zeros)
+
+        # --- init: seed live state (outputs double as state) --------------
+        Xo[...] = X0_ref[...]
+        Uo[...] = U0_ref[...]
+        ko[...] = ku0_ref[...]
+        Ko[...] = Ku0_ref[...]
+        Yo[...] = Y0_ref[...]
+        So[...] = S0_ref[...]
+        Lo[...] = L0_ref[...]
+        Xc[...] = X0_ref[...]
+        Uc[...] = U0_ref[...]
+        Yc[...] = Y0_ref[...]
+        Sc[...] = S0_ref[...]
+        Lc[...] = L0_ref[...]
+
+        mu0 = mu0_ref[0]
+
+        # Initial cost / merit / residuals / theta (resetFilter,
+        # ipddp_solver.cpp:2484-2524). Every index-using loop carries its
+        # own int32 counter (see mega_clddp on the Mosaic x64 pitfall).
+        def init_body(_s, carry):
+            J, sumlog, th, infpr, maxys, minys, t = carry
+            x = [Xo[t, i] for i in range(nx)]
+            u = [Uo[t, i] for i in range(nu)]
+            J = J + run_cost(x, u, t)
+            g = box_g(x, u)
+            for i in range(m):
+                s_i = So[t, i]
+                y_i = Yo[t, i]
+                sumlog = sumlog + jnp.log(jnp.maximum(s_i, _EPS_SLACK))
+                r = g[i] + s_i
+                th = th + (r * r if cfg.theta_l2 else jnp.abs(r))
+                infpr = jnp.maximum(infpr, jnp.abs(r))
+                maxys = jnp.maximum(maxys, y_i * s_i)
+                minys = jnp.minimum(minys, y_i * s_i)
+            return (J, sumlog, th, infpr, maxys, minys, t + _i32(1))
+
+        J0, sumlog0, th0, infpr0, maxys0, minys0, _ = jax.lax.fori_loop(
+            _i32(0), _i32(N), init_body,
+            (zeros, zeros, zeros, zeros, zeros - jnp.inf, zeros + jnp.inf,
+             jnp.asarray(0, jnp.int32)),
+        )
+        J0 = J0 + term_cost([Xo[N, i] for i in range(nx)])
+        theta0_raw = jnp.maximum(
+            jnp.sqrt(th0) if cfg.theta_l2 else th0, infpr0
+        )
+        ftheta0 = jnp.maximum(theta0_raw, 1e-8)
+
+        sc[_DONE] = zeros
+        sc[_STATUS] = zeros + _ST_MAX_ITER
+        sc[_IT] = zeros
+        sc[_COST] = J0
+        sc[_MERIT] = J0 - mu0 * sumlog0
+        sc[_FTHETA] = ftheta0
+        sc[_THETA] = jnp.maximum(ftheta0, cfg.theta0_floor)
+        sc[_MU] = mu0
+        sc[_REG] = zeros + cfg.reg0
+        sc[_INFPR] = infpr0
+        sc[_INFDU] = zeros
+        sc[_INFCOMP] = jnp.maximum(maxys0 - mu0, mu0 - minys0)
+        sc[_STEPN] = zeros
+        sc[_APR] = ones
+        sc[_ADU] = ones
+        # Path-only regime: the initial filter is EMPTY (resetFilter inserts
+        # only when terminal constraints exist, _drive:1484-1485).
+        for i in range(_F_CAP):
+            sc[_F_M0 + i] = zeros + jnp.inf
+            sc[_F_V0 + i] = zeros + jnp.inf
+            sc[_F_OK0 + i] = zeros
+
+        # --- one driver iteration ------------------------------------------
+        def outer(_itn, carry):
+            done = sc[_DONE]
+            any_active = jnp.max(ones - done) > 0.5
+
+            @pl.when(any_active)
+            def _iteration():
+                active = sc[_DONE] < 0.5
+                sc[_IT] = jnp.where(active, sc[_IT] + 1.0, sc[_IT])
+                mu = sc[_MU]
+
+                # ---- backward pass with regularization retry ----
+                sc[_BP_DONE] = sc[_DONE]
+                sc[_BP_LIMIT] = zeros
+
+                def bp_attempt(_a, c2):
+                    retry_any = jnp.max(ones - sc[_BP_DONE]) > 0.5
+
+                    @pl.when(retry_any)
+                    def _bp():
+                        mrt = sc[_BP_DONE] < 0.5
+                        regl = sc[_REG]
+
+                        # Terminal value fold (quadratic, no terminal ineq).
+                        xN = [Xo[N, i] for i in range(nx)]
+                        eN = [xN[i] - goal[i] for i in range(nx)]
+                        VxT = [
+                            2.0 * sum(Qf[i][j] * eN[j] for j in range(nx))
+                            for i in range(nx)
+                        ]
+                        VxxT = [[2.0 * Qf[i][j] for j in range(nx)]
+                                for i in range(nx)]
+                        for i in range(nx):
+                            Vxs[N, i] = jnp.where(mrt, VxT[i], Vxs[N, i])
+                            for j in range(nx):
+                                Vxxs[N, i, j] = jnp.where(
+                                    mrt, VxxT[i][j], Vxxs[N, i, j]
+                                )
+
+                        def bstep(_s, carry):
+                            t = carry[-1]
+                            Vx = list(carry[0])
+                            Vxx = [list(r) for r in carry[1]]
+                            (dv0, dv1, infdu, infpr, infcomp, stepn,
+                             okl) = carry[2:-1]
+
+                            x = [Xo[t, i] for i in range(nx)]
+                            u = [Uo[t, i] for i in range(nu)]
+                            Fx, Fu = deriv_f(x, u, p)
+                            A = [
+                                [
+                                    (ones if i == j else zeros)
+                                    + dt * Fx[i][j]
+                                    for j in range(nx)
+                                ]
+                                for i in range(nx)
+                            ]
+                            Bm = [[dt * Fu[i][j] for j in range(nu)]
+                                  for i in range(nx)]
+                            ref = ref_row(t)
+                            e = [x[i] - ref[i] for i in range(nx)]
+                            lx = [
+                                2.0 * sum(Q[i][j] * e[j] for j in range(nx))
+                                for i in range(nx)
+                            ]
+                            lu = [
+                                2.0 * sum(R[i][j] * u[j] for j in range(nu))
+                                for i in range(nu)
+                            ]
+                            lxx = [[2.0 * Q[i][j] for j in range(nx)]
+                                   for i in range(nx)]
+                            luu = [[2.0 * R[i][j] for j in range(nu)]
+                                   for i in range(nu)]
+                            lux = [[zeros] * nx for _ in range(nu)]
+                            y = [Yo[t, i] for i in range(m)]
+                            s = [So[t, i] for i in range(m)]
+                            g = box_g(x, u)
+
+                            (k_u, K_u, _k_y, _K_y, _k_s, _K_s, Vx_new,
+                             Vxx_new, dv0s, dv1s, Qu_c, pr, comp,
+                             pd_ok) = ipddp_condensed_step_lanes(
+                                A, Bm, lx, lu, lxx, luu, lux, y, s, g,
+                                Gx_c, Gu_c, Vx, Vxx, mu, regl, nx, nu, m,
+                                cap=cap,
+                            )
+
+                            for i in range(nu):
+                                ko[t, i] = jnp.where(mrt, k_u[i], ko[t, i])
+                                for j in range(nx):
+                                    Ko[t, i, j] = jnp.where(
+                                        mrt, K_u[i][j], Ko[t, i, j]
+                                    )
+                            for i in range(nx):
+                                Vxs[t, i] = jnp.where(
+                                    mrt, Vx_new[i], Vxs[t, i]
+                                )
+                                for j in range(nx):
+                                    Vxxs[t, i, j] = jnp.where(
+                                        mrt, Vxx_new[i][j], Vxxs[t, i, j]
+                                    )
+
+                            for i in range(nu):
+                                infdu = jnp.maximum(infdu, jnp.abs(Qu_c[i]))
+                                stepn = jnp.maximum(stepn, jnp.abs(k_u[i]))
+                            for i in range(m):
+                                infpr = jnp.maximum(infpr, jnp.abs(pr[i]))
+                                infcomp = jnp.maximum(
+                                    infcomp, jnp.abs(comp[i])
+                                )
+
+                            return (
+                                tuple(Vx_new),
+                                tuple(tuple(r) for r in Vxx_new),
+                                dv0 + dv0s,
+                                dv1 + dv1s,
+                                infdu, infpr, infcomp, stepn,
+                                okl * jnp.where(pd_ok, ones, zeros),
+                                t - _i32(1),
+                            )
+
+                        init = (
+                            tuple(VxT),
+                            tuple(tuple(r) for r in VxxT),
+                            zeros, zeros, zeros, zeros, zeros, zeros, ones,
+                            jnp.asarray(N - 1, jnp.int32),
+                        )
+                        out = jax.lax.fori_loop(_i32(0), _i32(N), bstep, init)
+                        dv0, dv1, infdu, infpr, infcomp, stepn, okl = out[2:-1]
+
+                        okb = okl > 0.5
+                        reg_next = jnp.where(
+                            okb, regl,
+                            jnp.minimum(regl * cfg.reg_uf, cfg.reg_max),
+                        )
+                        limit = (~okb) & (reg_next >= cfg.reg_max)
+
+                        sc[_REG] = jnp.where(mrt, reg_next, sc[_REG])
+                        sc[_DV0] = jnp.where(mrt, dv0, sc[_DV0])
+                        sc[_DV1] = jnp.where(mrt, dv1, sc[_DV1])
+                        sc[_INFDU] = jnp.where(mrt, infdu, sc[_INFDU])
+                        sc[_INFPR] = jnp.where(mrt, infpr, sc[_INFPR])
+                        sc[_INFCOMP] = jnp.where(mrt, infcomp, sc[_INFCOMP])
+                        sc[_STEPN] = jnp.where(mrt, stepn, sc[_STEPN])
+                        sc[_BP_LIMIT] = jnp.where(
+                            mrt, jnp.where(limit, ones, zeros), sc[_BP_LIMIT]
+                        )
+                        sc[_BP_DONE] = jnp.where(
+                            mrt, jnp.where(okb | limit, ones, zeros),
+                            sc[_BP_DONE],
+                        )
+
+                    return c2
+
+                jax.lax.fori_loop(_i32(0), _i32(cfg.bp_bound), bp_attempt, 0)
+
+                bpl = sc[_BP_LIMIT] > 0.5
+                mab = active & (~bpl)
+
+                # ---- early convergence (checkEarlyConvergence) ----
+                tol_e = jnp.maximum(zeros + cfg.tolerance, cfg.btm * mu)
+                accepted_step = jnp.abs(sc[_APR]) * sc[_STEPN]
+                early = (
+                    (sc[_INFPR] < tol_e)
+                    & (sc[_INFDU] < tol_e)
+                    & (sc[_INFCOMP] < tol_e)
+                    & (accepted_step < cfg.tolerance * 10.0)
+                )
+                sc[_EARLY] = jnp.where(early, ones, zeros)
+
+                # ---- fraction-to-boundary max step sizes ----
+                # (computeMaxStepSizes via the Newton-step rollout,
+                # ipddp_solver.cpp:1511-1566 + :2939-2988). Gains for the
+                # dual/slack rows are re-derived from the stored control
+                # gains via the shared closed forms.
+                tau = jnp.maximum(zeros + cfg.min_ftb, 1.0 - mu)
+
+                def ms_body(_s, carry):
+                    dx = list(carry[0])
+                    a_pr, a_du, t = carry[1], carry[2], carry[3]
+                    x = [Xo[t, i] for i in range(nx)]
+                    u = [Uo[t, i] for i in range(nu)]
+                    y = [Yo[t, i] for i in range(m)]
+                    s = [So[t, i] for i in range(m)]
+                    g = box_g(x, u)
+                    s_safe, sigma, pr, comp, rhat, sir = ipddp_condense_lanes(
+                        y, s, g, mu, m, cap
+                    )
+                    k_u = [ko[t, i] for i in range(nu)]
+                    K_u = [[Ko[t, i, j] for j in range(nx)]
+                           for i in range(nu)]
+                    k_y, K_y, k_s, K_s = ipddp_path_gain_lanes(
+                        y, s_safe, sigma, pr, rhat, Gx_c, Gu_c, k_u, K_u,
+                        nx, nu, m, cap,
+                    )
+                    for i in range(m):
+                        dS_i = k_s[i] + sum(
+                            K_s[i][j] * dx[j] for j in range(nx)
+                        )
+                        dY_i = jnp.clip(
+                            k_y[i] + sum(K_y[i][j] * dx[j] for j in range(nx)),
+                            -cap, cap,
+                        )
+                        r_pr = -tau * s[i] / jnp.where(dS_i < 0.0, dS_i, -ones)
+                        a_pr = jnp.minimum(
+                            a_pr, jnp.where(dS_i < 0.0, r_pr, zeros + jnp.inf)
+                        )
+                        r_du = -tau * y[i] / jnp.where(dY_i < 0.0, dY_i, -ones)
+                        a_du = jnp.minimum(
+                            a_du, jnp.where(dY_i < 0.0, r_du, zeros + jnp.inf)
+                        )
+                    du = [
+                        k_u[i] + sum(K_u[i][j] * dx[j] for j in range(nx))
+                        for i in range(nu)
+                    ]
+                    Fx, Fu = deriv_f(x, u, p)
+                    dx_next = [
+                        dx[i] + dt * sum(Fx[i][j] * dx[j] for j in range(nx))
+                        + sum(
+                            (dt * Fu[i][j]) * du[j] for j in range(nu)
+                        )
+                        for i in range(nx)
+                    ]
+                    return (tuple(dx_next), a_pr, a_du, t + _i32(1))
+
+                _, a_pr_m, a_du_m, _ = jax.lax.fori_loop(
+                    _i32(0), _i32(N), ms_body,
+                    ((zeros,) * nx, ones, ones, jnp.asarray(0, jnp.int32)),
+                )
+                sc[_APRMAX] = jnp.clip(a_pr_m, 0.0, 1.0)
+                sc[_ADUMAX] = jnp.clip(a_du_m, 0.0, 1.0)
+
+                # ---- sequential first-success filter line search ----
+                participate = mab & (~early)
+                sc[_LS_FOUND] = jnp.where(participate, zeros, ones)
+                sc[_LS_OK] = zeros
+                sc[_ALPHA_CUR] = zeros + cfg.a0
+
+                def ls_iter(_i, c3):
+                    pending_any = jnp.max(ones - sc[_LS_FOUND]) > 0.5
+
+                    @pl.when(pending_any)
+                    def _rollout():
+                        alpha = sc[_ALPHA_CUR]
+                        mnf = sc[_LS_FOUND] < 0.5
+                        a_pr = jnp.minimum(alpha, sc[_APRMAX])
+                        a_du = jnp.minimum(alpha, sc[_ADUMAX])
+
+                        def fstep(_s, carry):
+                            x = list(carry[0])
+                            (J, sumlog, th, infpr, maxys, minys,
+                             feas) = carry[1:-1]
+                            t = carry[-1]
+                            tp1 = t + _i32(1)
+                            dx = [x[i] - Xo[t, i] for i in range(nx)]
+                            lam_new = [
+                                Lo[t, i] + a_pr * Vxs[t, i]
+                                + sum(Vxxs[t, i, j] * dx[j]
+                                      for j in range(nx))
+                                for i in range(nx)
+                            ]
+                            y = [Yo[t, i] for i in range(m)]
+                            s = [So[t, i] for i in range(m)]
+                            g_nom = box_g(
+                                [Xo[t, i] for i in range(nx)],
+                                [Uo[t, i] for i in range(nu)],
+                            )
+                            (s_safe, sigma, pr, comp, rhat,
+                             sir) = ipddp_condense_lanes(y, s, g_nom, mu, m,
+                                                         cap)
+                            k_u = [ko[t, i] for i in range(nu)]
+                            K_u = [[Ko[t, i, j] for j in range(nx)]
+                                   for i in range(nu)]
+                            k_y, K_y, k_s, K_s = ipddp_path_gain_lanes(
+                                y, s_safe, sigma, pr, rhat, Gx_c, Gu_c,
+                                k_u, K_u, nx, nu, m, cap,
+                            )
+                            s_new = [
+                                s[i] + a_pr * k_s[i]
+                                + sum(K_s[i][j] * dx[j] for j in range(nx))
+                                for i in range(m)
+                            ]
+                            y_new = [
+                                y[i] + a_du * k_y[i]
+                                + sum(K_y[i][j] * dx[j] for j in range(nx))
+                                for i in range(m)
+                            ]
+                            u = [
+                                Uo[t, i] + a_pr * k_u[i]
+                                + sum(K_u[i][j] * dx[j] for j in range(nx))
+                                for i in range(nu)
+                            ]
+                            J = J + run_cost(x, u, t)
+                            g_new = box_g(x, u)
+                            omt = 1.0 - tau
+                            for i in range(m):
+                                feas = feas * jnp.where(
+                                    s_new[i] >= omt * s[i], ones, zeros
+                                )
+                                feas = feas * jnp.where(
+                                    y_new[i] >= omt * y[i], ones, zeros
+                                )
+                                feas = feas * fin(s_new[i]) * fin(y_new[i])
+                                sumlog = sumlog + jnp.log(
+                                    jnp.maximum(s_new[i], _EPS_SLACK)
+                                )
+                                r = g_new[i] + s_new[i]
+                                th = th + (
+                                    r * r if cfg.theta_l2 else jnp.abs(r)
+                                )
+                                infpr = jnp.maximum(infpr, jnp.abs(r))
+                                ys = y_new[i] * s_new[i]
+                                maxys = jnp.maximum(maxys, ys)
+                                minys = jnp.minimum(minys, ys)
+                            x_next = _integrate_lane(
+                                lane_f, integrator, x, u, p, dt
+                            )
+                            for i in range(nx):
+                                feas = feas * fin(x_next[i]) * fin(lam_new[i])
+                                Xc[tp1, i] = jnp.where(
+                                    mnf, x_next[i], Xc[tp1, i]
+                                )
+                                Lc[t, i] = jnp.where(mnf, lam_new[i], Lc[t, i])
+                            for i in range(nu):
+                                feas = feas * fin(u[i])
+                                Uc[t, i] = jnp.where(mnf, u[i], Uc[t, i])
+                            for i in range(m):
+                                Yc[t, i] = jnp.where(mnf, y_new[i], Yc[t, i])
+                                Sc[t, i] = jnp.where(mnf, s_new[i], Sc[t, i])
+                            return (tuple(x_next), J, sumlog, th, infpr,
+                                    maxys, minys, feas, tp1)
+
+                        x0l = tuple(Xo[0, i] for i in range(nx))
+                        out = jax.lax.fori_loop(
+                            _i32(0), _i32(N), fstep,
+                            (x0l, zeros, zeros, zeros, zeros,
+                             zeros - jnp.inf, zeros + jnp.inf, ones,
+                             jnp.asarray(0, jnp.int32)),
+                        )
+                        xN = list(out[0])
+                        (J, sumlog, th, infpr, maxys, minys,
+                         feas) = out[1:-1]
+                        J = J + term_cost(xN)
+                        dxN = [xN[i] - Xo[N, i] for i in range(nx)]
+                        lamN = [
+                            Lo[N, i] + a_pr * Vxs[N, i]
+                            + sum(Vxxs[N, i, j] * dxN[j] for j in range(nx))
+                            for i in range(nx)
+                        ]
+                        for i in range(nx):
+                            feas = feas * fin(lamN[i])
+                            Lc[N, i] = jnp.where(mnf, lamN[i], Lc[N, i])
+
+                        phi = J - mu * sumlog
+                        theta_new = jnp.maximum(
+                            jnp.sqrt(th) if cfg.theta_l2 else th, infpr
+                        )
+                        infcomp = jnp.maximum(maxys - mu, mu - minys)
+                        feas = (
+                            feas * fin(phi) * fin(theta_new) * fin(infpr)
+                            * fin(infcomp)
+                        )
+
+                        # Filter acceptance (ipddp_solver.cpp:1784-1839).
+                        fm = [sc[_F_M0 + i] for i in range(_F_CAP)]
+                        fv = [sc[_F_V0 + i] for i in range(_F_CAP)]
+                        fval = [sc[_F_OK0 + i] for i in range(_F_CAP)]
+                        f_mf, f_cv, f_ne = _filter_back(fm, fv, fval, zeros)
+                        cv_old = jnp.where(f_ne, f_cv, zeros)
+                        hvr = jnp.where(f_ne, f_cv, sc[_FTHETA])
+                        merit_old = sc[_MERIT]
+                        expected = a_pr * sc[_DV0]
+
+                        br1 = theta_new > cfg.max_viol
+                        acc1 = theta_new < (1.0 - cfg.vat) * hvr
+                        br2 = (
+                            jnp.maximum(theta_new, cv_old) < cfg.mvfac
+                        ) & (expected < 0.0)
+                        acc2 = phi < merit_old + cfg.armijo * expected
+                        acc3 = (
+                            phi < merit_old - cfg.mat * theta_new
+                        ) | (theta_new < (1.0 - cfg.vat) * cv_old)
+                        accept = jnp.where(br1, acc1, jnp.where(br2, acc2,
+                                                                acc3))
+                        take = (feas > 0.5) & accept & mnf
+
+                        sc[_TJ] = jnp.where(take, J, sc[_TJ])
+                        sc[_TMERIT] = jnp.where(take, phi, sc[_TMERIT])
+                        sc[_TTHETA] = jnp.where(take, theta_new, sc[_TTHETA])
+                        sc[_TINFPR] = jnp.where(take, infpr, sc[_TINFPR])
+                        sc[_TMAXYS] = jnp.where(take, maxys, sc[_TMAXYS])
+                        sc[_TMINYS] = jnp.where(take, minys, sc[_TMINYS])
+                        sc[_TSUMLOG] = jnp.where(take, sumlog, sc[_TSUMLOG])
+                        sc[_TAPR] = jnp.where(take, a_pr, sc[_TAPR])
+                        sc[_TADU] = jnp.where(take, a_du, sc[_TADU])
+                        sc[_LS_OK] = jnp.where(take, ones, sc[_LS_OK])
+                        sc[_LS_FOUND] = jnp.where(take, ones, sc[_LS_FOUND])
+                        a_next = alpha * cfg.a_r
+                        sc[_ALPHA_CUR] = jnp.where(
+                            a_next < cfg.a_min, zeros + cfg.a_min, a_next
+                        )
+
+                    return c3
+
+                jax.lax.fori_loop(_i32(0), _i32(cfg.n_alpha), ls_iter, 0)
+
+                # ---- commit / fail / early / bp-limit ----
+                early_m = sc[_EARLY] > 0.5
+                participate2 = mab & (~early_m)
+                fp_ok = sc[_LS_OK] > 0.5
+                commit_m = participate2 & fp_ok
+                fail_m = participate2 & (~fp_ok)
+
+                def copy_body(_s, t):
+                    tp1 = t + _i32(1)
+                    for i in range(nx):
+                        Xo[tp1, i] = jnp.where(commit_m, Xc[tp1, i],
+                                               Xo[tp1, i])
+                        Lo[t, i] = jnp.where(commit_m, Lc[t, i], Lo[t, i])
+                    for i in range(nu):
+                        Uo[t, i] = jnp.where(commit_m, Uc[t, i], Uo[t, i])
+                    for i in range(m):
+                        Yo[t, i] = jnp.where(commit_m, Yc[t, i], Yo[t, i])
+                        So[t, i] = jnp.where(commit_m, Sc[t, i], So[t, i])
+                    return tp1
+
+                jax.lax.fori_loop(_i32(0), _i32(N), copy_body,
+                                  jnp.asarray(0, jnp.int32))
+                for i in range(nx):
+                    Lo[N, i] = jnp.where(commit_m, Lc[N, i], Lo[N, i])
+
+                # Barrier schedule (updateBarrierParameters,
+                # ipddp_solver.cpp:2548-2660) on committed lanes.
+                mu_old = mu
+                infcomp_trial = jnp.maximum(
+                    sc[_TMAXYS] - mu_old, mu_old - sc[_TMINYS]
+                )
+                if cfg.adaptive:
+                    kkt = jnp.maximum(
+                        jnp.maximum(sc[_TINFPR], sc[_INFDU]), infcomp_trial
+                    )
+                    threshold = jnp.maximum(
+                        cfg.mu_update_factor * mu_old, 2.0 * mu_old
+                    )
+                    ratio = kkt / jnp.maximum(mu_old, 1e-20)
+                    factor = jnp.where(
+                        ratio < 0.01,
+                        zeros + 0.1 * cfg.mu_update_factor,
+                        jnp.where(
+                            ratio < 0.1,
+                            zeros + 0.3 * cfg.mu_update_factor,
+                            jnp.where(
+                                ratio < 0.5,
+                                zeros + 0.6 * cfg.mu_update_factor,
+                                zeros + cfg.mu_update_factor,
+                            ),
+                        ),
+                    )
+                    factor = jnp.where(
+                        mu_old > 1e-20, factor, zeros + cfg.mu_update_factor
+                    )
+                    linear = factor * mu_old
+                    superlinear = jnp.exp(
+                        cfg.mu_update_power * jnp.log(mu_old)
+                    )
+                    mu_cand = jnp.maximum(
+                        jnp.minimum(linear, superlinear),
+                        zeros + max(cfg.mu_min_value, cfg.tolerance / 100.0),
+                    )
+                    mu_new = jnp.where(kkt <= threshold, mu_cand, mu_old)
+                else:
+                    weighted_du = sc[_INFDU] * cfg.dual_weight
+                    kkt = jnp.maximum(
+                        jnp.maximum(sc[_TINFPR], weighted_du), infcomp_trial
+                    )
+                    linear = cfg.mu_update_factor * mu_old
+                    superlinear = jnp.exp(
+                        cfg.mu_update_power * jnp.log(mu_old)
+                    )
+                    mu_cand = jnp.maximum(
+                        zeros + cfg.mu_min_value,
+                        jnp.minimum(linear, superlinear),
+                    )
+                    mu_new = jnp.where(
+                        kkt <= cfg.kappa_eps * mu_old, mu_cand, mu_old
+                    )
+
+                # Filter maintenance: insert (old-mu merit, committed theta),
+                # prune past max size, reset (clear) on a mu decrease.
+                ft_c = jnp.maximum(sc[_TTHETA], 1e-8)
+                fm = [sc[_F_M0 + i] for i in range(_F_CAP)]
+                fv = [sc[_F_V0 + i] for i in range(_F_CAP)]
+                fval = [sc[_F_OK0 + i] for i in range(_F_CAP)]
+                km, kv, kval = _filter_accept(
+                    fm, fv, fval, sc[_TMERIT], ft_c, zeros, ones
+                )
+                size_kept = zeros
+                for i in range(_F_CAP):
+                    size_kept = size_kept + kval[i]
+                pm, pv, pval = _filter_prune(km, kv, kval, zeros, ones)
+                do_prune = size_kept > float(cfg.f_max)
+                reset = (mu_new < mu_old) & (mu_new > 0.0)
+                for i in range(_F_CAP):
+                    mi = jnp.where(do_prune, pm[i], km[i])
+                    vi = jnp.where(do_prune, pv[i], kv[i])
+                    oki = jnp.where(do_prune, pval[i], kval[i])
+                    mi = jnp.where(reset, zeros + jnp.inf, mi)
+                    vi = jnp.where(reset, zeros + jnp.inf, vi)
+                    oki = jnp.where(reset, zeros, oki)
+                    sc[_F_M0 + i] = jnp.where(commit_m, mi, sc[_F_M0 + i])
+                    sc[_F_V0 + i] = jnp.where(commit_m, vi, sc[_F_V0 + i])
+                    sc[_F_OK0 + i] = jnp.where(commit_m, oki, sc[_F_OK0 + i])
+
+                dJ = sc[_COST] - sc[_TJ]
+                infcomp_new = jnp.maximum(
+                    sc[_TMAXYS] - mu_new, mu_new - sc[_TMINYS]
+                )
+                merit_new = sc[_TJ] - mu_new * sc[_TSUMLOG]
+                reg_dec = jnp.maximum(sc[_REG] / cfg.reg_uf, cfg.reg_min)
+
+                # Convergence (checkConvergence, :1953-2025), barrier regime.
+                tol2 = jnp.maximum(zeros + cfg.tolerance, cfg.btm * mu_new)
+                conv_opt = (
+                    (sc[_TINFPR] < tol2)
+                    & (sc[_INFDU] < tol2)
+                    & (infcomp_new < tol2)
+                    & (sc[_STEPN] < cfg.tolerance * 10.0)
+                )
+                if cfg.acceptable_tolerance > 0:
+                    sqrt_atol = math.sqrt(cfg.acceptable_tolerance)
+                    bat = max(
+                        cfg.mu_min_value * 100.0, cfg.tolerance / 10.0
+                    )
+                    acc_kkt = (
+                        (sc[_TINFPR] < sqrt_atol)
+                        & (sc[_INFDU] < sqrt_atol)
+                        & (infcomp_new < sqrt_atol)
+                    )
+                    barrier_done = mu_new <= bat
+                    it = sc[_IT]
+                    conv_acc = acc_kkt & barrier_done & (
+                        (
+                            (it > 10.0)
+                            & (jnp.abs(dJ) < cfg.acceptable_tolerance)
+                        )
+                        | (
+                            (it >= 1.0)
+                            & (sc[_STEPN] < cfg.tolerance * 10.0)
+                            & (sc[_TINFPR] < 1e-4)
+                        )
+                    )
+                else:
+                    conv_acc = zeros > ones
+
+                status_c = jnp.where(
+                    conv_opt, zeros + _ST_OPTIMAL,
+                    jnp.where(conv_acc, zeros + _ST_ACCEPTABLE, sc[_STATUS]),
+                )
+                done_c = conv_opt | conv_acc
+
+                # Fail branch (handleForwardPassFailure, :2037-2082).
+                reg_fail = jnp.minimum(sc[_REG] * cfg.reg_uf, cfg.reg_max)
+                limit_f = reg_fail >= cfg.reg_max
+                if cfg.acceptable_tolerance > 0:
+                    at_f = jnp.maximum(
+                        zeros + math.sqrt(
+                            max(cfg.acceptable_tolerance, cfg.tolerance)
+                        ),
+                        cfg.btm * mu_old,
+                    )
+                    acceptable_f = (
+                        (sc[_INFPR] < at_f)
+                        & (sc[_INFDU] < at_f)
+                        & (sc[_INFCOMP] < at_f)
+                    )
+                else:
+                    acceptable_f = zeros > ones
+                status_f = jnp.where(
+                    limit_f & acceptable_f, zeros + _ST_ACCEPTABLE,
+                    jnp.where(limit_f, zeros + _ST_REG_LIMIT, sc[_STATUS]),
+                )
+
+                # Scalar write-back, masked per branch.
+                sc[_COST] = jnp.where(commit_m, sc[_TJ], sc[_COST])
+                sc[_MERIT] = jnp.where(commit_m, merit_new, sc[_MERIT])
+                sc[_FTHETA] = jnp.where(commit_m, ft_c, sc[_FTHETA])
+                sc[_THETA] = jnp.where(
+                    commit_m, jnp.maximum(ft_c, cfg.theta0_floor), sc[_THETA]
+                )
+                sc[_MU] = jnp.where(commit_m, mu_new, sc[_MU])
+                sc[_INFPR] = jnp.where(commit_m, sc[_TINFPR], sc[_INFPR])
+                sc[_INFCOMP] = jnp.where(commit_m, infcomp_new, sc[_INFCOMP])
+                sc[_APR] = jnp.where(commit_m, sc[_TAPR], sc[_APR])
+                sc[_ADU] = jnp.where(commit_m, sc[_TADU], sc[_ADU])
+                sc[_REG] = jnp.where(
+                    commit_m, reg_dec,
+                    jnp.where(fail_m, reg_fail, sc[_REG]),
+                )
+
+                mbpl = active & bpl
+                mearly = mab & early_m
+                sc[_STATUS] = jnp.where(
+                    mbpl, zeros + _ST_REG_LIMIT,
+                    jnp.where(
+                        mearly, zeros + _ST_OPTIMAL,
+                        jnp.where(
+                            commit_m, status_c,
+                            jnp.where(fail_m, status_f, sc[_STATUS]),
+                        ),
+                    ),
+                )
+                sc[_DONE] = jnp.where(
+                    mbpl | mearly, ones,
+                    jnp.where(
+                        commit_m, jnp.where(done_c, ones, zeros),
+                        jnp.where(
+                            fail_m, jnp.where(limit_f, ones, zeros),
+                            sc[_DONE],
+                        ),
+                    ),
+                )
+
+            return carry
+
+        jax.lax.fori_loop(_i32(0), _i32(cfg.max_iterations), outer, 0)
+
+        # --- emit stats (trajectories/duals/gains already live in outputs)
+        st_ref[0] = sc[_COST]
+        st_ref[1] = sc[_INFPR]
+        st_ref[2] = sc[_INFDU]
+        st_ref[3] = sc[_INFCOMP]
+        st_ref[4] = sc[_MU]
+        st_ref[5] = sc[_REG]
+        st_ref[6] = sc[_APR]
+        st_ref[7] = sc[_IT]
+        st_ref[8] = sc[_STATUS]
+
+    assert tile_b % 1024 == 0, tile_b
+    tbs = tile_b // 128
+    np_eff = max(n_params, 1)
+
+    def call(X0, U0, Y0, S0, ku0, Ku0, L0, mu0, dtv, params, Q, R, Qf,
+             goal, refs, lo, hi, sfv, interpret=False):
+        Btot = X0.shape[-1]
+        assert Btot % tile_b == 0, (Btot, tile_b)
+        grid = (Btot // tile_b,)
+        dtype = X0.dtype
+        rows = Btot // 128
+
+        def fold(v):
+            return v.reshape(*v.shape[:-1], rows, 128)
+
+        def spec(*dims):
+            blk = tuple(dims) + (tbs, 128)
+            nd = len(dims)
+            return pl.BlockSpec(
+                blk, lambda b, _nd=nd: (0,) * _nd + (b, 0),
+                memory_space=pltpu.VMEM,
+            )
+
+        in_specs = [
+            spec(N + 1, nx), spec(N, nu), spec(N, m), spec(N, m),
+            spec(N, nu), spec(N, nu, nx), spec(N + 1, nx), spec(1), spec(1),
+            spec(np_eff), spec(nx, nx), spec(nu, nu), spec(nx, nx), spec(nx),
+        ] + ([spec(N, nx)] if tracking else []) + [
+            spec(nb), spec(nb), spec(n_items),
+        ]
+        out_specs = (
+            spec(N + 1, nx), spec(N, nu), spec(N, nu), spec(N, nu, nx),
+            spec(N, m), spec(N, m), spec(N + 1, nx), spec(9),
+        )
+        out_shape = (
+            jax.ShapeDtypeStruct((N + 1, nx, rows, 128), dtype),
+            jax.ShapeDtypeStruct((N, nu, rows, 128), dtype),
+            jax.ShapeDtypeStruct((N, nu, rows, 128), dtype),
+            jax.ShapeDtypeStruct((N, nu, nx, rows, 128), dtype),
+            jax.ShapeDtypeStruct((N, m, rows, 128), dtype),
+            jax.ShapeDtypeStruct((N, m, rows, 128), dtype),
+            jax.ShapeDtypeStruct((N + 1, nx, rows, 128), dtype),
+            jax.ShapeDtypeStruct((9, rows, 128), dtype),
+        )
+        scratch = [
+            pltpu.VMEM((N + 1, nx, tbs, 128), dtype),      # Vx sequence
+            pltpu.VMEM((N + 1, nx, nx, tbs, 128), dtype),  # Vxx sequence
+            pltpu.VMEM((N + 1, nx, tbs, 128), dtype),      # Xc
+            pltpu.VMEM((N, nu, tbs, 128), dtype),          # Uc
+            pltpu.VMEM((N, m, tbs, 128), dtype),           # Yc
+            pltpu.VMEM((N, m, tbs, 128), dtype),           # Sc
+            pltpu.VMEM((N + 1, nx, tbs, 128), dtype),      # Lc
+            pltpu.VMEM((_N_SCALARS, tbs, 128), dtype),     # sc
+        ]
+        ins = (X0, U0, Y0, S0, ku0, Ku0, L0, mu0, dtv, params, Q, R, Qf,
+               goal)
+        if tracking:
+            ins = ins + (refs,)
+        args = [fold(v) for v in ins + (lo, hi, sfv)]
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=(pltpu.PARALLEL,)
+            ),
+            interpret=interpret,
+        )(*args)
+        return tuple(o.reshape(*o.shape[:-2], Btot) for o in outs)
+
+    return call
+
+
+# --- eligibility --------------------------------------------------------------
+
+# Whole horizon VMEM-resident (trajectories, duals, slacks, gains, costates,
+# value sequences, candidates). v5e/v4 cores have ~16 MiB of VMEM; leave
+# headroom for Mosaic temporaries. Long horizons / large state dims must
+# keep the streamed per-pass engines.
+_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+
+
+def _vmem_estimate_bytes(problem, options=None,
+                         tile_b: int = DEFAULT_TILE_B) -> int:
+    from cddp_tpu.constraints.stack import PathStacker
+
+    nx, nu, N = problem.state_dim, problem.control_dim, problem.horizon
+    stk = PathStacker(problem)
+    m = stk.total_dim
+    kind = _registry_key(problem.model)
+    np_eff = max(_REGISTRY[kind][0], 1) if kind else 1
+    tracking = problem.objective.reference_states is not None
+    nb = m // 2  # box rows come in lower/upper pairs
+    n_items = len(stk.items)
+    ins = (
+        (N + 1) * nx + N * nu + 2 * N * m + N * nu + N * nu * nx
+        + (N + 1) * nx + 2 + np_eff + 2 * nx * nx + nu * nu + nx
+        + (N * nx if tracking else 0) + 2 * nb + n_items
+    )
+    outs = (
+        (N + 1) * nx + 2 * N * nu + N * nu * nx + 2 * N * m
+        + (N + 1) * nx + 9
+    )
+    scratch = (
+        (N + 1) * nx * (3 + nx) + N * nu + 2 * N * m + (N + 1) * nx
+        + _N_SCALARS
+    )
+    return (ins + outs + scratch) * tile_b * 4
+
+
+def mega_eligible(problem, options) -> bool:
+    """Static dispatch predicate for the whole-solve IPDDP kernel.
+
+    Requires: registered continuous-dynamics lane model, QuadraticObjective
+    (goal or reference_states tracking), a box-only path-constraint stack
+    (ControlConstraint / StateConstraint), no terminal constraints, the
+    iLQR sequential condensed backward, the sequential first-success line
+    search, and none of the driver features the kernel doesn't model
+    (history/verbose/debug/cpu-time, slack SOC, constraint Hessians,
+    state-stationarity KKT term)."""
+    import os
+
+    from cddp_tpu.costs.objective import QuadraticObjective
+    from cddp_tpu.ops.pallas.ip_rollout import _box_stack
+    from cddp_tpu.constraints.stack import PathStacker, TerminalStacker
+
+    if os.environ.get("CDDP_TPU_NO_MEGA"):  # emergency kill switch
+        return False
+    kind = _registry_key(problem.model)
+    if kind is None or _is_discrete(_REGISTRY[kind]):
+        return False
+    if not isinstance(problem.objective, QuadraticObjective):
+        return False
+    stk = PathStacker(problem)
+    tstk = TerminalStacker(problem)
+    if _box_stack(stk) is None or stk.total_dim == 0:
+        return False
+    if tstk.ineq_dim > 0 or tstk.eq_dim > 0:
+        return False
+    ip = options.ipddp
+    return (
+        problem.model.integration_type in ("euler", "heun", "rk3", "rk4")
+        and options.use_ilqr
+        and not options.enable_parallel
+        and not ip.slack_soc
+        and not ip.use_constraint_hessians
+        and not ip.check_state_stationarity
+        and ip.lqr_backend == "sequential"
+        and options.backward_engine == "auto"
+        and options.solve_engine != "xla"
+        and not options.return_iteration_info
+        and not options.verbose
+        and not options.debug
+        and options.max_cpu_time <= 0
+        and options.max_iterations >= 1
+        and options.regularization.update_factor > 1.0
+        and _vmem_estimate_bytes(problem, options) <= _VMEM_BUDGET_BYTES
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "kind", "integrator", "box_layout", "tile_b",
+                     "interpret"),
+)
+def _mega_impl(X0, U0, Y0, S0, ku0, Ku0, L0, mu0, dtv, params, Q, R, Qf,
+               goal, refs, lo, hi, sfv, cfg: _Cfg, kind: str,
+               integrator: str, box_layout,
+               tile_b: int = DEFAULT_TILE_B, interpret: bool = False):
+    """Batch-first wrapper: pad to a tile multiple, transpose to batch-last,
+    run the kernel, trim. ``refs`` is None for goal-form objectives."""
+    B0 = X0.shape[0]
+    nx, nu, N, m = X0.shape[2], U0.shape[2], U0.shape[1], Y0.shape[2]
+    pad = (-B0) % tile_b
+    tracking = refs is not None
+    dtype = X0.dtype
+    cap = 1e12 if dtype == jnp.float64 else 1e6  # ipddp._max_ratio
+
+    def prep(v):
+        if pad:
+            v = jnp.concatenate([v, jnp.repeat(v[-1:], pad, 0)], 0)
+        return jnp.moveaxis(v, 0, -1)
+
+    entry = _REGISTRY[kind]
+    n_params, lane_f = entry[0], entry[2]
+    deriv_f = deriv_lane_fn(kind, lane_f, nx, nu)
+    call = make_solve_kernel(
+        nx, nu, m, N, n_params, lane_f, deriv_f, integrator, box_layout,
+        cfg, cap, tracking, tile_b,
+    )
+    args = [
+        prep(v) if v is not None else None
+        for v in (X0, U0, Y0, S0, ku0, Ku0, L0, mu0[:, None], dtv[:, None],
+                  params, Q, R, Qf, goal, refs, lo, hi, sfv)
+    ]
+    outs = call(*args, interpret=interpret)
+    unprep = lambda v: jnp.moveaxis(v, -1, 0)[:B0]
+    return tuple(unprep(o) for o in outs)
+
+
+def build_fused_solve(problem, options, interpret: bool = False):
+    """Batch-first fused whole-solve for a concrete (problem, options):
+    ``fused(x0, X0, U0, Y0, S0, L0, mu0, ku0, Ku0) -> (X, U, k, K, Y, S,
+    Lambda, cost, inf_pr, inf_du, inf_comp, mu, reg, alpha_pr,
+    iterations(int32), status(int32))``. Also the test entry for
+    interpret-mode parity runs."""
+    from cddp_tpu.ops.pallas.ip_rollout import _box_stack
+    from cddp_tpu.constraints.stack import PathStacker
+
+    cfg = _make_cfg(options)
+    kind = _registry_key(problem.model)
+    integrator = problem.model.integration_type
+    obj = problem.objective
+    stk = PathStacker(problem)
+    boxes = _box_stack(stk)
+    box_layout = tuple(k for k, _ in boxes)
+    entry = _REGISTRY[kind]
+    n_params, param_fn = entry[0], entry[1]
+
+    def fused_impl(x0, X0, U0, Y0, S0, L0, mu0, ku0, Ku0):
+        B = x0.shape[0]
+        dtype = x0.dtype
+
+        def bc(a):
+            a = jnp.asarray(a, dtype)
+            return jnp.broadcast_to(a, (B,) + a.shape)
+
+        params = bc(jnp.asarray(param_fn(problem.model), dtype))
+        if n_params == 0:
+            params = jnp.zeros((B, 1), dtype)
+        if obj.reference_states is not None:
+            refs = bc(jnp.asarray(obj.reference_states)[: U0.shape[1]])
+        else:
+            refs = None
+        lo = bc(jnp.concatenate(
+            [jnp.asarray(cb.lower, dtype).reshape(-1) for _, cb in boxes]
+        ))
+        hi = bc(jnp.concatenate(
+            [jnp.asarray(cb.upper, dtype).reshape(-1) for _, cb in boxes]
+        ))
+        sfv = bc(jnp.stack(
+            [jnp.asarray(cb.scale_factor, dtype) for _, cb in boxes]
+        ))
+        outs = _mega_impl(
+            X0, U0, Y0, S0, ku0, Ku0, L0,
+            jnp.broadcast_to(jnp.asarray(mu0, dtype), (B,)),
+            jnp.broadcast_to(jnp.asarray(problem.timestep, dtype), (B,)),
+            params, bc(obj.Q), bc(obj.R), bc(obj.Qf),
+            bc(obj.reference_state), refs, lo, hi, sfv,
+            cfg=cfg, kind=kind, integrator=integrator,
+            box_layout=box_layout, tile_b=DEFAULT_TILE_B,
+            interpret=interpret,
+        )
+        X, U, k, K, Y, S, Lam, st = outs
+        return (
+            X, U, k, K, Y, S, Lam,
+            st[:, 0], st[:, 1], st[:, 2], st[:, 3], st[:, 4], st[:, 5],
+            st[:, 6], st[:, 7].astype(jnp.int32),
+            st[:, 8].astype(jnp.int32),
+        )
+
+    return fused_impl
+
+
+def problem_consts_concrete(problem) -> bool:
+    from cddp_tpu.ops.pallas.mega_clddp import problem_consts_concrete as f
+
+    return f(problem)
+
+
+def ipddp_solve_op(problem, options, interpret: bool = False):
+    """Batch-aware whole-solve op for this (problem, options) pair.
+
+    ``op(x0, X0, U0, Y0, S0, L0, mu0, ku0, Ku0) -> (X, U, k, K, Y, S,
+    Lambda, cost, inf_pr, inf_du, inf_comp, mu, reg, alpha_pr,
+    iterations(int32), status(int32))``. Unbatched / CPU / non-f32 calls
+    run the XLA ``_drive`` driver per instance; vmapped TPU float32 batches
+    >= MIN_KERNEL_BATCH run the fused kernel."""
+    from cddp_tpu.solvers import ipddp as _ipddp
+    from cddp_tpu.constraints.stack import PathStacker
+
+    kind = _registry_key(problem.model)
+    fused_impl = build_fused_solve(problem, options, interpret)
+
+    def scan_single(x0, X0, U0, Y0, S0, L0, mu0, ku0, Ku0):
+        p = problem.replace(x0=x0)
+        stk = PathStacker(p)
+        dtype = X0.dtype
+        G = _ipddp._eval_path(p, stk, X0, U0)
+        empty = jnp.zeros((0,), dtype)
+        sol, st = _ipddp._drive(
+            p, options, X0, U0, Y0, S0, G, empty, empty, empty, L0, empty,
+            mu0, ku0, Ku0,
+        )
+        return (
+            sol.state_trajectory, sol.control_trajectory, st.k_u, st.K_u,
+            st.Y, st.S, st.Lambda, sol.final_objective, sol.inf_pr,
+            sol.inf_du, sol.inf_comp, sol.barrier_mu,
+            sol.final_regularization, sol.final_step_length,
+            sol.iterations_completed, sol.status_code,
+        )
+
+    return make_batched_op(
+        scan_single, fused_impl, "IPDDP solve",
+        min_batch=MIN_KERNEL_BATCH,
+        log_detail=lambda x0, *rest: dict(model=kind),
+    )

@@ -1861,7 +1861,100 @@ def solve(
     X, U = problem.initial_trajectories(X0, U0)
     warm = state if options.warm_start else None
     trajectory_warm = bool(options.warm_start and state is None and U0 is not None)
-    sol, new_state = _solve(problem, options, X, U, warm, trajectory_warm)
+
+    # Whole-solve fused engine (ops/pallas/mega_ipddp.py): for qualifying
+    # box-constrained problems the complete interior-point solve is a
+    # batch-aware op — the XLA _drive driver per unbatched instance, ONE
+    # Pallas kernel for vmapped TPU f32 fleets. The op closes over the
+    # problem's cost/model/constraint leaves, so they must be concrete.
+    from cddp_tpu.ops.pallas import mega_ipddp
+
+    if options.solve_engine == "fused" or (
+        options.solve_engine == "auto"
+        and mega_ipddp.mega_eligible(problem, options)
+        and mega_ipddp.problem_consts_concrete(problem)
+    ):
+        if options.solve_engine == "fused":
+            assert mega_ipddp.mega_eligible(problem, options), (
+                "solve_engine='fused' requires a mega-eligible problem: "
+                "registered continuous lane model, quadratic objective, "
+                "box-only path constraints, no terminal constraints, iLQR "
+                "sequential backward, sequential line search, default "
+                "driver features, and a horizon small enough to fit VMEM "
+                "(mega_ipddp._vmem_estimate_bytes)"
+            )
+        sol, new_state = _solve_mega(problem, options, U, warm,
+                                     trajectory_warm)
+    else:
+        sol, new_state = _solve(problem, options, X, U, warm, trajectory_warm)
     if return_state:
         return sol, new_state
     return sol
+
+
+@base.with_matmul_precision
+def _solve_mega(problem: Problem, options: CDDPOptions, U0, warm,
+                trajectory_warm: bool):
+    """Whole-solve fused engine entry: run :func:`_initialize` (+ the
+    warm-gain seed of :func:`_solve`) in XLA, then the batch-aware
+    whole-solve op (ops/pallas/mega_ipddp.py) which runs :func:`_drive` per
+    unbatched instance or the fused kernel for vmapped TPU f32 fleets. Runs
+    under the same matmul-precision context as :func:`_solve` so the op's
+    per-instance ``_drive`` scan path traces identically."""
+    from cddp_tpu.ops.pallas.mega_ipddp import ipddp_solve_op
+
+    stk = PathStacker(problem)
+    tstk = TerminalStacker(problem)
+    nx, nu, N = problem.state_dim, problem.control_dim, problem.horizon
+    dtype = jnp.asarray(problem.x0).dtype
+
+    (X, U, Y, S, G, G_T, S_T, Y_T, Lambda, Lambda_T_eq, mu0, reset) = (
+        _initialize(problem, options, stk, tstk, U0, warm, trajectory_warm,
+                    dtype)
+    )
+    ku0 = jnp.zeros((N, nu), dtype)
+    Ku0 = jnp.zeros((N, nu, nx), dtype)
+    if warm is not None and options.warm_start:
+        if reset is not None:
+            ku0 = jnp.where(reset, ku0, warm.k_u)
+            Ku0 = jnp.where(reset, Ku0, warm.K_u)
+        else:
+            ku0, Ku0 = warm.k_u, warm.K_u
+
+    op = ipddp_solve_op(problem, options)
+    (Xs, Us, ks, Ks, Ys, Ss, Lam, cost, inf_pr, inf_du, inf_comp, mu, reg,
+     alpha_pr, iters, status) = op(
+        problem.x0, X, U, Y, S, Lambda, jnp.asarray(mu0, dtype), ku0, Ku0
+    )
+
+    time_points = jnp.arange(N + 1, dtype=dtype) * problem.timestep
+    solver_state = IPDDPSolverState(
+        k_u=ks, K_u=Ks, Y=Ys, S=Ss, Lambda=Lam,
+        Y_T=jnp.zeros(Ys.shape[:-2] + (0,), dtype),
+        S_T=jnp.zeros(Ys.shape[:-2] + (0,), dtype),
+        Lambda_T_eq=jnp.zeros(Ys.shape[:-2] + (0,), dtype),
+        x0=problem.x0,
+    )
+    sol = Solution(
+        solver_name="IPDDP",
+        status_code=status,
+        iterations_completed=iters,
+        final_objective=cost,
+        final_step_length=alpha_pr,
+        final_regularization=reg,
+        time_points=time_points,
+        state_trajectory=Xs,
+        control_trajectory=Us,
+        feedback_gains=Ks,
+        feedforward_gains=ks,
+        dual_trajectories=stk.split(Ys),
+        slack_trajectories=stk.split(Ss),
+        costate_trajectory=Lam,
+        terminal_duals=None,
+        barrier_mu=mu,
+        inf_pr=inf_pr,
+        inf_du=inf_du,
+        inf_comp=inf_comp,
+        history=None,
+    )
+    return sol, solver_state
