@@ -86,6 +86,21 @@ class _BoxConstraint(PathConstraint):
     upper: jax.Array = None  # raw upper bound (n,)
     scale_factor: float = 1.0
 
+    def __post_init__(self):
+        # Direct dataclass construction (without the control_constraint/
+        # state_constraint factories) used to leave dual_dim at 0, making
+        # the constraint silently invisible to the interior-point stackers
+        # while CLDDP (which reads raw bounds) still honored it. Derive the
+        # doubled dual dimension from the bound shape when unset. Guarded:
+        # tree-unflatten may pass non-array sentinels for the leaves.
+        if self.dual_dim == 0 and self.upper is not None:
+            try:
+                shape = jnp.shape(self.upper)
+            except TypeError:
+                return
+            if len(shape) == 1:
+                object.__setattr__(self, "dual_dim", 2 * shape[0])
+
     def _var(self, x, u):
         raise NotImplementedError
 

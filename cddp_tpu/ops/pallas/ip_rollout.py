@@ -49,6 +49,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from cddp_tpu.solvers import base
 from cddp_tpu.ops.pallas.batched_dispatch import make_batched_op
 from cddp_tpu.ops.pallas.rollout import (
     DEFAULT_TILE_B,
@@ -315,22 +316,25 @@ def _make_ip_forward_kernel(nx, nu, m, N, n_mp, n_cp, n_sp, model_f,
             g += [(var[i] - hi_ref[off + i]) * sf[it] for i in range(n)]
             off += n
 
+        # Fraction-to-boundary re-check with the knife-edge slop
+        # (solvers/base.py ftb_ok — the lane form must match it exactly so
+        # kernel and scan resolve boundary ties identically).
+        eps = jnp.finfo(a_pr.dtype).eps
+
+        def ftb_row(vn, vo):
+            slop = 16.0 * eps * (1.0 + jnp.abs(vo) + jnp.abs(vn))
+            return (vn > 0.0) & (vn >= (1.0 - tau) * vo - slop)
+
         if slack_soc:
-            one_minus_tau = 1.0 - tau
             for i in range(m):
                 s_soc = -g[i]
-                ok_soc = (
-                    (s_soc >= one_minus_tau * s_old[i])
-                    & (s_soc > 0.0)
-                    & (soc_on > 0.5)
-                )
+                ok_soc = ftb_row(s_soc, s_old[i]) & (soc_on > 0.5)
                 s_new[i] = jnp.where(ok_soc, s_soc, s_new[i])
 
         ok = feas
-        one_minus_tau = 1.0 - tau
         for i in range(m):
-            ok = ok * jnp.where(s_new[i] >= one_minus_tau * s_old[i], 1.0, 0.0)
-            ok = ok * jnp.where(y_new[i] >= one_minus_tau * y_old[i], 1.0, 0.0)
+            ok = ok * jnp.where(ftb_row(s_new[i], s_old[i]), 1.0, 0.0)
+            ok = ok * jnp.where(ftb_row(y_new[i], y_old[i]), 1.0, 0.0)
             ok = ok * jnp.where(jnp.isfinite(s_new[i]), 1.0, 0.0)
             ok = ok * jnp.where(jnp.isfinite(y_new[i]), 1.0, 0.0)
 
@@ -474,10 +478,10 @@ def _scan_ip_forward_single(nx, nu, m, model_f, model_discrete, integrator,
         g = jnp.concatenate(parts)
         if slack_soc:
             s_soc = -g
-            ok_soc = (s_soc >= (1.0 - tau) * s) & (s_soc > 0.0) & (soc_on > 0.5)
+            ok_soc = base.ftb_ok(s_soc, s, tau) & (soc_on > 0.5)
             s_new = jnp.where(ok_soc, s_soc, s_new)
-        ok_ftb = jnp.all(s_new >= (1.0 - tau) * s) & jnp.all(
-            y_new >= (1.0 - tau) * y
+        ok_ftb = jnp.all(base.ftb_ok(s_new, s, tau)) & jnp.all(
+            base.ftb_ok(y_new, y, tau)
         )
         ok_fin = jnp.all(jnp.isfinite(s_new)) & jnp.all(jnp.isfinite(y_new))
         mps = [mp[i] for i in range(mp.shape[0])]

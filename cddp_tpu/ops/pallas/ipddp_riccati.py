@@ -50,17 +50,29 @@ _EPS_SLACK = 1e-10
 _MAX_RATIO = 1e6
 
 
+def _lclip(v, lo, hi):
+    """``jnp.clip`` with bounds pre-cast to ``v.dtype``. Under x64,
+    jnp.clip's jitted-ufunc wrapper binds Python-float bounds as weak f64
+    scalar literals and inserts an f64->f32 convert_element_type inside the
+    call — which the Mosaic TPU lowering rejects ("Unsupported cast:
+    float64 -> float32"). Kernel lane code must clip through this helper."""
+    import numpy as np
+
+    dt = v.dtype
+    return jnp.minimum(jnp.maximum(v, np.asarray(lo, dt)), np.asarray(hi, dt))
+
+
 def ipddp_condense_lanes(y, s, g, mu, m, cap=_MAX_RATIO):
     """``ipddp._condense_path`` over lane vectors: per-row interior-point
     condensation quantities (ipddp_solver.cpp:1404-1453). Returns
     ``(s_safe, sigma, pr, comp, rhat, sir)`` lane lists."""
     mu_floor = jnp.maximum(mu * 1e-3, _EPS_SLACK)
     s_safe = [jnp.maximum(s[i], mu_floor) for i in range(m)]
-    sigma = [jnp.clip(y[i] / s_safe[i], 0.0, cap) for i in range(m)]
+    sigma = [_lclip(y[i] / s_safe[i], 0.0, cap) for i in range(m)]
     pr = [g[i] + s[i] for i in range(m)]
     comp = [y[i] * s[i] - mu for i in range(m)]
     rhat = [y[i] * pr[i] - comp[i] for i in range(m)]
-    sir = [jnp.clip(rhat[i] / s_safe[i], -cap, cap) for i in range(m)]
+    sir = [_lclip(rhat[i] / s_safe[i], -cap, cap) for i in range(m)]
     return s_safe, sigma, pr, comp, rhat, sir
 
 
@@ -73,9 +85,9 @@ def ipddp_path_gain_lanes(y, s_safe, sigma, pr, rhat, Gx, Gu, k_u, K_u,
     (ops/pallas/mega_ipddp.py) and :func:`ipddp_condensed_step_lanes`."""
     temp = _matvec(Gu, k_u, m, nu)
     GuKu = _matmul(Gu, K_u, m, nu, nx)
-    k_y = [jnp.clip((rhat[i] + y[i] * temp[i]) / s_safe[i], -cap, cap)
+    k_y = [_lclip((rhat[i] + y[i] * temp[i]) / s_safe[i], -cap, cap)
            for i in range(m)]
-    K_y = [[jnp.clip(sigma[i] * (Gx[i][j] + GuKu[i][j]), -cap, cap)
+    K_y = [[_lclip(sigma[i] * (Gx[i][j] + GuKu[i][j]), -cap, cap)
             for j in range(nx)] for i in range(m)]
     k_s = [-pr[i] - temp[i] for i in range(m)]
     K_s = [[-Gx[i][j] - GuKu[i][j] for j in range(nx)] for i in range(m)]
@@ -143,8 +155,13 @@ def ipddp_condensed_step_lanes(A, Bm, lx, lu, lxx, luu, lux, y, s, g, Gx, Gu,
 
     Hinv, _ = _inv(Quu_reg, nu)
     pd_ok = _leading_minors_pd(Quu_reg, nu)
-    k_u = [-v for v in _matvec(Hinv, rhs_k, nu, nu)]
-    K_u = [[-v for v in row] for row in _matmul(Hinv, rhs_K, nu, nu, nx)]
+    # linalg.solve_and_check zeroes the solution on PD failure; mirror that
+    # so the failed-attempt gains (and everything derived from them: dual/
+    # slack gains, dV, value updates) match the XLA driver bit-for-bit on
+    # the regularization-retry path.
+    k_u = [jnp.where(pd_ok, -v, zeros) for v in _matvec(Hinv, rhs_k, nu, nu)]
+    K_u = [[jnp.where(pd_ok, -v, zeros) for v in row]
+           for row in _matmul(Hinv, rhs_K, nu, nu, nx)]
 
     # _path_gains: dual/slack feedforward + feedback
     k_y, K_y, k_s, K_s = ipddp_path_gain_lanes(

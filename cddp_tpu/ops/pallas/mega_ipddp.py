@@ -55,6 +55,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from cddp_tpu.ops.pallas.batched_dispatch import make_batched_op
 from cddp_tpu.ops.pallas.ipddp_riccati import (
+    _lclip,
     ipddp_condense_lanes,
     ipddp_condensed_step_lanes,
     ipddp_path_gain_lanes,
@@ -616,7 +617,7 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
                         dS_i = k_s[i] + sum(
                             K_s[i][j] * dx[j] for j in range(nx)
                         )
-                        dY_i = jnp.clip(
+                        dY_i = _lclip(
                             k_y[i] + sum(K_y[i][j] * dx[j] for j in range(nx)),
                             -cap, cap,
                         )
@@ -646,8 +647,8 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
                     _i32(0), _i32(N), ms_body,
                     ((zeros,) * nx, ones, ones, jnp.asarray(0, jnp.int32)),
                 )
-                sc[_APRMAX] = jnp.clip(a_pr_m, 0.0, 1.0)
-                sc[_ADUMAX] = jnp.clip(a_du_m, 0.0, 1.0)
+                sc[_APRMAX] = _lclip(a_pr_m, 0.0, 1.0)
+                sc[_ADUMAX] = _lclip(a_du_m, 0.0, 1.0)
 
                 # ---- sequential first-success filter line search ----
                 participate = mab & (~early)
@@ -711,13 +712,28 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
                             ]
                             J = J + run_cost(x, u, t)
                             g_new = box_g(x, u)
+                            # Fraction-to-boundary re-check with the
+                            # knife-edge slop (solvers/base.py ftb_ok — the
+                            # lane form must match it exactly so kernel and
+                            # driver resolve boundary ties identically).
                             omt = 1.0 - tau
+                            eps = jnp.finfo(tau.dtype).eps
                             for i in range(m):
-                                feas = feas * jnp.where(
-                                    s_new[i] >= omt * s[i], ones, zeros
+                                slop_s = 16.0 * eps * (
+                                    1.0 + jnp.abs(s[i]) + jnp.abs(s_new[i])
                                 )
                                 feas = feas * jnp.where(
-                                    y_new[i] >= omt * y[i], ones, zeros
+                                    (s_new[i] > 0.0)
+                                    & (s_new[i] >= omt * s[i] - slop_s),
+                                    ones, zeros,
+                                )
+                                slop_y = 16.0 * eps * (
+                                    1.0 + jnp.abs(y[i]) + jnp.abs(y_new[i])
+                                )
+                                feas = feas * jnp.where(
+                                    (y_new[i] > 0.0)
+                                    & (y_new[i] >= omt * y[i] - slop_y),
+                                    ones, zeros,
                                 )
                                 feas = feas * fin(s_new[i]) * fin(y_new[i])
                                 sumlog = sumlog + jnp.log(

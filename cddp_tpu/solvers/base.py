@@ -102,6 +102,37 @@ def regularization_limit_reached(reg, options: CDDPOptions):
     return reg >= options.regularization.max_value
 
 
+# Knife-edge slop multiplier for the fraction-to-boundary re-check; shared
+# with the fused forward/whole-solve kernels and the native C++ oracle
+# (native/cddp_host.cpp), which must resolve boundary ties identically.
+FTB_SLOP_FACTOR = 16.0
+
+
+def ftb_ok(v_new, v_old, tau):
+    """Fraction-to-boundary re-check ``v_new >= (1 - tau) * v_old`` with a
+    rounding-scale slop on the boundary.
+
+    The interior-point forward passes re-check the REALIZED slack/dual
+    updates against the fraction-to-boundary rule after the rollout
+    (ipddp_solver.cpp:1620-1645) even though alpha was already capped to
+    alpha_pr_max/alpha_du_max from the PREDICTED updates. At a capped rung
+    the binding row lands on the bound EXACTLY — for control-affine
+    dynamics the realized first-step update equals the linear prediction
+    that defined the cap — so the strict comparison is decided by rounding
+    noise (measured margin -2e-17 on the flagship unicycle MPC), and any
+    two differently-ordered but equally-valid evaluations (vmapped vs
+    unbatched, Pallas kernel vs scan, f32 vs f64) can disagree and fork the
+    whole solve from that iteration on. The dtype-scaled slop makes the
+    by-construction boundary case accept deterministically on every engine;
+    positivity stays explicit (the strict check implied it, tau < 1).
+    Material FTB violations (realized nonlinearity overshooting the bound)
+    are orders of magnitude above the slop and still reject.
+    """
+    eps = jnp.finfo(jnp.asarray(v_new).dtype).eps
+    slop = FTB_SLOP_FACTOR * eps * (1.0 + jnp.abs(v_old) + jnp.abs(v_new))
+    return (v_new > 0.0) & (v_new >= (1.0 - tau) * v_old - slop)
+
+
 def host_clock():
     """Monotonic host wall-clock as ``(int32 whole-seconds, float32 frac)``.
 

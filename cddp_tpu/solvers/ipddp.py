@@ -999,11 +999,11 @@ def _forward_pass(
             # use_constraint_hessians; the reference has no counterpart
             # (it stalls at inf_pr ~ 0.6 on the rendezvous workload).
             s_soc = -g_new
-            ok_soc = (s_soc >= (1.0 - tau) * s) & (s_soc > 0.0) & c.soc_on
+            ok_soc = base.ftb_ok(s_soc, s, tau) & c.soc_on
             s_new = jnp.where(ok_soc, s_soc, s_new)
         if has_path:
-            ok_ftb = jnp.all(s_new >= (1.0 - tau) * s) & jnp.all(
-                y_new >= (1.0 - tau) * y
+            ok_ftb = jnp.all(base.ftb_ok(s_new, s, tau)) & jnp.all(
+                base.ftb_ok(y_new, y, tau)
             )
             ok_fin = jnp.all(jnp.isfinite(s_new)) & jnp.all(jnp.isfinite(y_new))
         else:
@@ -1065,10 +1065,13 @@ def _forward_pass(
         k_y_T = _clip_signed(-r_d - c.Y_T * k_s_T, s_safe)
         Y_T_new = c.Y_T + alpha_du * k_y_T + K_y_T @ dx_last
         s_floor = jnp.maximum((1.0 - tau) * c.S_T, jnp.maximum(c.mu * 1e-3, EPS_SLACK))
+        slop_T = base.FTB_SLOP_FACTOR * jnp.finfo(S_T_new.dtype).eps * (
+            1.0 + jnp.abs(c.S_T) + jnp.abs(S_T_new)
+        )
         feasible = (
             feasible
-            & jnp.all(S_T_new >= s_floor)
-            & jnp.all(Y_T_new >= (1.0 - tau) * c.Y_T)
+            & jnp.all((S_T_new > 0.0) & (S_T_new >= s_floor - slop_T))
+            & jnp.all(base.ftb_ok(Y_T_new, c.Y_T, tau))
             & jnp.all(jnp.isfinite(S_T_new))
             & jnp.all(jnp.isfinite(Y_T_new))
         )

@@ -401,7 +401,7 @@ def _forward_pass(problem, options, stk, c: _Carry, alpha, alphas, has_path: boo
 
         s_new = s + alpha * k_s + K_s @ dx
         if has_path:
-            s_feasible = s_feasible & jnp.all(s_new >= (1.0 - tau) * s)
+            s_feasible = s_feasible & jnp.all(base.ftb_ok(s_new, s, tau))
 
         u = Ub + alpha * k_u + K_u @ dx
         f_new = problem.model.discrete_dynamics(x, u, t, dt)
@@ -434,7 +434,7 @@ def _forward_pass(problem, options, stk, c: _Carry, alpha, alphas, has_path: boo
     if has_path:
         def y_traj(alpha_y):
             Yn = c.Y + alpha_y * bp.k_y + jnp.einsum("tmn,tn->tm", bp.K_y, dX_real)
-            feasible = jnp.all(Yn >= (1.0 - tau) * c.Y)
+            feasible = jnp.all(base.ftb_ok(Yn, c.Y, tau))
             return Yn, feasible
 
         Y_cands, y_feas = jax.vmap(y_traj)(alphas)

@@ -147,25 +147,60 @@ def lqr_backward(Q, q, R, r, M, A, B):
 
 
 
-_MODEL_DIMS = {0: (3, 2), 1: (2, 1), 2: (4, 2)}
+# Base model ids (hundreds digit selects the integrator: 0 Euler, 1 RK4 —
+# make_model in cddp_host.cpp). params per model:
+#   0 unicycle: none; 1 pendulum: [l, m, b, g]; 2 car: [wheelbase, h];
+#   3 cartpole: [mc, mp, l, g, damping]; 4 quadrotor: [mass, Ixx, Iyy, Izz,
+#   arm, g]; 5 scalar LTI: [a, b, h] (discrete x+ = a x + b u).
+_MODEL_DIMS = {0: (3, 2), 1: (2, 1), 2: (4, 2), 3: (4, 1), 4: (13, 4),
+               5: (1, 1)}
+_INTEGRATORS = {"euler": 0, "rk4": 1}
 
 
-def _model_setup(model_id, params):
-    """Validate model_id against the native registry (0 unicycle, 1 pendulum,
-    2 car) and normalize params. Returns (nx, nu, params)."""
+def _model_setup(model_id, params, integrator="euler"):
+    """Validate model_id against the native registry (see _MODEL_DIMS),
+    normalize params, and fold the integrator into the encoded id.
+    Returns (nx, nu, params, encoded_model_id)."""
     if model_id not in _MODEL_DIMS:
         raise ValueError(
-            f"native engines support model_id 0 (unicycle), 1 (pendulum) or "
-            f"2 (car), got {model_id}"
+            f"native engines support model_id in {sorted(_MODEL_DIMS)}, "
+            f"got {model_id}"
+        )
+    if integrator not in _INTEGRATORS:
+        raise ValueError(
+            f"native engines support integrator 'euler' or 'rk4', "
+            f"got {integrator!r}"
         )
     nx, nu = _MODEL_DIMS[model_id]
     params = np.ascontiguousarray(
-        params if params is not None else np.zeros(4), dtype=np.float64
+        params if params is not None else np.zeros(6), dtype=np.float64
     )
     if model_id == 1 and params.shape[0] == 3:
         # legacy [l, m, b] -> append default gravity
         params = np.concatenate([params, [9.81]])
-    return nx, nu, params
+    return nx, nu, params, model_id + 100 * _INTEGRATORS[integrator]
+
+
+def model_eval(model_id, params, dt, x, u, integrator="euler"):
+    """Probe the native model registry: effective rate f(x, u) and its
+    Jacobians (cddp_model_eval). The discrete step is x + dt*f with
+    Jacobian I + dt*Fx — for RK4-encoded models this IS the RK4 map and
+    its exact (complex-step) Jacobian. Returns (xdot, Fx, Fu)."""
+    lib = load()
+    nx, nu, params, model_id = _model_setup(model_id, params, integrator)
+    x = np.ascontiguousarray(x, dtype=np.float64)
+    u = np.ascontiguousarray(u, dtype=np.float64)
+    xdot = np.zeros(nx)
+    Fx = np.zeros((nx, nx))
+    Fu = np.zeros((nx, nu))
+    lib.cddp_model_eval.restype = ctypes.c_int
+    rc = lib.cddp_model_eval(
+        ctypes.c_int(model_id), _cptr(params), ctypes.c_double(dt),
+        _cptr(x), _cptr(u), _cptr(xdot), _cptr(Fx), _cptr(Fu),
+    )
+    if rc != 0:
+        raise ValueError(f"cddp_model_eval rejected model_id {model_id}")
+    return xdot, Fx, Fu
 
 
 def clddp_solve(model_id, params, N, dt, Qs, Rs, Qf, goal, x0,
@@ -173,7 +208,7 @@ def clddp_solve(model_id, params, N, dt, Qs, Rs, Qf, goal, x0,
                 max_iterations=100, tolerance=1e-5,
                 acceptable_tolerance=1e-6, reg_init=1e-6, reg_min=1e-10,
                 reg_max=1e7, reg_factor=10.0, armijo_constant=1e-4,
-                scaling_max_factor=100.0):
+                scaling_max_factor=100.0, integrator="euler"):
     """Full native CLDDP solve (cddp_clddp_solve in cddp_host.cpp) — the
     C++ CPU execution engine with the exact semantics of
     cddp_tpu.solvers.clddp (dt-prescaled quadratic cost, Euler
@@ -184,7 +219,7 @@ def clddp_solve(model_id, params, N, dt, Qs, Rs, Qf, goal, x0,
     (status, X, U, cost, inf_du, iterations).
     """
     lib = load()
-    nx, nu, params = _model_setup(model_id, params)
+    nx, nu, params, model_id = _model_setup(model_id, params, integrator)
     Qs = np.ascontiguousarray(Qs, dtype=np.float64)
     Rs = np.ascontiguousarray(Rs, dtype=np.float64)
     Qf = np.ascontiguousarray(Qf, dtype=np.float64)
@@ -228,7 +263,7 @@ def ipddp_solve(model_id, params, N, dt, Qs, Rs, Qf, goal, x0,
                 filter_max_violation=1e4, filter_min_violation_armijo=1e-7,
                 filter_armijo_constant=1e-4,
                 dual_var_init_scale=1e-1, slack_var_init_scale=1e-2,
-                barrier_tol_mult=0.1, theta_0_floor=1.0, max_filter_size=5):
+                barrier_tol_mult=0.1, theta_0_floor=1.0, max_filter_size=5, integrator="euler"):
     """Full native IPDDP solve (cddp_ipddp_solve in cddp_host.cpp) — the
     independent C++ oracle for the condensed path-constraint regime
     (ipddp_solver.cpp:1355-1568 semantics; cold start, iLQR, sequential
@@ -239,7 +274,7 @@ def ipddp_solve(model_id, params, N, dt, Qs, Rs, Qf, goal, x0,
     Returns (status, X, U, dict(cost, inf_pr, inf_du, inf_comp, mu, iters)).
     """
     lib = load()
-    nx, nu, params = _model_setup(model_id, params)
+    nx, nu, params, model_id = _model_setup(model_id, params, integrator)
     arrs = [np.ascontiguousarray(a, dtype=np.float64)
             for a in (Qs, Rs, Qf, goal, x0, lower, upper)]
     Qs, Rs, Qf, goal, x0, lower, upper = arrs
@@ -291,13 +326,13 @@ def logddp_solve(model_id, params, N, dt, Qs, Rs, Qf, goal, x0,
                  filter_merit_acceptance=1e-6,
                  filter_violation_acceptance=1e-6,
                  filter_max_violation=1e4, filter_min_violation_armijo=1e-7,
-                 filter_armijo_constant=1e-4):
+                 filter_armijo_constant=1e-4, integrator="euler"):
     """Full native LogDDP solve (cddp_logddp_solve in cddp_host.cpp) — the
     relaxed log-barrier DDP oracle (logddp_solver.cpp semantics; control-box
     barrier, iLQR, sequential filter line search). Defaults mirror
     CDDPOptions. Returns (status, X, U, dict(cost, cv, inf_du, mu, iters))."""
     lib = load()
-    nx, nu, params = _model_setup(model_id, params)
+    nx, nu, params, model_id = _model_setup(model_id, params, integrator)
     arrs = [np.ascontiguousarray(a, dtype=np.float64)
             for a in (Qs, Rs, Qf, goal, x0, lower, upper)]
     Qs, Rs, Qf, goal, x0, lower, upper = arrs
@@ -342,7 +377,7 @@ def msipddp_solve(model_id, params, N, dt, Qs, Rs, Qf, goal, x0,
                   filter_max_violation=1e4, filter_min_violation_armijo=1e-7,
                   filter_armijo_constant=1e-4,
                   dual_var_init_scale=1e-1, slack_var_init_scale=1e-2,
-                  segment_length=5, costate_var_init_scale=1e-6):
+                  segment_length=5, costate_var_init_scale=1e-6, integrator="euler"):
     """Full native MSIPDDP solve (cddp_msipddp_solve in cddp_host.cpp) —
     multiple-shooting interior-point oracle (msipddp_solver.cpp semantics:
     defect-aware backward with costates, nonlinear segment gap-closing,
@@ -350,7 +385,7 @@ def msipddp_solve(model_id, params, N, dt, Qs, Rs, Qf, goal, x0,
     ADAPTIVE barrier). Control box, iLQR, cold start. Returns
     (status, X, U, dict(cost, inf_pr, inf_du, inf_comp, mu, iters))."""
     lib = load()
-    nx, nu, params = _model_setup(model_id, params)
+    nx, nu, params, model_id = _model_setup(model_id, params, integrator)
     arrs = [np.ascontiguousarray(a, dtype=np.float64)
             for a in (Qs, Rs, Qf, goal, x0, lower, upper)]
     Qs, Rs, Qf, goal, x0, lower, upper = arrs
@@ -403,7 +438,7 @@ def ipddp_terminal_eq_solve(model_id, params, N, dt, Qs, Rs, Qf, goal, x0,
                             barrier_tol_mult=0.1, theta_0_floor=1.0,
                             max_filter_size=5,
                             jacobian_regularization_value=1e-8,
-                            jacobian_regularization_exponent=0.25):
+                            jacobian_regularization_exponent=0.25, integrator="euler"):
     """Native IPDDP terminal-equality reduced-LQR solve
     (cddp_ipddp_terminal_eq_solve in cddp_host.cpp) — the independent C++
     oracle for the p+1-variant reduced-LQR regime
@@ -416,7 +451,7 @@ def ipddp_terminal_eq_solve(model_id, params, N, dt, Qs, Rs, Qf, goal, x0,
     (status, X, U, lambda_T, dict(cost, inf_pr, inf_du, inf_comp, mu, iters)).
     """
     lib = load()
-    nx, nu, params = _model_setup(model_id, params)
+    nx, nu, params, model_id = _model_setup(model_id, params, integrator)
     has_box = lower is not None or upper is not None
     arrs = [np.ascontiguousarray(a, dtype=np.float64)
             for a in (Qs, Rs, Qf, goal, x0, target)]

@@ -17,6 +17,7 @@
 
 #include <algorithm>
 #include <cmath>
+#include <complex>
 #include <cstring>
 #include <thread>
 #include <vector>
@@ -353,38 +354,175 @@ int cddp_lqr_backward(const double* Q, const double* q, const double* R,
 
 namespace {
 
+// Scalar-generic helpers for the complex-step Jacobian path (models/base.py's
+// autodiff default, dynamical_system.cpp:102-117, realized natively: a purely
+// imaginary perturbation ih gives Im(f(x+ih))/h == df/dx to machine
+// precision, with no subtractive cancellation like finite differences).
+using cdouble = std::complex<double>;
+inline double real_part(double v) { return v; }
+inline double real_part(const cdouble& v) { return v.real(); }
+// max(a, b) decided on the real part so the complex-step derivative follows
+// the same branch autodiff takes through jnp.maximum.
+template <typename T>
+inline T branch_max(const T& a, double b) {
+  return real_part(a) > b ? a : T(b);
+}
+
+constexpr int kMaxNx = 16;  // >= largest registered nx (quadrotor 13)
+
 struct Model {
   int nx, nu;
+  int id;      // registry id (see model_id_valid)
+  int integ;   // 0 = Euler (f is the continuous rate), 1 = RK4
+  double hstep;  // solver step, for RK4 / discrete-map effective rates
+
+  // Continuous dynamics, templated so the same expressions evaluate in
+  // double (rollouts) and complex double (complex-step Jacobians).
+  //
   // params: unicycle none; pendulum [l, m, b, g] (g as a parameter — same
   // fix as the Python lane functions, which once hardcoded 9.81 too);
   // car [wheelbase d, model timestep h] — the Tassa rolling-distance
   // DISCRETE map (car.cpp:30-50 / cddp_tpu/models/car.py) expressed as the
   // continuous rate (disc(x,u) - x)/h, so the engines' Euler step x + dt*f
-  // reproduces the exact discrete map when dt == h.
-  void f(const double* x, const double* u, const double* p, double* out) const {
-    if (nx == 3) {
-      out[0] = u[0] * std::cos(x[2]);
-      out[1] = u[0] * std::sin(x[2]);
-      out[2] = u[1];
-    } else if (nx == 4) {
-      const double d = p[0], h = p[1];
-      const double th = x[2], v = x[3], de = u[0], a = u[1];
-      const double fr = h * v;
-      const double sd = std::sin(de), cd = std::cos(de);
-      const double root = std::sqrt(d * d - fr * sd * fr * sd);
-      const double b = d + fr * cd - root;
-      out[0] = (b * std::cos(th)) / h;
-      out[1] = (b * std::sin(th)) / h;
-      out[2] = std::asin(sd * fr / d) / h;
-      out[3] = a;
-    } else {
-      const double l = p[0], m = p[1], b = p[2], g = p[3];
-      out[0] = x[1];
-      out[1] = (u[0] - b * x[1] + m * g * l * std::sin(x[0])) / (m * l * l);
+  // reproduces the exact discrete map when dt == h;
+  // cartpole [mc, mp, l, g, damping] (cartpole.cpp:28-104 damped autodiff
+  // form / cddp_tpu/models/cartpole.py);
+  // quadrotor [mass, Ixx, Iyy, Izz, arm, g] (quaternion wxyz, per-rotor
+  // forces, quadrotor.cpp:33-97 / cddp_tpu/models/quadrotor.py);
+  // scalar LTI [a, b, h] — discrete x+ = a x + b u as the effective rate
+  // ((a-1)x + bu)/h (lti_system.cpp / cddp_tpu/models/lti_system.py).
+  template <typename T>
+  void cont(const T* x, const T* u, const double* p, T* out) const {
+    switch (id) {
+      case 0: {  // unicycle
+        out[0] = u[0] * std::cos(x[2]);
+        out[1] = u[0] * std::sin(x[2]);
+        out[2] = u[1];
+        break;
+      }
+      case 2: {  // car (Tassa discrete map as effective rate)
+        const double d = p[0], h = p[1];
+        const T th = x[2], v = x[3], de = u[0], a = u[1];
+        const T fr = h * v;
+        const T sd = std::sin(de), cd = std::cos(de);
+        const T root = std::sqrt(d * d - fr * sd * fr * sd);
+        const T b = d + fr * cd - root;
+        out[0] = (b * std::cos(th)) / h;
+        out[1] = (b * std::sin(th)) / h;
+        out[2] = std::asin(sd * fr / (T)d) / h;
+        out[3] = a;
+        break;
+      }
+      case 3: {  // cartpole: x = [pos, theta, pos_dot, theta_dot], u = [F]
+        const double mc = p[0], mp = p[1], l = p[2], g = p[3], damp = p[4];
+        const T th = x[1], xd = x[2], w = x[3], F = u[0];
+        const T s = std::sin(th), c = std::cos(th);
+        const T den = mc + mp * s * s;
+        out[0] = xd;
+        out[1] = w;
+        out[2] = (F + mp * s * (l * w * w + g * c)) / den;
+        out[3] = (-F * c - mp * l * w * w * c * s - (mc + mp) * g * s -
+                  damp * w) /
+                 (l * den);
+        break;
+      }
+      case 4: {  // quadrotor: x = [p(3), q(wxyz), v(3), omega(3)], u = f1..f4
+        const double mass = p[0], Ixx = p[1], Iyy = p[2], Izz = p[3],
+                     arm = p[4], g = p[5];
+        const T* q = x + 3;
+        const T* v = x + 7;
+        const T* w = x + 10;
+        // Normalize with the guard branch the Python model takes
+        // (quadrotor.py: where(norm > 1e-6, q / max(norm, 1e-6), e_w)).
+        T norm = std::sqrt(q[0] * q[0] + q[1] * q[1] + q[2] * q[2] +
+                           q[3] * q[3]);
+        T qw, qx, qy, qz;
+        if (real_part(norm) > 1e-6) {
+          const T inv = T(1.0) / branch_max(norm, 1e-6);
+          qw = q[0] * inv; qx = q[1] * inv; qy = q[2] * inv; qz = q[3] * inv;
+        } else {
+          qw = T(1.0); qx = T(0.0); qy = T(0.0); qz = T(0.0);
+        }
+        out[0] = v[0]; out[1] = v[1]; out[2] = v[2];
+        // q_dot = 0.5 * q ⊗ [0, omega]
+        const T wx = w[0], wy = w[1], wz = w[2];
+        out[3] = -0.5 * (qx * wx + qy * wy + qz * wz);
+        out[4] = 0.5 * (qw * wx + qy * wz - qz * wy);
+        out[5] = 0.5 * (qw * wy - qx * wz + qz * wx);
+        out[6] = 0.5 * (qw * wz + qx * wy - qy * wx);
+        const T thrust = u[0] + u[1] + u[2] + u[3];
+        // R @ [0,0,T]: third rotation column only
+        out[7] = (thrust / mass) * (2.0 * (qx * qz + qw * qy));
+        out[8] = (thrust / mass) * (2.0 * (qy * qz - qw * qx));
+        out[9] = (thrust / mass) * (1.0 - 2.0 * (qx * qx + qy * qy)) - g;
+        // ang_acc = I^-1 (tau - omega x (I omega)), diagonal inertia
+        const T tau0 = arm * (u[0] - u[2]);
+        const T tau1 = arm * (u[1] - u[3]);
+        const T tau2 = 0.1 * (u[0] - u[1] + u[2] - u[3]);
+        out[10] = (tau0 - (wy * (Izz * wz) - wz * (Iyy * wy))) / Ixx;
+        out[11] = (tau1 - (wz * (Ixx * wx) - wx * (Izz * wz))) / Iyy;
+        out[12] = (tau2 - (wx * (Iyy * wy) - wy * (Ixx * wx))) / Izz;
+        break;
+      }
+      case 5: {  // scalar LTI x+ = a x + b u as effective rate
+        const double a = p[0], b = p[1], h = p[2];
+        out[0] = ((a - 1.0) * x[0] + b * u[0]) / h;
+        break;
+      }
+      default: {  // 1: pendulum
+        const double l = p[0], m = p[1], b = p[2], g = p[3];
+        out[0] = x[1];
+        out[1] = (u[0] - b * x[1] + m * g * l * std::sin(x[0])) / (m * l * l);
+        break;
+      }
     }
   }
+
+  // Effective continuous rate: Euler models return cont(); RK4 models
+  // return (rk4_step(x, u, hstep) - x) / hstep (ops/integrators.py rk4_step
+  // Butcher tableau), so every solver's Euler step x + dt*f and chain
+  // A = I + dt*Fx reproduce the discrete RK4 map and its exact Jacobian
+  // when dt == hstep — no solver-loop changes, one integration semantic.
+  template <typename T>
+  void frate(const T* x, const T* u, const double* p, T* out) const {
+    if (integ == 0) {
+      cont(x, u, p, out);
+      return;
+    }
+    T k1[kMaxNx], k2[kMaxNx], k3[kMaxNx], k4[kMaxNx], tmp[kMaxNx];
+    const double dt = hstep;
+    cont(x, u, p, k1);
+    for (int i = 0; i < nx; ++i) tmp[i] = x[i] + (0.5 * dt) * k1[i];
+    cont(tmp, u, p, k2);
+    for (int i = 0; i < nx; ++i) tmp[i] = x[i] + (0.5 * dt) * k2[i];
+    cont(tmp, u, p, k3);
+    for (int i = 0; i < nx; ++i) tmp[i] = x[i] + dt * k3[i];
+    cont(tmp, u, p, k4);
+    for (int i = 0; i < nx; ++i)
+      out[i] = (k1[i] + 2.0 * k2[i] + 2.0 * k3[i] + k4[i]) / 6.0;
+  }
+
+  void f(const double* x, const double* u, const double* p, double* out) const {
+    frate(x, u, p, out);
+  }
+
+  // Jacobians of the CONTINUOUS rate — never of the RK4 effective rate.
+  // The reference linearizes the continuous dynamics with an Euler step
+  // regardless of which integrator rolls the trajectory
+  // (cddp_solver_base.cpp:335-345: F_x = I + dt*Fx_cont, F_u = dt*Fu_cont),
+  // and the JAX side replicates that (solvers/base.py discrete_jacobians).
+  // Differentiating the exact RK4 map here instead makes the oracle walk a
+  // DIFFERENT iterate path on RK4 models (measured: quadrotor golden forks
+  // from iteration 1). The original three Euler models keep their
+  // hand-derived analytic forms (bit-stable with the pinned parity tests);
+  // everything else uses the complex-step derivative of cont(), exact to
+  // double rounding.
   void jac(const double* x, const double* u, const double* p, double* Fx,
            double* Fu) const {
+    if (id > 2) {
+      jac_cstep(x, u, p, Fx, Fu);
+      return;
+    }
     if (nx == 3) {
       std::memset(Fx, 0, sizeof(double) * 9);
       std::memset(Fu, 0, sizeof(double) * 6);
@@ -434,19 +572,70 @@ struct Model {
       Fu[1] = 1.0 / (m * l * l);
     }
   }
+
+  void jac_cstep(const double* x, const double* u, const double* p,
+                 double* Fx, double* Fu) const {
+    constexpr double h = 1e-100;  // purely imaginary step: no cancellation
+    cdouble xc[kMaxNx], uc[kMaxNx], out[kMaxNx];
+    for (int i = 0; i < nx; ++i) xc[i] = x[i];
+    for (int i = 0; i < nu; ++i) uc[i] = u[i];
+    for (int j = 0; j < nx; ++j) {
+      xc[j] = cdouble(x[j], h);
+      cont(xc, uc, p, out);
+      for (int i = 0; i < nx; ++i) Fx[i * nx + j] = out[i].imag() / h;
+      xc[j] = x[j];
+    }
+    for (int j = 0; j < nu; ++j) {
+      uc[j] = cdouble(u[j], h);
+      cont(xc, uc, p, out);
+      for (int i = 0; i < nx; ++i) Fu[i * nu + j] = out[i].imag() / h;
+      uc[j] = u[j];
+    }
+  }
 };
 
-// model_id registry: 0 unicycle (3,2), 1 pendulum (2,1), 2 car (4,2).
-inline bool model_id_valid(int id) { return id == 0 || id == 1 || id == 2; }
-inline Model make_model(int id) {
-  if (id == 0) return Model{3, 2};
-  if (id == 2) return Model{4, 2};
-  return Model{2, 1};
+// model_id registry: base ids 0 unicycle (3,2), 1 pendulum (2,1),
+// 2 car (4,2), 3 cartpole (4,1), 4 quadrotor (13,4), 5 scalar LTI (1,1).
+// The hundreds digit selects the integrator: 0 Euler (default), 1 RK4 —
+// e.g. model_id 104 = quadrotor, RK4 (same encoding on the Python side,
+// cddp_tpu/utils/native.py _model_setup).
+inline bool model_id_valid(int id) {
+  const int base = id % 100, integ = id / 100;
+  return base >= 0 && base <= 5 && (integ == 0 || integ == 1);
+}
+inline Model make_model(int id, double dt) {
+  const int base = id % 100, integ = id / 100;
+  int nx = 2, nu = 1;
+  if (base == 0) { nx = 3; nu = 2; }
+  else if (base == 2) { nx = 4; nu = 2; }
+  else if (base == 3) { nx = 4; nu = 1; }
+  else if (base == 4) { nx = 13; nu = 4; }
+  else if (base == 5) { nx = 1; nu = 1; }
+  return Model{nx, nu, base, integ, dt};
 }
 
 }  // namespace
 
 extern "C" {
+
+// Direct model-registry probe: evaluates the effective rate f(x, u) (the
+// integrator-encoded rate the rollouts step with) and the CONTINUOUS-rate
+// Jacobians Fx (nx x nx), Fu (nx x nu) the solvers linearize with, for the
+// encoded model_id (base + 100*integrator; see make_model). The solvers'
+// discrete step is x + dt*f; their linearization is I + dt*Fx_cont —
+// deliberately Euler even for RK4 rollouts, matching the reference
+// (cddp_solver_base.cpp:335-345) and the JAX side. Exists so tests can pin
+// both halves against JAX (discrete step vs discrete_dynamics; Jacobians
+// vs autodiff of continuous_dynamics) without a full solve.
+int cddp_model_eval(int model_id, const double* params, double dt,
+                    const double* x, const double* u,
+                    double* xdot, double* Fx, double* Fu) {
+  if (!model_id_valid(model_id)) return -100;
+  const Model mdl = make_model(model_id, dt);
+  mdl.f(x, u, params, xdot);
+  mdl.jac(x, u, params, Fx, Fu);
+  return 0;
+}
 
 // Solves min sum_t (x-goal)'Qs(x-goal) + u'Rs u + (x_N-goal)'Qf(x_N-goal)
 // with Qs = Q*dt, Rs = R*dt prescaled by the CALLER (pass the already-scaled
@@ -465,7 +654,7 @@ int cddp_clddp_solve(
     double armijo_constant, double scaling_max_factor,
     double* X, double* U, double* out_stats) {
   if (!model_id_valid(model_id)) return -100;  // unknown model
-  const Model mdl = make_model(model_id);
+  const Model mdl = make_model(model_id, dt);
   const int nx = mdl.nx, nu = mdl.nu;
 
   std::vector<double> xdot(nx), Fx(nx * nx), Fu(nx * nu);
@@ -705,7 +894,7 @@ int cddp_clddp_solve(
       double J = 0.0;
       for (int t = 0; t < N; ++t) {
         const double* xt = &Xtry[t * nx];
-        double u_t[8];
+        double u_t[kMaxNx];
         for (int i = 0; i < nu; ++i) {
           double du = a * ks[t * nu + i];
           for (int j = 0; j < nx; ++j)
@@ -797,6 +986,19 @@ inline double clip_signed(double num, double den) {
   return std::min(std::max(num / den, -kMaxRatio), kMaxRatio);
 }
 
+// Fraction-to-boundary re-check with the knife-edge slop. Must match
+// cddp_tpu.solvers.base.ftb_ok exactly: at an alpha_pr_max-capped rung the
+// binding slack row lands on the bound EXACTLY (realized first-step update
+// == the linear prediction that defined the cap for control-affine
+// dynamics), so the strict comparison is rounding noise and two valid
+// engines can fork whole solves over a 1-ulp margin.
+inline bool ftb_ok(double v_new, double v_old, double tau) {
+  constexpr double kEps = 2.220446049250313e-16;  // DBL_EPSILON
+  const double slop =
+      16.0 * kEps * (1.0 + std::abs(v_old) + std::abs(v_new));
+  return v_new > 0.0 && v_new >= (1.0 - tau) * v_old - slop;
+}
+
 // IPOPT-style filter (solvers/filter.py; interior_point_utils.cpp:79-139).
 struct Filter {
   std::vector<double> mf, cv;
@@ -871,7 +1073,7 @@ int cddp_ipddp_solve(
     double* X, double* U, double* out_stats) {
   using namespace ipddp_native;
   if (!model_id_valid(model_id)) return -100;  // unknown model
-  const Model mdl = make_model(model_id);
+  const Model mdl = make_model(model_id, dt);
   const int nx = mdl.nx, nu = mdl.nu;
   const int mb = has_ball ? 1 : 0;
   const int m = mb + 2 * nu;
@@ -1298,7 +1500,7 @@ int cddp_ipddp_solve(
     std::memset(dX.data(), 0, sizeof(double) * nx);
     for (int t = 0; t < N; ++t) {
       const double* dxt = &dX[t * nx];
-      double du[8];
+      double du[kMaxNx];
       for (int i = 0; i < nu; ++i) {
         double s = k_u[t * nu + i];
         for (int j = 0; j < nx; ++j) s += K_u[(t * nu + i) * nx + j] * dxt[j];
@@ -1344,7 +1546,7 @@ int cddp_ipddp_solve(
       std::memcpy(Xtry.data(), x0, sizeof(double) * nx);
       for (int t = 0; t < N && feasible; ++t) {
         const double* xt = &Xtry[t * nx];
-        double dx[8];
+        double dx[kMaxNx];
         for (int i = 0; i < nx; ++i) dx[i] = xt[i] - X[t * nx + i];
         // lambda update (carried for fidelity)
         for (int i = 0; i < nx; ++i) {
@@ -1360,8 +1562,8 @@ int cddp_ipddp_solve(
             sn += K_s[(t * m + r) * nx + j] * dx[j];
             yn += K_y[(t * m + r) * nx + j] * dx[j];
           }
-          if (sn < (1.0 - tau) * S[t * m + r] ||
-              yn < (1.0 - tau) * Y[t * m + r] || !std::isfinite(sn) ||
+          if (!ftb_ok(sn, S[t * m + r], tau) ||
+              !ftb_ok(yn, Y[t * m + r], tau) || !std::isfinite(sn) ||
               !std::isfinite(yn)) {
             feasible = false;
             break;
@@ -1370,7 +1572,7 @@ int cddp_ipddp_solve(
           Ytry[t * m + r] = yn;
         }
         if (!feasible) break;
-        double u_t[8];
+        double u_t[kMaxNx];
         for (int i = 0; i < nu; ++i) {
           double s = U[t * nu + i] + alpha_pr * k_u[t * nu + i];
           for (int j = 0; j < nx; ++j)
@@ -1391,7 +1593,7 @@ int cddp_ipddp_solve(
       J += term_cost(&Xtry[N * nx]);
       // terminal lambda
       {
-        double dxN[8];
+        double dxN[kMaxNx];
         for (int i = 0; i < nx; ++i) dxN[i] = Xtry[N * nx + i] - X[N * nx + i];
         for (int i = 0; i < nx; ++i) {
           double s = Lambda[N * nx + i] + alpha_pr * k_lam[N * nx + i];
@@ -1560,7 +1762,7 @@ int cddp_ipddp_terminal_eq_solve(
     double* X, double* U, double* lambda_T_out, double* out_stats) {
   using namespace ipddp_native;
   if (!model_id_valid(model_id)) return -100;  // unknown model
-  const Model mdl = make_model(model_id);
+  const Model mdl = make_model(model_id, dt);
   const int nx = mdl.nx, nu = mdl.nu;
   const int m = has_box ? 2 * nu : 0;
   const int p = nx;  // terminal-equality rows (identity Jacobian)
@@ -2231,8 +2433,8 @@ int cddp_ipddp_terminal_eq_solve(
                                }();
           Stry[t * m + r] = s_new;
           Ytry[t * m + r] = y_new;
-          feasible = feasible && s_new >= (1.0 - tau) * S[t * m + r] &&
-                     y_new >= (1.0 - tau) * Y[t * m + r] &&
+          feasible = feasible && ftb_ok(s_new, S[t * m + r], tau) &&
+                     ftb_ok(y_new, Y[t * m + r], tau) &&
                      std::isfinite(s_new) && std::isfinite(y_new);
         }
         double* ut = &Utry[t * nu];
@@ -2491,7 +2693,7 @@ int cddp_logddp_solve(
     double* X, double* U, double* out_stats) {
   using logddp_native::beta_derivs;
   if (!model_id_valid(model_id)) return -100;  // unknown model
-  const Model mdl = make_model(model_id);
+  const Model mdl = make_model(model_id, dt);
   const int nx = mdl.nx, nu = mdl.nu;
 
   const int max_iterations = (int)opts[0];
@@ -2763,7 +2965,7 @@ int cddp_logddp_solve(
       bool finite = true;
       for (int t = 0; t < N && finite; ++t) {
         const double* xt = &Xtry[t * nx];
-        double u_t[8];
+        double u_t[kMaxNx];
         for (int i = 0; i < nu; ++i) {
           double du = a * ks[t * nu + i];
           for (int j = 0; j < nx; ++j)
@@ -2888,7 +3090,7 @@ int cddp_msipddp_solve(
     double* X, double* U, double* out_stats) {
   using ipddp_native::Filter;
   if (!model_id_valid(model_id)) return -100;  // unknown model
-  const Model mdl = make_model(model_id);
+  const Model mdl = make_model(model_id, dt);
   const int nx = mdl.nx, nu = mdl.nu;
   const int m = 2 * nu;
 
@@ -3067,7 +3269,7 @@ int cddp_msipddp_solve(
         const double* gt = &G[t * m];
         const double* st = &S[t * m];
         const double* yt = &Y[t * m];
-        double d[8];
+        double d[kMaxNx];
         for (int i = 0; i < nx; ++i)
           d[i] = F[t * nx + i] - X[(t + 1) * nx + i];
         mdl.jac(xt, ut, params, Fx.data(), Fu.data());
@@ -3077,7 +3279,7 @@ int cddp_msipddp_solve(
         for (int i = 0; i < nx; ++i)
           for (int j = 0; j < nu; ++j) B[i * nu + j] = dt * Fu[i * nu + j];
 
-        double drift[8];
+        double drift[kMaxNx];
         for (int i = 0; i < nx; ++i) {
           double s = Vx[i];
           for (int j = 0; j < nx; ++j) s += Vxx[i * nx + j] * d[j];
@@ -3282,21 +3484,21 @@ int cddp_msipddp_solve(
       std::memcpy(Xtry.data(), x0, sizeof(double) * nx);
       for (int t = 0; t < N && s_feasible && finite; ++t) {
         const double* xt = &Xtry[t * nx];
-        double dx[8];
+        double dx[kMaxNx];
         for (int i = 0; i < nx; ++i) dx[i] = xt[i] - X[t * nx + i];
         std::memcpy(&dX_real[t * nx], dx, sizeof(double) * nx);
         for (int r = 0; r < m; ++r) {
           double sn = S[t * m + r] + a * k_s[t * m + r];
           for (int j = 0; j < nx; ++j)
             sn += K_s[(t * m + r) * nx + j] * dx[j];
-          if (sn < (1.0 - tau) * S[t * m + r]) {
+          if (!ipddp_native::ftb_ok(sn, S[t * m + r], tau)) {
             s_feasible = false;
             break;
           }
           Stry[t * m + r] = sn;
         }
         if (!s_feasible) break;
-        double u_t[8];
+        double u_t[kMaxNx];
         for (int i = 0; i < nu; ++i) {
           double s = U[t * nu + i] + a * k_u[t * nu + i];
           for (int j = 0; j < nx; ++j)
@@ -3305,7 +3507,7 @@ int cddp_msipddp_solve(
           if (!std::isfinite(s)) finite = false;
         }
         mdl.f(xt, u_t, params, xdot.data());
-        double f_new[8];
+        double f_new[kMaxNx];
         for (int i = 0; i < nx; ++i) {
           f_new[i] = xt[i] + dt * xdot[i];
           if (!std::isfinite(f_new[i])) finite = false;
@@ -3339,7 +3541,7 @@ int cddp_msipddp_solve(
             double yn = Y[t * m + r] + ay * k_y[t * m + r];
             for (int j = 0; j < nx; ++j)
               yn += K_y[(t * m + r) * nx + j] * dX_real[t * nx + j];
-            if (yn < (1.0 - tau) * Y[t * m + r]) {
+            if (!ipddp_native::ftb_ok(yn, Y[t * m + r], tau)) {
               feas = false;
               break;
             }

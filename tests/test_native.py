@@ -411,7 +411,7 @@ def test_native_unknown_model_id_rejected():
     if not native.available():
         pytest.skip("no native toolchain")
     with pytest.raises(ValueError, match="model_id"):
-        native.clddp_solve(5, None, 10, 0.05, np.eye(2), np.eye(1),
+        native.clddp_solve(9, None, 10, 0.05, np.eye(2), np.eye(1),
                            np.eye(2), np.zeros(2), np.zeros(2))
 
 
