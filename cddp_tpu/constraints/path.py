@@ -33,6 +33,16 @@ class PathConstraint(struct.PyTreeNode):
     def evaluate(self, x: jax.Array, u: jax.Array, k=0) -> jax.Array:
         raise NotImplementedError
 
+    @property
+    def is_affine(self) -> bool:
+        """True when g(x, u) is affine in (x, u) — constraint Hessians are
+        identically zero and the slack second-order correction is exact
+        noise. Drives the IPDDPOptions "auto" gates for slack_soc /
+        use_constraint_hessians: curved constraints get the stall-triggered
+        machinery traced, affine-only problems keep the bit-parity path.
+        Conservative default: curved."""
+        return False
+
     def upper_bound(self) -> jax.Array:
         raise NotImplementedError
 
@@ -85,6 +95,10 @@ class _BoxConstraint(PathConstraint):
     lower: jax.Array = None  # raw lower bound (n,)
     upper: jax.Array = None  # raw upper bound (n,)
     scale_factor: float = 1.0
+
+    @property
+    def is_affine(self) -> bool:
+        return True
 
     def __post_init__(self):
         # Direct dataclass construction (without the control_constraint/
@@ -173,6 +187,10 @@ class LinearConstraint(PathConstraint):
     A: jax.Array = None  # (m, nx)
     b: jax.Array = None  # (m,)
     scale_factor: float = 1.0
+
+    @property
+    def is_affine(self) -> bool:
+        return True
 
     def evaluate(self, x, u, k=0):
         return self.A @ x

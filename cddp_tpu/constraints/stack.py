@@ -45,6 +45,13 @@ class PathStacker:
     def __bool__(self):
         return self.total_dim > 0
 
+    @property
+    def has_curved(self) -> bool:
+        """True when any stacked constraint is non-affine (nonzero
+        constraint Hessians) — the trigger for IPDDPOptions "auto"
+        slack_soc / use_constraint_hessians tracing."""
+        return any(not c.is_affine for _, c in self.items)
+
     def evaluate_shifted(self, x, u, k=0) -> jax.Array:
         """Stacked G = g(x,u) - ub  (<= 0 feasible), the quantity the IP
         solvers store as G_ (evaluateTrajectory, ipddp_solver.cpp:2252-2290)."""

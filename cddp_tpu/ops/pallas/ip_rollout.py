@@ -813,7 +813,10 @@ def resolve_ip_forward(problem, options, stk):
     )
     m = stk.total_dim
     nx, nu = problem.state_dim, problem.control_dim
-    slack_soc = bool(options.ipddp.slack_soc)
+    # Lane stacks are control/state boxes only (affine), so the "auto"
+    # SOC mode resolves to off here (solvers/ipddp.py soc_traced); only an
+    # explicit True traces the re-closure into the kernel.
+    slack_soc = options.ipddp.slack_soc is True
     n_sp = 0 if cstage is None else cstage.shape[1]
     op = _get_ip_forward_op(
         model_key, cost_key, nx, nu, m, max(n_mp, 1), max(cparams.shape[0], 1),
@@ -835,7 +838,7 @@ def resolve_ip_forward(problem, options, stk):
             # (N, n_sp) or (N+1, n_sp): the running cost only consumes
             # rows 0..N-1 (terminal row belongs to the terminal cost).
             cps = jnp.asarray(cstage, dtype)[: c.U.shape[0]]
-        soc_flag = jnp.where(c.soc_on, 1.0, 0.0).astype(dtype)
+        soc_flag = jnp.where(c.soc_on & c.soc_armed, 1.0, 0.0).astype(dtype)
         outs = op(
             c.X[:-1], c.U, c.Y, c.S, bp.k_u, bp.K_u, bp.k_lambda[:-1],
             bp.K_lambda[:-1], c.Lambda[:-1], bp.k_y, bp.K_y, bp.k_s, bp.K_s,

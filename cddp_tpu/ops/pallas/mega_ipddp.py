@@ -1217,8 +1217,10 @@ def mega_eligible(problem, options) -> bool:
         problem.model.integration_type in ("euler", "heun", "rk3", "rk4")
         and options.use_ilqr
         and not options.enable_parallel
-        and not ip.slack_soc
-        and not ip.use_constraint_hessians
+        # Box stacks are affine, so "auto" resolves to off (soc_traced);
+        # only explicit True opts the problem out of the fused kernel.
+        and ip.slack_soc is not True
+        and ip.use_constraint_hessians is not True
         and not ip.check_state_stationarity
         and ip.lqr_backend == "sequential"
         and options.backward_engine == "auto"

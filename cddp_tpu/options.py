@@ -154,17 +154,31 @@ class IPDDPOptions:
     # re-close trial slacks onto the constraint surface (s := -g at the
     # trial point) where fraction-to-boundary allows. Removes the O(alpha^2)
     # slack residual that curved constraints re-inject every iteration
-    # (the IPOPT-SOC analogue for the slack formulation). Off by default
-    # for bit-parity with the reference iterates. Combine with
+    # (the IPOPT-SOC analogue for the slack formulation). Combine with
     # use_constraint_hessians for norm-constrained problems.
-    slack_soc: bool = False
+    #
+    # True: always active. False: never traced (bit-parity with the
+    # reference iterates). "auto" (default): traced only for problems with
+    # a curved (non-affine) path constraint, and ARMED AT RUNTIME by the
+    # stall detector — while the solve makes normal progress the iterates
+    # stay bit-identical to the reference semantics; when the alpha-pinned
+    # limit cycle is detected (barrier stuck at mu for
+    # soc_stall_iterations consecutive iterations with inf_pr far from
+    # tolerance — the deadlock the reference cannot escape,
+    # ipddp_solver.cpp:2548-2660 barrier logic), the correction and the
+    # constraint Hessians switch on together and break the cycle.
+    slack_soc: object = "auto"
     # JAX-only: fold the y-weighted constraint Hessians (the exact Lagrangian
     # curvature) into the condensed backward. Fixes the alpha-pinned limit
     # cycle on curved constraints with long inactive arcs (norm-type thrust
     # limits; STATUS.md) that stalls the reference, which has this term only
-    # in MSIPDDP full-DDP mode (msipddp_solver.cpp:1308-1317). Off by
-    # default for bit-parity with the reference iterates.
-    use_constraint_hessians: bool = False
+    # in MSIPDDP full-DDP mode (msipddp_solver.cpp:1308-1317). True /
+    # False / "auto" as for slack_soc ("auto" arms on the same stall
+    # latch).
+    use_constraint_hessians: object = "auto"
+    # Consecutive no-barrier-progress iterations (with inf_pr still >
+    # 100x tolerance) before the "auto" stall latch arms.
+    soc_stall_iterations: int = 8
     barrier: BarrierOptions = field(default_factory=BarrierOptions)
     # JAX-only: engine for the terminal-equality reduced-LQR sweeps.
     # "sequential" = reverse lax.scan (O(N) depth); "parallel" =

@@ -173,6 +173,14 @@ class _Carry(NamedTuple):
     # the re-closure's merit offset is larger than the remaining descent
     # and would block the certificate endgame (STATUS.md analysis).
     soc_on: jax.Array
+    # "auto"-mode stall latch: False until the alpha-pinned limit cycle is
+    # detected (mu not decreasing while inf_pr stays far from tolerance
+    # for ipddp.soc_stall_iterations consecutive iterations), then True
+    # for the rest of the solve. Gates BOTH the slack SOC (together with
+    # soc_on) and the constraint-Hessian fold. Explicit slack_soc=True
+    # initializes it armed.
+    soc_armed: jax.Array
+    stall_count: jax.Array
     hist: base.HistoryArrays
 
 
@@ -473,7 +481,32 @@ def _condensed_backward_vmap_rule(axis_size, in_batched, *args):
     return tuple(out), (True,) * 9
 
 
-def _backward_condensed(problem, options, stk, tstk, X, U, Y, S, G, Y_T, S_T, mu, reg):
+def soc_traced(options, stk) -> bool:
+    """Static decision: does this (options, constraint-stack) pair trace the
+    slack-SOC machinery at all? True: always. False: never (bit-parity with
+    the reference iterates). "auto": only when a curved (non-affine)
+    constraint is present — affine problems have zero constraint Hessians
+    and an exactly-linear slack residual, so the machinery is pure noise
+    there and the parity path is kept."""
+    v = options.ipddp.slack_soc
+    if v == "auto":
+        return bool(stk) and stk.has_curved
+    return bool(v)
+
+
+def chess_mode(options, stk) -> str:
+    """Constraint-Hessian fold mode: "off" (never traced), "static"
+    (explicit True — unconditional, the pre-auto behavior), or "latched"
+    ("auto" with a curved constraint — traced but runtime-scaled by the
+    stall latch, an exact no-op until it arms)."""
+    v = options.ipddp.use_constraint_hessians
+    if v == "auto":
+        return "latched" if (bool(stk) and stk.has_curved) else "off"
+    return "static" if v else "off"
+
+
+def _backward_condensed(problem, options, stk, tstk, X, U, Y, S, G, Y_T, S_T,
+                        mu, reg, soc_armed=None):
     """Path-constraint condensed Riccati recursion — the
     ipddp_solver.cpp:1355-1568 regime (also covers the unconstrained regime
     :1048-1118 as the m=0 special case, which XLA compiles away)."""
@@ -490,7 +523,8 @@ def _backward_condensed(problem, options, stk, tstk, X, U, Y, S, G, Y_T, S_T, mu
         Gx = jnp.zeros((N, 0, nx), dtype)
         Gu = jnp.zeros((N, 0, nu), dtype)
 
-    if stk and options.ipddp.use_constraint_hessians:
+    cmode = chess_mode(options, stk) if stk else "off"
+    if cmode != "off":
         # y-weighted constraint Hessians folded into the stage cost — the
         # exact Lagrangian curvature term the Gauss-Newton condensation
         # drops. For curved constraints (norm-type thrust limits) this is
@@ -500,7 +534,9 @@ def _backward_condensed(problem, options, stk, tstk, X, U, Y, S, G, Y_T, S_T, mu
         # iteration whose fixed point is inf_pr ~ alpha*C > 0. The reference
         # includes this term only in MSIPDDP's full-DDP mode
         # (msipddp_solver.cpp:1308-1317); here it is available to IPDDP in
-        # both iLQR and full-DDP modes.
+        # both iLQR and full-DDP modes. In "latched" mode the fold is
+        # runtime-scaled by the stall latch — an exact no-op (x + 0.0 == x)
+        # until the limit cycle is detected.
         def chess(x, u, k):
             hx = jnp.concatenate([c.state_hessian(x, u, k) for _, c in stk.items])
             hu = jnp.concatenate([c.control_hessian(x, u, k) for _, c in stk.items])
@@ -508,9 +544,13 @@ def _backward_condensed(problem, options, stk, tstk, X, U, Y, S, G, Y_T, S_T, mu
             return hx, hu, hux
 
         Gxx_c, Guu_c, Gux_c = jax.vmap(chess)(X[:-1], U, ks)
-        lxx = lxx + jnp.einsum("tm,tmjk->tjk", Y, Gxx_c)
-        luu = luu + jnp.einsum("tm,tmjk->tjk", Y, Guu_c)
-        lux = lux + jnp.einsum("tm,tmjk->tjk", Y, Gux_c)
+        Yw = Y
+        if cmode == "latched":
+            armed = jnp.asarray(True) if soc_armed is None else soc_armed
+            Yw = Y * jnp.where(armed, 1.0, 0.0).astype(Y.dtype)
+        lxx = lxx + jnp.einsum("tm,tmjk->tjk", Yw, Gxx_c)
+        luu = luu + jnp.einsum("tm,tmjk->tjk", Yw, Guu_c)
+        lux = lux + jnp.einsum("tm,tmjk->tjk", Yw, Gux_c)
 
     if not options.use_ilqr:
         Fxx, Fuu, Fux = base.discrete_hessians(problem, X, U)
@@ -985,7 +1025,7 @@ def _forward_pass(
         u = Ub + alpha_pr * k_u + K_u @ dx
         J = J + problem.objective.running_cost(x, u, kk)
         g_new = stk.evaluate_shifted(x, u, kk) if has_path else jnp.zeros((0,), dtype)
-        if has_path and options.ipddp.slack_soc:
+        if has_path and soc_traced(options, stk):
             # Slack second-order correction: the linear update leaves
             # s_new + g_new = (linearization error of g), which for curved
             # constraints (e.g. ||u|| <= u_max) grows quadratically in alpha
@@ -999,7 +1039,7 @@ def _forward_pass(
             # use_constraint_hessians; the reference has no counterpart
             # (it stalls at inf_pr ~ 0.6 on the rendezvous workload).
             s_soc = -g_new
-            ok_soc = base.ftb_ok(s_soc, s, tau) & c.soc_on
+            ok_soc = base.ftb_ok(s_soc, s, tau) & c.soc_on & c.soc_armed
             s_new = jnp.where(ok_soc, s_soc, s_new)
         if has_path:
             ok_ftb = jnp.all(base.ftb_ok(s_new, s, tau)) & jnp.all(
@@ -1530,7 +1570,17 @@ def _drive(problem: Problem, options: CDDPOptions, X, U, Y, S, G, G_T, S_T,
         status=jnp.asarray(Status.MAX_ITERATIONS_REACHED, jnp.int32),
         done=jnp.asarray(False),
         soc_on=jnp.asarray(True),
+        soc_armed=jnp.asarray(options.ipddp.slack_soc is True),
+        stall_count=jnp.asarray(0, jnp.int32),
         hist=hist0,
+    )
+
+    # "auto" stall-latch plumbing: traced only for curved-constraint
+    # problems; an exact no-op until the latch arms (see IPDDPOptions).
+    soc_is_traced = soc_traced(options, stk) if has_path else False
+    auto_latch = has_path and (
+        (options.ipddp.slack_soc == "auto" and soc_is_traced)
+        or chess_mode(options, stk) == "latched"
     )
 
     alphas = base.alphas_array(options, dtype)
@@ -1543,7 +1593,7 @@ def _drive(problem: Problem, options: CDDPOptions, X, U, Y, S, G, G_T, S_T,
             )
         return _backward_condensed(
             problem, options, stk, tstk, c.X, c.U, c.Y, c.S, c.G, c.Y_T, c.S_T,
-            c.mu, reg,
+            c.mu, reg, soc_armed=c.soc_armed,
         )
 
     t0 = base.host_clock() if options.max_cpu_time > 0 else None
@@ -1671,6 +1721,24 @@ def _drive(problem: Problem, options: CDDPOptions, X, U, Y, S, G, G_T, S_T,
                     problem, options, stk, tstk, c2, has_path, has_ti, has_te
                 )
 
+                if auto_latch:
+                    # Stall detector for the "auto" SOC/constraint-Hessian
+                    # latch: the alpha-pinned limit cycle (STATUS.md; the
+                    # deadlock at ipddp_solver.cpp:2548-2660) shows as the
+                    # barrier making no progress while primal feasibility
+                    # stays far from tolerance. Count consecutive such
+                    # iterations; arm the latch (one-way) at the threshold.
+                    mu_stuck = c2.mu >= ci.mu * (1.0 - 1e-12)
+                    far = c2.inf_pr > 100.0 * options.tolerance
+                    stalled = mu_stuck & far & ~c2.soc_armed
+                    count = jnp.where(
+                        stalled, ci.stall_count + 1, jnp.asarray(0, jnp.int32)
+                    )
+                    armed = c2.soc_armed | (
+                        count >= options.ipddp.soc_stall_iterations
+                    )
+                    c2 = c2._replace(stall_count=count, soc_armed=armed)
+
                 # --- convergence (checkConvergence, :1953-2025) ------------
                 if no_barrier:
                     conv_opt = (c2.inf_pr < options.tolerance) & (
@@ -1781,19 +1849,58 @@ def _drive(problem: Problem, options: CDDPOptions, X, U, Y, S, G, G_T, S_T,
                         limit, Status.REGULARIZATION_LIMIT_NOT_CONVERGED, ci.status
                     ),
                 ).astype(jnp.int32)
+                reg_out = reg_n
+                status_out = status
+                done_out = limit
+                soc_on_out = ci.soc_on
+                armed_out = ci.soc_armed
                 # SOC latch: a rejected line search while primal-feasible
                 # means the re-closure itself is blocking progress — switch
                 # it off for the rest of the solve (and retry without the
                 # regularization escalation counting against this attempt).
-                if options.ipddp.slack_soc:
-                    drop_soc = ci.soc_on & (ci.inf_pr < 10.0 * options.tolerance)
-                    return ci._replace(
-                        reg=jnp.where(drop_soc, ci.reg, reg_n),
-                        status=jnp.where(drop_soc, ci.status, status).astype(jnp.int32),
-                        done=jnp.where(drop_soc, False, limit),
-                        soc_on=ci.soc_on & ~drop_soc,
+                # Only an ARMED latch can drop: in "auto" mode an early
+                # line-search failure must not kill the correction before
+                # the stall detector ever engages it.
+                if soc_is_traced:
+                    drop_soc = (
+                        ci.soc_on
+                        & ci.soc_armed
+                        & (ci.inf_pr < 10.0 * options.tolerance)
                     )
-                return ci._replace(reg=reg_n, status=status, done=limit)
+                    reg_out = jnp.where(drop_soc, ci.reg, reg_out)
+                    status_out = jnp.where(
+                        drop_soc, ci.status, status_out
+                    ).astype(jnp.int32)
+                    done_out = jnp.where(drop_soc, False, done_out)
+                    soc_on_out = ci.soc_on & ~drop_soc
+                if auto_latch:
+                    # Regularization exhausted far from feasibility with the
+                    # latch still un-armed: arm it and retry from the
+                    # initial regularization instead of terminating — the
+                    # restoration-style fallback for limit cycles that fail
+                    # line searches instead of committing tiny steps.
+                    arm = (
+                        done_out
+                        & ~ci.soc_armed
+                        & (ci.inf_pr > 100.0 * options.tolerance)
+                    )
+                    reg_out = jnp.where(
+                        arm,
+                        jnp.asarray(
+                            options.regularization.initial_value,
+                            reg_out.dtype,
+                        ),
+                        reg_out,
+                    )
+                    status_out = jnp.where(arm, ci.status, status_out).astype(
+                        jnp.int32
+                    )
+                    done_out = jnp.where(arm, False, done_out)
+                    armed_out = ci.soc_armed | arm
+                return ci._replace(
+                    reg=reg_out, status=status_out, done=done_out,
+                    soc_on=soc_on_out, soc_armed=armed_out,
+                )
 
             c_next = jax.lax.cond(fp_ok, commit, fail, c1)
 

@@ -69,12 +69,32 @@ def test_soc_restores_exact_primal_feasibility():
     assert float(sol.barrier_mu) < 1e-4
 
 
+def test_default_options_converge_via_stall_latch():
+    """VERDICT r4 (round-3 item 3): the rendezvous family certifies with
+    DEFAULT options. slack_soc/use_constraint_hessians default to "auto" —
+    bit-parity iterates until the stall detector sees the alpha-pinned
+    limit cycle (mu stuck + inf_pr far from tolerance for
+    soc_stall_iterations consecutive iterations), then the SOC + exact
+    Lagrangian curvature arm and break it."""
+    prob = _rendezvous()
+    sol = ipddp.solve(prob, ct.CDDPOptions(
+        max_iterations=150, tolerance=1e-5, acceptable_tolerance=1e-6,
+        ipddp=ct.IPDDPOptions(barrier=ct.BarrierOptions(mu_initial=10.0)),
+    ))
+    assert sol.status_message == "OptimalSolutionFound", (
+        sol.status_message, float(sol.inf_pr))
+    assert float(sol.inf_pr) < 1e-5
+    umax = float(jnp.max(jnp.linalg.norm(sol.control_trajectory, axis=1)))
+    assert umax <= 1.0 + 1e-8, umax
+    assert float(sol.barrier_mu) < 1e-4
+
+
 def test_reference_semantics_stall_documented():
-    """The unfixed (reference-parity) configuration exhibits the limit
-    cycle: mu pinned at mu_initial and a constraint-violating trajectory.
-    This is the behavior the SOC options exist to beat; if this test ever
-    fails because the default STOPPED stalling, celebrate and update the
-    docs."""
+    """The explicitly-disabled (reference-parity) configuration exhibits
+    the limit cycle: mu pinned at mu_initial and a constraint-violating
+    trajectory. This is the deadlock the default "auto" latch exists to
+    beat (ipddp_solver.cpp:2548-2660 barrier logic); explicit False keeps
+    it reachable for parity studies."""
     prob = _rendezvous()
     sol = ipddp.solve(prob, _opts(fix=False))
     assert float(sol.inf_pr) > 0.1
