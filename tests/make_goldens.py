@@ -125,6 +125,16 @@ def configs():
                                barrier=ct.BarrierOptions(mu_initial=1e-1))),
             {},
         ),
+        # Full-DDP (use_ilqr=False) regime: the Vx-weighted second-order
+        # dynamics fold on the iterate path (no native crosscheck — the C++
+        # oracle is iLQR-only like the reference's CLDDP; correctness of
+        # the fold itself is FD-pinned in tests/test_full_ddp_oracle.py).
+        "pendulum_ipddp_fullddp": (
+            pend, "IPDDP",
+            ct.CDDPOptions(max_iterations=300, tolerance=1e-4,
+                           acceptable_tolerance=1e-5, use_ilqr=False),
+            {},
+        ),
     }
 
 
