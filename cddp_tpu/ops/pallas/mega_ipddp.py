@@ -76,9 +76,9 @@ DEFAULT_TILE_B = 1024
  _INFPR, _INFDU, _INFCOMP, _STEPN, _APR, _ADU, _DV0, _DV1,
  _BP_DONE, _BP_LIMIT, _APRMAX, _ADUMAX, _LS_FOUND, _LS_OK, _ALPHA_CUR,
  _EARLY, _TJ, _TMERIT, _TTHETA, _TINFPR, _TMAXYS, _TMINYS, _TSUMLOG,
- _TAPR, _TADU) = range(34)
+ _TAPR, _TADU, _SOC_ON, _SOC_ARMED, _STALLCNT) = range(37)
 _F_CAP = 7  # max_filter_size (5) + 2, interior_point_utils.cpp:114-139
-_F_M0 = 34
+_F_M0 = 37
 _F_V0 = _F_M0 + _F_CAP
 _F_OK0 = _F_V0 + _F_CAP
 _N_SCALARS = _F_OK0 + _F_CAP
@@ -125,9 +125,16 @@ class _Cfg(NamedTuple):
     theta_l2: bool
     theta0_floor: float
     f_max: int  # max_filter_size
+    # "auto" stall latch (solvers/ipddp.py soc_armed semantics), traced
+    # only for curved stacks (ball rows): soc_auto gates the slack-SOC
+    # re-closure, chess_auto the armed constraint-Hessian fold.
+    soc_auto: bool = False
+    chess_auto: bool = False
+    soc_stall: int = 8
 
 
-def _make_cfg(options) -> _Cfg:
+def _make_cfg(options, soc_auto: bool = False,
+              chess_auto: bool = False) -> _Cfg:
     from cddp_tpu.options import BarrierStrategy, line_search_alphas
 
     reg = options.regularization
@@ -170,6 +177,9 @@ def _make_cfg(options) -> _Cfg:
         theta_l2=ip.theta_norm == "l2",
         theta0_floor=max(float(ip.theta_0_floor), 1e-8),
         f_max=int(ip.max_filter_size),
+        soc_auto=bool(soc_auto),
+        chess_auto=bool(chess_auto),
+        soc_stall=int(ip.soc_stall_iterations),
     )
 
 
@@ -275,8 +285,18 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
     Y (N,m,B), S (N,m,B), Lambda (N+1,nx,B), stats (9,B) =
     [cost, inf_pr, inf_du, inf_comp, mu, reg, alpha_pr, iterations, status].
     """
+    def _item_rows(kind):
+        """(param rows in lo/hi, constraint rows in the stack) per item."""
+        if kind == "control":
+            return nu, 2 * nu
+        if kind == "state":
+            return nx, 2 * nx
+        return kind[1], 1  # ("ball", d): lo rows=center, hi row 0=radius
+
     n_items = len(box_layout)
-    nb = sum(nu if kind == "control" else nx for kind in box_layout)
+    nb = sum(_item_rows(kind)[0] for kind in box_layout)
+    has_ball = any(isinstance(kind, tuple) for kind in box_layout)
+    latch_traced = has_ball and (cfg.soc_auto or cfg.chess_auto)
 
     def kernel(X0_ref, U0_ref, Y0_ref, S0_ref, ku0_ref, Ku0_ref, L0_ref,
                mu0_ref, dt_ref, p_ref, Q_ref, R_ref, Qf_ref, goal_ref,
@@ -324,28 +344,68 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
             return c
 
         def box_g(x, u):
-            """g = [(lo - var); (var - hi)] * scale per item, stack order
-            (ip_rollout kernel / constraints/path.py _BoxConstraint)."""
+            """Shifted stack g (stack order): box items contribute
+            [(lo - var); (var - hi)] * scale (constraints/path.py
+            _BoxConstraint); a ball item contributes one row
+            scale * (r^2 - ||x_d - c||^2) (BallConstraint.evaluate - ub;
+            center in the item's lo rows, radius in its first hi row)."""
             g = []
             off = 0
             for it, kind in enumerate(box_layout):
+                if isinstance(kind, tuple):  # ("ball", d)
+                    d = kind[1]
+                    r = hi_ref[off]
+                    q = zeros
+                    for i in range(d):
+                        diff = x[i] - lo_ref[off + i]
+                        q = q + diff * diff
+                    g.append(sf[it] * (r * r - q))
+                    off += d
+                    continue
                 var, n = (u, nu) if kind == "control" else (x, nx)
                 g += [(lo_ref[off + i] - var[i]) * sf[it] for i in range(n)]
                 g += [(var[i] - hi_ref[off + i]) * sf[it] for i in range(n)]
                 off += n
             return g
 
-        # Constant constraint Jacobian lane matrices (box rows: -+scale).
-        Gx_c = [[zeros for _ in range(nx)] for _ in range(m)]
+        # Constant control-Jacobian lanes (box rows: -+scale; ball rows 0).
         Gu_c = [[zeros for _ in range(nu)] for _ in range(m)]
         row = 0
         for it, kind in enumerate(box_layout):
+            if isinstance(kind, tuple):
+                row += 1
+                continue
             n = nu if kind == "control" else nx
-            tgt = Gu_c if kind == "control" else Gx_c
-            for i in range(n):
-                tgt[row + i][i] = zeros - sf[it]
-                tgt[row + n + i][i] = zeros + sf[it]
+            if kind == "control":
+                for i in range(n):
+                    Gu_c[row + i][i] = zeros - sf[it]
+                    Gu_c[row + n + i][i] = zeros + sf[it]
             row += 2 * n
+
+        def stack_Gx(x):
+            """State-Jacobian lanes at the nominal x: box rows constant,
+            ball row -2*scale*(x_d - c) (BallConstraint.state_jacobian).
+            Box-only layouts are x-independent — identical lowering to the
+            old constant Gx_c."""
+            Gx = [[zeros for _ in range(nx)] for _ in range(m)]
+            row = 0
+            off = 0
+            for it, kind in enumerate(box_layout):
+                if isinstance(kind, tuple):
+                    d = kind[1]
+                    for i in range(d):
+                        Gx[row][i] = -2.0 * sf[it] * (x[i] - lo_ref[off + i])
+                    row += 1
+                    off += d
+                    continue
+                n = nu if kind == "control" else nx
+                if kind == "state":
+                    for i in range(n):
+                        Gx[row + i][i] = zeros - sf[it]
+                        Gx[row + n + i][i] = zeros + sf[it]
+                row += 2 * n
+                off += n
+            return Gx
 
         def fin(v):
             return jnp.where(jnp.isfinite(v), ones, zeros)
@@ -412,6 +472,11 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
         sc[_STEPN] = zeros
         sc[_APR] = ones
         sc[_ADU] = ones
+        # "auto" stall latch state (solvers/ipddp.py _Carry soc_on /
+        # soc_armed / stall_count): drop-latch on, armed off, count 0.
+        sc[_SOC_ON] = ones
+        sc[_SOC_ARMED] = zeros
+        sc[_STALLCNT] = zeros
         # Path-only regime: the initial filter is EMPTY (resetFilter inserts
         # only when terminal constraints exist, _drive:1484-1485).
         for i in range(_F_CAP):
@@ -496,13 +561,36 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
                             y = [Yo[t, i] for i in range(m)]
                             s = [So[t, i] for i in range(m)]
                             g = box_g(x, u)
+                            if latch_traced and cfg.chess_auto:
+                                # Armed constraint-Hessian fold: ball rows
+                                # have the constant Hessian -2*scale*I on
+                                # the head dims (BallConstraint
+                                # .state_hessian); exact no-op until the
+                                # stall latch arms (solvers/ipddp.py
+                                # _backward_condensed "latched" mode).
+                                armed_w = jnp.where(
+                                    sc[_SOC_ARMED] > 0.5, ones, zeros
+                                )
+                                rowb = 0
+                                for itb, kindb in enumerate(box_layout):
+                                    if isinstance(kindb, tuple):
+                                        for i in range(kindb[1]):
+                                            lxx[i][i] = lxx[i][i] + (
+                                                armed_w * y[rowb]
+                                                * (-2.0 * sf[itb])
+                                            )
+                                        rowb += 1
+                                    else:
+                                        rowb += 2 * (
+                                            nu if kindb == "control" else nx
+                                        )
 
                             (k_u, K_u, _k_y, _K_y, _k_s, _K_s, Vx_new,
                              Vxx_new, dv0s, dv1s, Qu_c, pr, comp,
                              pd_ok) = ipddp_condensed_step_lanes(
                                 A, Bm, lx, lu, lxx, luu, lux, y, s, g,
-                                Gx_c, Gu_c, Vx, Vxx, mu, regl, nx, nu, m,
-                                cap=cap,
+                                stack_Gx(x), Gu_c, Vx, Vxx, mu, regl,
+                                nx, nu, m, cap=cap,
                             )
 
                             for i in range(nu):
@@ -610,8 +698,8 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
                     K_u = [[Ko[t, i, j] for j in range(nx)]
                            for i in range(nu)]
                     k_y, K_y, k_s, K_s = ipddp_path_gain_lanes(
-                        y, s_safe, sigma, pr, rhat, Gx_c, Gu_c, k_u, K_u,
-                        nx, nu, m, cap,
+                        y, s_safe, sigma, pr, rhat, stack_Gx(x), Gu_c,
+                        k_u, K_u, nx, nu, m, cap,
                     )
                     for i in range(m):
                         dS_i = k_s[i] + sum(
@@ -691,8 +779,10 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
                             k_u = [ko[t, i] for i in range(nu)]
                             K_u = [[Ko[t, i, j] for j in range(nx)]
                                    for i in range(nu)]
+                            x_nom = [Xo[t, i] for i in range(nx)]
                             k_y, K_y, k_s, K_s = ipddp_path_gain_lanes(
-                                y, s_safe, sigma, pr, rhat, Gx_c, Gu_c,
+                                y, s_safe, sigma, pr, rhat,
+                                stack_Gx(x_nom), Gu_c,
                                 k_u, K_u, nx, nu, m, cap,
                             )
                             s_new = [
@@ -718,6 +808,28 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
                             # driver resolve boundary ties identically).
                             omt = 1.0 - tau
                             eps = jnp.finfo(tau.dtype).eps
+                            if latch_traced and cfg.soc_auto:
+                                # Armed slack SOC re-closure (ipddp
+                                # _forward_pass): s := -g at the trial
+                                # point where fraction-to-boundary allows,
+                                # BEFORE the feasibility re-check.
+                                soc_act = (
+                                    (sc[_SOC_ON] > 0.5)
+                                    & (sc[_SOC_ARMED] > 0.5)
+                                )
+                                for i in range(m):
+                                    s_soc = zeros - g_new[i]
+                                    slop = 16.0 * eps * (
+                                        1.0 + jnp.abs(s[i]) + jnp.abs(s_soc)
+                                    )
+                                    okc = (
+                                        (s_soc > 0.0)
+                                        & (s_soc >= omt * s[i] - slop)
+                                        & soc_act
+                                    )
+                                    s_new[i] = jnp.where(
+                                        okc, s_soc, s_new[i]
+                                    )
                             for i in range(m):
                                 slop_s = 16.0 * eps * (
                                     1.0 + jnp.abs(s[i]) + jnp.abs(s_new[i])
@@ -953,6 +1065,31 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
                 merit_new = sc[_TJ] - mu_new * sc[_TSUMLOG]
                 reg_dec = jnp.maximum(sc[_REG] / cfg.reg_uf, cfg.reg_min)
 
+                if latch_traced:
+                    # Stall detector (solvers/ipddp.py commit path): no
+                    # barrier progress while inf_pr stays far from
+                    # tolerance, counted consecutively on committed
+                    # iterations; arm the latch (one-way) at the threshold.
+                    far_c = sc[_TINFPR] > 100.0 * cfg.tolerance
+                    mu_stuck = mu_new >= mu_old * (1.0 - 1e-12)
+                    stalled = (
+                        mu_stuck & far_c & (sc[_SOC_ARMED] < 0.5)
+                    )
+                    cnt_new = jnp.where(
+                        stalled, sc[_STALLCNT] + 1.0, zeros
+                    )
+                    armed_new = jnp.where(
+                        (sc[_SOC_ARMED] > 0.5)
+                        | (cnt_new >= float(cfg.soc_stall)),
+                        ones, zeros,
+                    )
+                    sc[_STALLCNT] = jnp.where(
+                        commit_m, cnt_new, sc[_STALLCNT]
+                    )
+                    sc[_SOC_ARMED] = jnp.where(
+                        commit_m, armed_new, sc[_SOC_ARMED]
+                    )
+
                 # Convergence (checkConvergence, :1953-2025), barrier regime.
                 tol2 = jnp.maximum(zeros + cfg.tolerance, cfg.btm * mu_new)
                 conv_opt = (
@@ -1015,6 +1152,31 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
                     jnp.where(limit_f, zeros + _ST_REG_LIMIT, sc[_STATUS]),
                 )
 
+                if latch_traced:
+                    # solvers/ipddp.py fail path: an ARMED latch drops the
+                    # SOC when the line search fails near-feasible (keep
+                    # reg/status, retry); reg-limit far from feasibility
+                    # with an un-armed latch arms it and retries from the
+                    # initial regularization (restoration fallback).
+                    drop_m = (
+                        fail_m
+                        & (sc[_SOC_ON] > 0.5)
+                        & (sc[_SOC_ARMED] > 0.5)
+                        & (sc[_INFPR] < 10.0 * cfg.tolerance)
+                    ) if cfg.soc_auto else (fail_m & (ones < zeros))
+                    arm_m = (
+                        fail_m
+                        & limit_f
+                        & (sc[_SOC_ARMED] < 0.5)
+                        & (sc[_INFPR] > 100.0 * cfg.tolerance)
+                    )
+                    sc[_SOC_ON] = jnp.where(drop_m, zeros, sc[_SOC_ON])
+                    sc[_SOC_ARMED] = jnp.where(arm_m, ones, sc[_SOC_ARMED])
+                    fail_keep = drop_m | arm_m
+                else:
+                    arm_m = fail_m & (ones < zeros)
+                    fail_keep = arm_m
+
                 # Scalar write-back, masked per branch.
                 sc[_COST] = jnp.where(commit_m, sc[_TJ], sc[_COST])
                 sc[_MERIT] = jnp.where(commit_m, merit_new, sc[_MERIT])
@@ -1029,18 +1191,24 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
                 sc[_ADU] = jnp.where(commit_m, sc[_TADU], sc[_ADU])
                 sc[_REG] = jnp.where(
                     commit_m, reg_dec,
-                    jnp.where(fail_m, reg_fail, sc[_REG]),
+                    jnp.where(
+                        arm_m, zeros + cfg.reg0,
+                        jnp.where(
+                            fail_m & (~fail_keep), reg_fail, sc[_REG]
+                        ),
+                    ),
                 )
 
                 mbpl = active & bpl
                 mearly = mab & early_m
+                fail_out = fail_m & (~fail_keep)
                 sc[_STATUS] = jnp.where(
                     mbpl, zeros + _ST_REG_LIMIT,
                     jnp.where(
                         mearly, zeros + _ST_OPTIMAL,
                         jnp.where(
                             commit_m, status_c,
-                            jnp.where(fail_m, status_f, sc[_STATUS]),
+                            jnp.where(fail_out, status_f, sc[_STATUS]),
                         ),
                     ),
                 )
@@ -1049,7 +1217,7 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
                     jnp.where(
                         commit_m, jnp.where(done_c, ones, zeros),
                         jnp.where(
-                            fail_m, jnp.where(limit_f, ones, zeros),
+                            fail_out, jnp.where(limit_f, ones, zeros),
                             sc[_DONE],
                         ),
                     ),
@@ -1155,6 +1323,45 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
 _VMEM_BUDGET_BYTES = 12 * 1024 * 1024
 
 
+def _lane_stack(stk):
+    """The path stack as lane-layout items: box constraints
+    (ControlConstraint / StateConstraint, exact types) map to
+    "control"/"state" kinds, keep-out balls to ("ball", head_dim), in
+    stack (name-sorted) order. Returns a non-empty tuple of (kind,
+    constraint) pairs, or None if any other constraint type is present.
+    Supersedes ip_rollout._box_stack for the whole-solve kernel (VERDICT
+    r3 item 5: the unicycle-obstacle fleet, BASELINE config 3)."""
+    from cddp_tpu.constraints.path import (
+        BallConstraint,
+        ControlConstraint,
+        StateConstraint,
+    )
+
+    if not stk.items:
+        return None
+    out = []
+    for _, c in stk.items:
+        if type(c) is ControlConstraint:
+            out.append(("control", c))
+        elif type(c) is StateConstraint:
+            out.append(("state", c))
+        elif type(c) is BallConstraint:
+            out.append((("ball", int(c.dim)), c))
+        else:
+            return None
+    return tuple(out)
+
+
+def _lane_stack_dims(stack, nx, nu):
+    """(lo/hi param rows, layout tuple) for a _lane_stack result."""
+    layout = tuple(k for k, _ in stack)
+    nb = sum(
+        (k[1] if isinstance(k, tuple) else (nu if k == "control" else nx))
+        for k in layout
+    )
+    return nb, layout
+
+
 def _vmem_estimate_bytes(problem, options=None,
                          tile_b: int = DEFAULT_TILE_B) -> int:
     from cddp_tpu.constraints.stack import PathStacker
@@ -1165,7 +1372,11 @@ def _vmem_estimate_bytes(problem, options=None,
     kind = _registry_key(problem.model)
     np_eff = max(_REGISTRY[kind][0], 1) if kind else 1
     tracking = problem.objective.reference_states is not None
-    nb = m // 2  # box rows come in lower/upper pairs
+    stack = _lane_stack(stk)
+    if stack is not None:
+        nb, _ = _lane_stack_dims(stack, nx, nu)
+    else:
+        nb = m // 2  # box rows come in lower/upper pairs
     n_items = len(stk.items)
     ins = (
         (N + 1) * nx + N * nu + 2 * N * m + N * nu + N * nu * nx
@@ -1187,16 +1398,17 @@ def mega_eligible(problem, options) -> bool:
     """Static dispatch predicate for the whole-solve IPDDP kernel.
 
     Requires: registered continuous-dynamics lane model, QuadraticObjective
-    (goal or reference_states tracking), a box-only path-constraint stack
-    (ControlConstraint / StateConstraint), no terminal constraints, the
+    (goal or reference_states tracking), a lane path-constraint stack
+    (ControlConstraint / StateConstraint boxes and/or BallConstraint
+    keep-out balls), no terminal constraints, the
     iLQR sequential condensed backward, the sequential first-success line
     search, and none of the driver features the kernel doesn't model
-    (history/verbose/debug/cpu-time, slack SOC, constraint Hessians,
-    state-stationarity KKT term)."""
+    (history/verbose/debug/cpu-time, explicit always-on slack SOC or
+    constraint Hessians, state-stationarity KKT term). The default "auto"
+    SOC/Hessian stall latch IS modeled in-kernel for ball stacks."""
     import os
 
     from cddp_tpu.costs.objective import QuadraticObjective
-    from cddp_tpu.ops.pallas.ip_rollout import _box_stack
     from cddp_tpu.constraints.stack import PathStacker, TerminalStacker
 
     if os.environ.get("CDDP_TPU_NO_MEGA"):  # emergency kill switch
@@ -1208,7 +1420,7 @@ def mega_eligible(problem, options) -> bool:
         return False
     stk = PathStacker(problem)
     tstk = TerminalStacker(problem)
-    if _box_stack(stk) is None or stk.total_dim == 0:
+    if _lane_stack(stk) is None or stk.total_dim == 0:
         return False
     if tstk.ineq_dim > 0 or tstk.eq_dim > 0:
         return False
@@ -1281,16 +1493,24 @@ def build_fused_solve(problem, options, interpret: bool = False):
     Lambda, cost, inf_pr, inf_du, inf_comp, mu, reg, alpha_pr,
     iterations(int32), status(int32))``. Also the test entry for
     interpret-mode parity runs."""
-    from cddp_tpu.ops.pallas.ip_rollout import _box_stack
     from cddp_tpu.constraints.stack import PathStacker
 
-    cfg = _make_cfg(options)
     kind = _registry_key(problem.model)
     integrator = problem.model.integration_type
     obj = problem.objective
     stk = PathStacker(problem)
-    boxes = _box_stack(stk)
-    box_layout = tuple(k for k, _ in boxes)
+    boxes = _lane_stack(stk)
+    _, box_layout = _lane_stack_dims(boxes, problem.state_dim,
+                                     problem.control_dim)
+    # The "auto" stall latch is traced only for curved (ball) stacks,
+    # mirroring solvers/ipddp.py soc_traced / chess_mode.
+    has_ball = any(isinstance(k, tuple) for k in box_layout)
+    cfg = _make_cfg(
+        options,
+        soc_auto=has_ball and options.ipddp.slack_soc == "auto",
+        chess_auto=has_ball
+        and options.ipddp.use_constraint_hessians == "auto",
+    )
     entry = _REGISTRY[kind]
     n_params, param_fn = entry[0], entry[1]
 
@@ -1309,12 +1529,22 @@ def build_fused_solve(problem, options, interpret: bool = False):
             refs = bc(jnp.asarray(obj.reference_states)[: U0.shape[1]])
         else:
             refs = None
-        lo = bc(jnp.concatenate(
-            [jnp.asarray(cb.lower, dtype).reshape(-1) for _, cb in boxes]
-        ))
-        hi = bc(jnp.concatenate(
-            [jnp.asarray(cb.upper, dtype).reshape(-1) for _, cb in boxes]
-        ))
+        # lo/hi parameter rows per item: box bounds, or for a ball item
+        # its center in lo and [radius, 0...] in hi (same row count).
+        lo_parts, hi_parts = [], []
+        for kindk, cb in boxes:
+            if isinstance(kindk, tuple):
+                d = kindk[1]
+                lo_parts.append(jnp.asarray(cb.center, dtype).reshape(-1))
+                hi_parts.append(jnp.concatenate([
+                    jnp.asarray(cb.radius, dtype).reshape(1),
+                    jnp.zeros((d - 1,), dtype),
+                ]))
+            else:
+                lo_parts.append(jnp.asarray(cb.lower, dtype).reshape(-1))
+                hi_parts.append(jnp.asarray(cb.upper, dtype).reshape(-1))
+        lo = bc(jnp.concatenate(lo_parts))
+        hi = bc(jnp.concatenate(hi_parts))
         sfv = bc(jnp.stack(
             [jnp.asarray(cb.scale_factor, dtype) for _, cb in boxes]
         ))

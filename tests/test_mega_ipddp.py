@@ -487,3 +487,112 @@ class TestTpuLowering:
         )
         exp = jax.export.export(jax.jit(fused), platforms=["tpu"])(*args)
         assert len(exp.mlir_module_serialized) > 0
+
+
+def _unicycle_obstacle(horizon=20, dtype=F64):
+    """BASELINE config 3 (the unicycle-obstacle golden family): control box
+    + keep-out BallConstraint — the curved stack VERDICT r3 item 5 asked to
+    route through the whole-solve kernel."""
+    dt = 0.03
+    obj = ct.quadratic_objective(
+        jnp.zeros((3, 3), dtype),
+        jnp.eye(2, dtype=dtype) * 0.05,
+        jnp.eye(3, dtype=dtype) * 100.0,
+        jnp.asarray([2.0, 2.0, np.pi / 2], dtype),
+        dt,
+    )
+    prob = ct.problem(Unicycle(), obj, jnp.zeros(3, dtype), horizon, dt)
+    prob = prob.add_constraint(
+        "ControlConstraint",
+        ct.control_constraint(jnp.asarray([-2.0, -np.pi], dtype),
+                              jnp.asarray([2.0, np.pi], dtype)),
+    )
+    return prob.add_constraint(
+        "BallConstraint",
+        ct.ball_constraint(jnp.asarray(0.4, dtype),
+                           jnp.asarray([1.0, 1.0], dtype)),
+    )
+
+
+class TestBallStackParity:
+    """Ball (curved) constraint stacks through the whole-solve kernel:
+    kernel (interpret, f64) == vmapped XLA _drive including the default
+    "auto" stall-latch machinery both engines now trace."""
+
+    SEEDS = np.array(
+        [[0.0, 0.0, 0.0], [0.3, -0.2, 0.4], [-0.2, 0.3, -0.5],
+         [0.1, 0.6, 1.2]]
+    )
+
+    @pytest.mark.parametrize("max_iterations", [4, 8])
+    def test_obstacle_parity(self, max_iterations):
+        prob = _unicycle_obstacle(horizon=20)
+        opts = ct.CDDPOptions(max_iterations=max_iterations, tolerance=1e-4)
+        x0b = jnp.asarray(self.SEEDS, F64)
+        got, want = _run_both(prob, opts, x0b)
+        _assert_solutions_match(got, want)
+
+    @pytest.mark.slow
+    def test_obstacle_parity_to_convergence(self):
+        # Full-budget run: every instance must reach the same converged
+        # status/iteration count on both engines, and the solutions must
+        # clear the keep-out ball.
+        prob = _unicycle_obstacle(horizon=20)
+        opts = ct.CDDPOptions(max_iterations=60, tolerance=1e-4)
+        x0b = jnp.asarray(self.SEEDS, F64)
+        got, want = _run_both(prob, opts, x0b)
+        _assert_solutions_match(got, want)
+        # Converged instances must clear the keep-out ball (instances that
+        # exhaust the 60-iteration budget may still be closing primal
+        # feasibility — both engines agree on those too, per the parity
+        # assert above).
+        X = np.asarray(got[0])
+        status = np.asarray(got[15])
+        conv = np.isin(status, (1, 2, 4))
+        assert conv.any(), status
+        # Path constraints bind on steps 0..N-1 (the terminal state is the
+        # terminal-constraint regime's job, ipddp evaluateTrajectory).
+        dist = np.linalg.norm(X[:, :-1, :2] - np.array([1.0, 1.0]), axis=-1)
+        assert dist[conv].min() >= 0.4 - 1e-4, (dist[conv].min(), status)
+
+    def test_eligibility(self):
+        prob = _unicycle_obstacle(horizon=20)
+        opts = ct.CDDPOptions(max_iterations=8, tolerance=1e-4)
+        assert mega_ipddp.mega_eligible(prob, opts)
+        # Explicit always-on SOC/Hessians stay excluded (the kernel only
+        # models the "auto" latch).
+        assert not mega_ipddp.mega_eligible(
+            prob, opts.replace(ipddp=ct.IPDDPOptions(slack_soc=True))
+        )
+        assert not mega_ipddp.mega_eligible(
+            prob,
+            opts.replace(ipddp=ct.IPDDPOptions(use_constraint_hessians=True)),
+        )
+        # Non-lane constraint types still fall back to the scan engines.
+        pl_ = prob.add_constraint(
+            "LinearConstraint",
+            ct.linear_constraint(jnp.eye(3, dtype=F64),
+                                 jnp.full((3,), 10.0, F64)),
+        )
+        assert not mega_ipddp.mega_eligible(pl_, opts)
+
+
+class TestBallStackLowering:
+    def test_export_for_tpu_ball_stack(self):
+        # Mosaic lowering for the curved-stack kernel variant (state-
+        # dependent Gx lanes + stall-latch machinery traced).
+        N, B = 20, 1024
+        f32 = jnp.float32
+        prob = _unicycle_obstacle(horizon=N, dtype=f32)
+        opts = ct.CDDPOptions(max_iterations=10, tolerance=1e-4)
+        fused = mega_ipddp.build_fused_solve(prob, opts)
+        m = PathStacker(prob).total_dim
+        args = (
+            jnp.zeros((B, 3), f32), jnp.zeros((B, N + 1, 3), f32),
+            jnp.zeros((B, N, 2), f32), jnp.ones((B, N, m), f32),
+            jnp.ones((B, N, m), f32), jnp.zeros((B, N + 1, 3), f32),
+            jnp.ones((B,), f32), jnp.zeros((B, N, 2), f32),
+            jnp.zeros((B, N, 2, 3), f32),
+        )
+        exp = jax.export.export(jax.jit(fused), platforms=["tpu"])(*args)
+        assert len(exp.mlir_module_serialized) > 0
