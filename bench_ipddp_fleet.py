@@ -1,0 +1,112 @@
+"""On-chip A/B for the IPDDP whole-solve kernel (VERDICT r3 items 1 & 5):
+box fleet (the flagship unicycle MPC) and obstacle fleet (BASELINE config 3,
+control box + keep-out BallConstraint), fused kernel vs the per-pass
+engines (CDDP_TPU_NO_MEGA kill switch), with parity stats on the SAME
+batch. Prints one JSON line per config for the record; not the driver
+metric (bench.py is).
+
+Run on the TPU: timeout 590 python bench_ipddp_fleet.py
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _problems(dtype):
+    import cddp_tpu as ct
+    from cddp_tpu.models import Unicycle
+
+    dt = 0.05
+    box = ct.problem(
+        Unicycle(),
+        ct.quadratic_objective(
+            jnp.eye(3, dtype=dtype) * 0.1, jnp.eye(2, dtype=dtype) * 0.05,
+            jnp.eye(3, dtype=dtype) * 100.0,
+            jnp.asarray([2.0, 2.0, np.pi / 2], dtype), dt,
+        ),
+        jnp.zeros(3, dtype), 20, dt,
+    ).add_constraint(
+        "ControlConstraint",
+        ct.control_constraint(jnp.asarray([-2.0, -np.pi], dtype),
+                              jnp.asarray([2.0, np.pi], dtype)),
+    )
+    dt2 = 0.03
+    obstacle = ct.problem(
+        Unicycle(),
+        ct.quadratic_objective(
+            jnp.zeros((3, 3), dtype), jnp.eye(2, dtype=dtype) * 0.05,
+            jnp.eye(3, dtype=dtype) * 100.0,
+            jnp.asarray([2.0, 2.0, np.pi / 2], dtype), dt2,
+        ),
+        jnp.zeros(3, dtype), 20, dt2,
+    ).add_constraint(
+        "ControlConstraint",
+        ct.control_constraint(jnp.asarray([-2.0, -np.pi], dtype),
+                              jnp.asarray([2.0, np.pi], dtype)),
+    ).add_constraint(
+        "BallConstraint",
+        ct.ball_constraint(jnp.asarray(0.4, dtype),
+                           jnp.asarray([1.0, 1.0], dtype)),
+    )
+    return {"box_fleet": box, "obstacle_fleet": obstacle}
+
+
+def _bench(problem, x0, opts, reps):
+    import cddp_tpu as ct
+    from cddp_tpu.parallel.batch import batched_solve
+
+    @jax.jit
+    def run(x0b):
+        sol = batched_solve(problem, x0b, solver="IPDDP", options=opts)
+        return (sol.final_objective, sol.iterations_completed,
+                sol.status_code)
+
+    costs, iters, status = jax.block_until_ready(run(x0))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = run(x0)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps
+    return dt, np.asarray(costs), np.asarray(iters), np.asarray(status)
+
+
+def main():
+    import cddp_tpu as ct
+
+    dtype = jnp.float32
+    batch = int(os.environ.get("BENCH_BATCH", "4096"))
+    reps = int(os.environ.get("BENCH_REPS", "5"))
+    opts = ct.CDDPOptions(max_iterations=10, tolerance=1e-4)
+    key = jax.random.PRNGKey(0)
+
+    for name, prob in _problems(dtype).items():
+        x0 = jax.random.uniform(key, (batch, 3), dtype,
+                                minval=-0.5, maxval=0.5)
+        os.environ.pop("CDDP_TPU_NO_MEGA", None)
+        jax.clear_caches()
+        t_kernel, c_k, i_k, s_k = _bench(prob, x0, opts, reps)
+        os.environ["CDDP_TPU_NO_MEGA"] = "1"
+        jax.clear_caches()
+        t_scan, c_s, i_s, s_s = _bench(prob, x0, opts, reps)
+        os.environ.pop("CDDP_TPU_NO_MEGA", None)
+
+        rel = np.abs(c_k - c_s) / np.maximum(np.abs(c_s), 1e-9)
+        print(json.dumps({
+            "metric": f"ipddp_{name}_solves_per_sec",
+            "value": round(batch / t_kernel, 1),
+            "unit": "solves/s",
+            "vs_baseline": round(t_scan / t_kernel, 3),  # speedup vs per-pass
+            "perpass_solves_per_sec": round(batch / t_scan, 1),
+            "parity_max_rel_cost": float(rel.max()),
+            "parity_iters_equal_frac": float((i_k == i_s).mean()),
+            "parity_status_equal_frac": float((s_k == s_s).mean()),
+        }))
+
+
+if __name__ == "__main__":
+    main()
