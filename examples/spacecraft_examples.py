@@ -33,10 +33,12 @@ def rendezvous():
         "MaxThrustMagnitudeConstraint", ct.max_thrust_magnitude_constraint(1.0)
     )
     # mu scaled to the problem's cost magnitude (terminal cost ~1e3-1e5).
-    # use_constraint_hessians + slack_soc break the alpha-pinned limit cycle
-    # that norm-type constraints with long inactive arcs otherwise cause
-    # (the reference stalls at inf_pr ~ 0.6 here; with these options the
-    # primal certificate is exact — see tests/test_norm_constraint_soc.py).
+    # The default "auto" slack_soc/use_constraint_hessians stall latch
+    # breaks the alpha-pinned limit cycle that norm-type constraints with
+    # long inactive arcs otherwise cause (the reference stalls at
+    # inf_pr ~ 0.6 here; with the latch the primal certificate is exact —
+    # see tests/test_norm_constraint_soc.py). Setting both to True skips
+    # the ~soc_stall_iterations detection window.
     opts = ct.CDDPOptions(max_iterations=400, tolerance=1e-5,
                           acceptable_tolerance=1e-6,
                           ipddp=ct.IPDDPOptions(
