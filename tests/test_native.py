@@ -231,10 +231,16 @@ def test_native_ipddp_matches_jax_unicycle_ball():
     prob = prob.add_constraint(
         "ControlConstraint", ct.control_constraint(jnp.asarray(lo), jnp.asarray(hi))
     )
+    # Parity leg: explicit False pins the reference-parity semantics (the
+    # default "auto" stall latch ARMS on this slow-grinding config — see
+    # the beats-the-reference leg below — so parity needs the explicit
+    # opt-out).
     sol = ct.solve(
         prob, "IPDDP",
         ct.CDDPOptions(max_iterations=400, tolerance=1e-4,
-                       acceptable_tolerance=1e-5),
+                       acceptable_tolerance=1e-5,
+                       ipddp=ct.IPDDPOptions(slack_soc=False,
+                                             use_constraint_hessians=False)),
     )
 
     # Both implementations walk the identical iteration path (this config
@@ -251,6 +257,20 @@ def test_native_ipddp_matches_jax_unicycle_ball():
     # the solution actually avoids the ball
     d = np.linalg.norm(Xn[:, :2] - center[None], axis=1)
     assert d.min() >= radius - 1e-6
+
+    # Beats-the-reference leg: with DEFAULT options the stall latch arms
+    # mid-solve and certifies in ~214 iterations, while the reference
+    # semantics (both engines above) exhaust the 400-iteration budget with
+    # inf_pr ~ 3e-3 still above tolerance.
+    sol_auto = ct.solve(
+        prob, "IPDDP",
+        ct.CDDPOptions(max_iterations=400, tolerance=1e-4,
+                       acceptable_tolerance=1e-5),
+    )
+    assert sol_auto.status_message in (
+        "OptimalSolutionFound", "AcceptableSolutionFound",
+    ), sol_auto.status_message
+    assert int(sol_auto.iterations_completed) < int(sol.iterations_completed)
 
 
 def test_native_logddp_matches_jax_pendulum_box():
