@@ -40,7 +40,8 @@ def run(name, prob, goal, U0, **kw):
         max_iterations=kw.pop("max_iterations", 120),
         tolerance=1e-4,
         acceptable_tolerance=1e-4,
-        line_search=ct.LineSearchOptions(max_iterations=15),
+        line_search=kw.pop("line_search",
+                           ct.LineSearchOptions(max_iterations=15)),
         regularization=ct.RegularizationOptions(initial_value=1e-4),
         **kw,
     )
@@ -70,5 +71,27 @@ def main():
     run("iters=12 (per-iter probe)", prob, goal, U0, max_iterations=12)
 
 
+def main_r4():
+    """Round-4 sweep: close the 6% gap to the 118.6 ms native CPU proxy
+    (VERDICT r3 item 4). Current bench config = parallel ls + parallel
+    Riccati at ls_max=15 → 125.6 ms / 60 iters."""
+    import cddp_tpu as ct
+
+    prob, goal, U0 = build()
+    kw_lqr = dict(ipddp=ct.IPDDPOptions(lqr_backend="parallel"))
+    run("par_ls+par_lqr (bench cfg)", prob, goal, U0,
+        enable_parallel=True, **kw_lqr)
+    run("seq_ls+par_lqr", prob, goal, U0, **kw_lqr)
+    run("par_ls11+par_lqr", prob, goal, U0, enable_parallel=True,
+        line_search=ct.LineSearchOptions(max_iterations=11), **kw_lqr)
+    run("par_ls8+par_lqr", prob, goal, U0, enable_parallel=True,
+        line_search=ct.LineSearchOptions(max_iterations=8), **kw_lqr)
+
+
 if __name__ == "__main__":
-    main()
+    import os
+
+    if os.environ.get("ABLATE_R4"):
+        main_r4()
+    else:
+        main()

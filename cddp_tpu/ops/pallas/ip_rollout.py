@@ -501,8 +501,13 @@ def _scan_ip_forward_single(nx, nu, m, model_f, model_discrete, integrator,
     ks_idx = jnp.arange(N)
     inputs = (Xb, Ub, Y, S, ku, Ku, klam, Klam, lam, ky, Ky, ks, Ks, cps,
               ks_idx)
+    # unroll=4: the per-step body is tiny (nx<=13 matvecs), so loop
+    # overhead dominates on TPU; unrolling changes no math (each step's
+    # ops are unchanged — goldens stay bit-identical) and shaves
+    # single-solve latency.
     (x_last, J, feas), outs = jax.lax.scan(
-        step, (x0, jnp.zeros((), dtype), jnp.asarray(True)), inputs
+        step, (x0, jnp.zeros((), dtype), jnp.asarray(True)), inputs,
+        unroll=4,
     )
     return (x_last, J, feas) + outs
 

@@ -273,17 +273,21 @@ def _filter_prune(fm, fv, fval, zeros, ones):
 
 def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
                       box_layout, cfg: _Cfg, cap, tracking: bool = False,
-                      tile_b: int = DEFAULT_TILE_B):
+                      mT: int = 0, tile_b: int = DEFAULT_TILE_B):
     """Build the whole-solve pallas_call for static problem structure.
 
     Inputs (batch-last, lane-folded): X0 (N+1,nx,B), U0 (N,nu,B),
     Y0/S0 (N,m,B), ku0 (N,nu,B), Ku0 (N,nu,nx,B), L0 (N+1,nx,B), mu0 (1,B),
     dt (1,B), params (max(n_params,1),B), Q/Qf (nx,nx,B) [dt-prescaled Q],
-    R (nu,nu,B), goal (nx,B), [refs (N,nx,B)], lo/hi (nb,B), sf (n_items,B).
+    R (nu,nu,B), goal (nx,B), [refs (N,nx,B)], lo/hi (nb,B), sf (n_items,B),
+    and for mT > 0 the linear terminal-inequality regime
+    (ipddp_solver.cpp:999-1031 V-fold): ST0/YT0 (mT,B), A_T (mT,nx,B),
+    b_T (mT,B).
 
     Outputs: X (N+1,nx,B), U (N,nu,B), k (N,nu,B), K (N,nu,nx,B),
     Y (N,m,B), S (N,m,B), Lambda (N+1,nx,B), stats (9,B) =
-    [cost, inf_pr, inf_du, inf_comp, mu, reg, alpha_pr, iterations, status].
+    [cost, inf_pr, inf_du, inf_comp, mu, reg, alpha_pr, iterations, status],
+    and for mT > 0 additionally S_T (mT,B), Y_T (mT,B).
     """
     def _item_rows(kind):
         """(param rows in lo/hi, constraint rows in the stack) per item."""
@@ -305,9 +309,14 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
             refs_ref, rest = rest[0], rest[1:]
         else:
             refs_ref = None
-        (lo_ref, hi_ref, sf_ref,
-         Xo, Uo, ko, Ko, Yo, So, Lo, st_ref,
-         Vxs, Vxxs, Xc, Uc, Yc, Sc, Lc, sc) = rest
+        if mT:
+            (lo_ref, hi_ref, sf_ref, st0_ref, yt0_ref, at_ref, bt_ref,
+             Xo, Uo, ko, Ko, Yo, So, Lo, st_ref, STo, YTo,
+             Vxs, Vxxs, Xc, Uc, Yc, Sc, Lc, STc, YTc, sc) = rest
+        else:
+            (lo_ref, hi_ref, sf_ref,
+             Xo, Uo, ko, Ko, Yo, So, Lo, st_ref,
+             Vxs, Vxxs, Xc, Uc, Yc, Sc, Lc, sc) = rest
         dt = dt_ref[0]
         zeros = jnp.zeros_like(dt)
         ones = zeros + 1.0
@@ -407,6 +416,18 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
                 off += n
             return Gx
 
+        if mT:
+            AT = [[at_ref[i, j] for j in range(nx)] for i in range(mT)]
+            bTl = [bt_ref[i] for i in range(mT)]
+
+            def gT_of(x):
+                """Linear terminal inequalities g_T = A_T x_N - b_T
+                (TerminalInequalityConstraint, terminal_constraint.hpp:160)."""
+                return [
+                    sum(AT[i][j] * x[j] for j in range(nx)) - bTl[i]
+                    for i in range(mT)
+                ]
+
         def fin(v):
             return jnp.where(jnp.isfinite(v), ones, zeros)
 
@@ -423,6 +444,11 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
         Yc[...] = Y0_ref[...]
         Sc[...] = S0_ref[...]
         Lc[...] = L0_ref[...]
+        if mT:
+            STo[...] = st0_ref[...]
+            YTo[...] = yt0_ref[...]
+            STc[...] = st0_ref[...]
+            YTc[...] = yt0_ref[...]
 
         mu0 = mu0_ref[0]
 
@@ -451,7 +477,19 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
             (zeros, zeros, zeros, zeros, zeros - jnp.inf, zeros + jnp.inf,
              jnp.asarray(0, jnp.int32)),
         )
-        J0 = J0 + term_cost([Xo[N, i] for i in range(nx)])
+        xN0 = [Xo[N, i] for i in range(nx)]
+        J0 = J0 + term_cost(xN0)
+        if mT:
+            gT0i = gT_of(xN0)
+            for i in range(mT):
+                sTi = STo[i]
+                yTi = YTo[i]
+                sumlog0 = sumlog0 + jnp.log(jnp.maximum(sTi, _EPS_SLACK))
+                r = gT0i[i] + sTi
+                th0 = th0 + (r * r if cfg.theta_l2 else jnp.abs(r))
+                infpr0 = jnp.maximum(infpr0, jnp.abs(r))
+                maxys0 = jnp.maximum(maxys0, yTi * sTi)
+                minys0 = jnp.minimum(minys0, yTi * sTi)
         theta0_raw = jnp.maximum(
             jnp.sqrt(th0) if cfg.theta_l2 else th0, infpr0
         )
@@ -477,12 +515,17 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
         sc[_SOC_ON] = ones
         sc[_SOC_ARMED] = zeros
         sc[_STALLCNT] = zeros
-        # Path-only regime: the initial filter is EMPTY (resetFilter inserts
-        # only when terminal constraints exist, _drive:1484-1485).
+        # resetFilter: the initial filter is EMPTY in the path-only regime
+        # and seeded with (merit0, ftheta0) when terminal constraints
+        # exist (_drive:1484-1485).
         for i in range(_F_CAP):
             sc[_F_M0 + i] = zeros + jnp.inf
             sc[_F_V0 + i] = zeros + jnp.inf
             sc[_F_OK0 + i] = zeros
+        if mT:
+            sc[_F_M0] = sc[_MERIT]
+            sc[_F_V0] = ftheta0
+            sc[_F_OK0] = ones
 
         # --- one driver iteration ------------------------------------------
         def outer(_itn, carry):
@@ -507,7 +550,10 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
                         mrt = sc[_BP_DONE] < 0.5
                         regl = sc[_REG]
 
-                        # Terminal value fold (quadratic, no terminal ineq).
+                        # Terminal value fold: quadratic terminal cost,
+                        # plus the terminal-inequality barrier fold when
+                        # present (_terminal_value_fold,
+                        # ipddp_solver.cpp:999-1031).
                         xN = [Xo[N, i] for i in range(nx)]
                         eN = [xN[i] - goal[i] for i in range(nx)]
                         VxT = [
@@ -516,6 +562,31 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
                         ]
                         VxxT = [[2.0 * Qf[i][j] for j in range(nx)]
                                 for i in range(nx)]
+                        infpr_T = zeros
+                        infcomp_T = zeros
+                        if mT:
+                            gTb = gT_of(xN)
+                            mu_floor_T = jnp.maximum(mu * 1e-3, _EPS_SLACK)
+                            for i in range(mT):
+                                sT = STo[i]
+                                yT = jnp.maximum(YTo[i], _EPS_SLACK)
+                                s_safe_T = jnp.maximum(sT, mu_floor_T)
+                                sigma_T = _lclip(yT / s_safe_T, 0.0, cap)
+                                bg_T = yT + _lclip(
+                                    (yT * gTb[i] + mu) / s_safe_T, -cap, cap
+                                )
+                                for j in range(nx):
+                                    VxT[j] = VxT[j] + AT[i][j] * bg_T
+                                    for kx in range(nx):
+                                        VxxT[j][kx] = VxxT[j][kx] + (
+                                            AT[i][j] * sigma_T * AT[i][kx]
+                                        )
+                                infpr_T = jnp.maximum(
+                                    infpr_T, jnp.abs(gTb[i] + STo[i])
+                                )
+                                infcomp_T = jnp.maximum(
+                                    infcomp_T, jnp.abs(YTo[i] * STo[i] - mu)
+                                )
                         for i in range(nx):
                             Vxs[N, i] = jnp.where(mrt, VxT[i], Vxs[N, i])
                             for j in range(nx):
@@ -630,8 +701,8 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
                         init = (
                             tuple(VxT),
                             tuple(tuple(r) for r in VxxT),
-                            zeros, zeros, zeros, zeros, zeros, zeros, ones,
-                            jnp.asarray(N - 1, jnp.int32),
+                            zeros, zeros, zeros, infpr_T, infcomp_T, zeros,
+                            ones, jnp.asarray(N - 1, jnp.int32),
                         )
                         out = jax.lax.fori_loop(_i32(0), _i32(N), bstep, init)
                         dv0, dv1, infdu, infpr, infcomp, stepn, okl = out[2:-1]
@@ -731,10 +802,44 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
                     ]
                     return (tuple(dx_next), a_pr, a_du, t + _i32(1))
 
-                _, a_pr_m, a_du_m, _ = jax.lax.fori_loop(
+                dx_last_t, a_pr_m, a_du_m, _ = jax.lax.fori_loop(
                     _i32(0), _i32(N), ms_body,
                     ((zeros,) * nx, ones, ones, jnp.asarray(0, jnp.int32)),
                 )
+                if mT:
+                    # Terminal slack/dual Newton steps from the linear
+                    # rollout's dx_N (_terminal_ineq_steps,
+                    # ipddp_solver.cpp:1315-1345), folded into the
+                    # fraction-to-boundary caps.
+                    xNm = [Xo[N, i] for i in range(nx)]
+                    gTm = gT_of(xNm)
+                    mu_floor_T = jnp.maximum(mu * 1e-3, _EPS_SLACK)
+                    for i in range(mT):
+                        sT = STo[i]
+                        yT = YTo[i]
+                        dS_T = -(gTm[i] + sT) - sum(
+                            AT[i][j] * dx_last_t[j] for j in range(nx)
+                        )
+                        s_safe_T = jnp.maximum(sT, mu_floor_T)
+                        ratio_T = _lclip(yT / s_safe_T, 0.0, cap)
+                        affine_T = _lclip(
+                            -(sT * yT - mu) / s_safe_T, -cap, cap
+                        )
+                        dY_T = _lclip(affine_T - ratio_T * dS_T, -cap, cap)
+                        r_pr = -tau * sT / jnp.where(
+                            dS_T < 0.0, dS_T, -ones
+                        )
+                        a_pr_m = jnp.minimum(
+                            a_pr_m,
+                            jnp.where(dS_T < 0.0, r_pr, zeros + jnp.inf),
+                        )
+                        r_du = -tau * yT / jnp.where(
+                            dY_T < 0.0, dY_T, -ones
+                        )
+                        a_du_m = jnp.minimum(
+                            a_du_m,
+                            jnp.where(dY_T < 0.0, r_du, zeros + jnp.inf),
+                        )
                 sc[_APRMAX] = _lclip(a_pr_m, 0.0, 1.0)
                 sc[_ADUMAX] = _lclip(a_du_m, 0.0, 1.0)
 
@@ -898,6 +1003,75 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
                             feas = feas * fin(lamN[i])
                             Lc[N, i] = jnp.where(mnf, lamN[i], Lc[N, i])
 
+                        if mT:
+                            # Terminal-inequality slack/dual trial updates
+                            # (ipddp_solver.cpp:1667-1725 and the XLA
+                            # driver's _forward_pass): gains built at the
+                            # OLD terminal state, applied with the real
+                            # dx_N.
+                            xN_old = [Xo[N, i] for i in range(nx)]
+                            gT0l = gT_of(xN_old)
+                            gTn = gT_of(xN)
+                            mu_floor_T = jnp.maximum(mu * 1e-3, _EPS_SLACK)
+                            eps_T = jnp.finfo(tau.dtype).eps
+                            omt_T = 1.0 - tau
+                            for i in range(mT):
+                                sT = STo[i]
+                                yT = YTo[i]
+                                k_s_T = -(gT0l[i] + sT)
+                                # K_s_T = -A_T, so K_s_T @ dxN = -A dxN.
+                                AdxN = sum(
+                                    AT[i][j] * dxN[j] for j in range(nx)
+                                )
+                                sT_new = sT + a_pr * k_s_T - AdxN
+                                s_safe_T = jnp.maximum(sT, mu_floor_T)
+                                r_d = yT * sT - mu
+                                dual_ratio = _lclip(
+                                    yT / s_safe_T, 0.0, cap
+                                )
+                                k_y_T = _lclip(
+                                    (-r_d - yT * k_s_T) / s_safe_T,
+                                    -cap, cap,
+                                )
+                                # K_y_T = -dual_ratio * K_s_T =
+                                # dual_ratio * A_T.
+                                yT_new = (
+                                    yT + a_du * k_y_T + dual_ratio * AdxN
+                                )
+                                s_floor = jnp.maximum(
+                                    omt_T * sT, mu_floor_T
+                                )
+                                slop_sT = 16.0 * eps_T * (
+                                    1.0 + jnp.abs(sT) + jnp.abs(sT_new)
+                                )
+                                feas = feas * jnp.where(
+                                    (sT_new > 0.0)
+                                    & (sT_new >= s_floor - slop_sT),
+                                    ones, zeros,
+                                )
+                                slop_yT = 16.0 * eps_T * (
+                                    1.0 + jnp.abs(yT) + jnp.abs(yT_new)
+                                )
+                                feas = feas * jnp.where(
+                                    (yT_new > 0.0)
+                                    & (yT_new >= omt_T * yT - slop_yT),
+                                    ones, zeros,
+                                )
+                                feas = feas * fin(sT_new) * fin(yT_new)
+                                sumlog = sumlog + jnp.log(
+                                    jnp.maximum(sT_new, _EPS_SLACK)
+                                )
+                                r = gTn[i] + sT_new
+                                th = th + (
+                                    r * r if cfg.theta_l2 else jnp.abs(r)
+                                )
+                                infpr = jnp.maximum(infpr, jnp.abs(r))
+                                ysT = yT_new * sT_new
+                                maxys = jnp.maximum(maxys, ysT)
+                                minys = jnp.minimum(minys, ysT)
+                                STc[i] = jnp.where(mnf, sT_new, STc[i])
+                                YTc[i] = jnp.where(mnf, yT_new, YTc[i])
+
                         phi = J - mu * sumlog
                         theta_new = jnp.maximum(
                             jnp.sqrt(th) if cfg.theta_l2 else th, infpr
@@ -975,6 +1149,10 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
                                   jnp.asarray(0, jnp.int32))
                 for i in range(nx):
                     Lo[N, i] = jnp.where(commit_m, Lc[N, i], Lo[N, i])
+                if mT:
+                    for i in range(mT):
+                        STo[i] = jnp.where(commit_m, STc[i], STo[i])
+                        YTo[i] = jnp.where(commit_m, YTc[i], YTo[i])
 
                 # Barrier schedule (updateBarrierParameters,
                 # ipddp_solver.cpp:2548-2660) on committed lanes.
@@ -1051,9 +1229,18 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
                     mi = jnp.where(do_prune, pm[i], km[i])
                     vi = jnp.where(do_prune, pv[i], kv[i])
                     oki = jnp.where(do_prune, pval[i], kval[i])
-                    mi = jnp.where(reset, zeros + jnp.inf, mi)
-                    vi = jnp.where(reset, zeros + jnp.inf, vi)
-                    oki = jnp.where(reset, zeros, oki)
+                    if mT and i == 0:
+                        # With terminal constraints the mu-decrease reset
+                        # re-seeds the cleared filter with the committed
+                        # point (_update_barrier_and_filter: cleared gets
+                        # (phi, filter_theta) when has_ti/has_te).
+                        mi = jnp.where(reset, sc[_TMERIT], mi)
+                        vi = jnp.where(reset, ft_c, vi)
+                        oki = jnp.where(reset, ones, oki)
+                    else:
+                        mi = jnp.where(reset, zeros + jnp.inf, mi)
+                        vi = jnp.where(reset, zeros + jnp.inf, vi)
+                        oki = jnp.where(reset, zeros, oki)
                     sc[_F_M0 + i] = jnp.where(commit_m, mi, sc[_F_M0 + i])
                     sc[_F_V0 + i] = jnp.where(commit_m, vi, sc[_F_V0 + i])
                     sc[_F_OK0 + i] = jnp.where(commit_m, oki, sc[_F_OK0 + i])
@@ -1243,7 +1430,8 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
     np_eff = max(n_params, 1)
 
     def call(X0, U0, Y0, S0, ku0, Ku0, L0, mu0, dtv, params, Q, R, Qf,
-             goal, refs, lo, hi, sfv, interpret=False):
+             goal, refs, lo, hi, sfv, st0=None, yt0=None, atm=None,
+             btm=None, interpret=False):
         Btot = X0.shape[-1]
         assert Btot % tile_b == 0, (Btot, tile_b)
         grid = (Btot // tile_b,)
@@ -1267,11 +1455,11 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
             spec(np_eff), spec(nx, nx), spec(nu, nu), spec(nx, nx), spec(nx),
         ] + ([spec(N, nx)] if tracking else []) + [
             spec(nb), spec(nb), spec(n_items),
-        ]
+        ] + ([spec(mT), spec(mT), spec(mT, nx), spec(mT)] if mT else [])
         out_specs = (
             spec(N + 1, nx), spec(N, nu), spec(N, nu), spec(N, nu, nx),
             spec(N, m), spec(N, m), spec(N + 1, nx), spec(9),
-        )
+        ) + ((spec(mT), spec(mT)) if mT else ())
         out_shape = (
             jax.ShapeDtypeStruct((N + 1, nx, rows, 128), dtype),
             jax.ShapeDtypeStruct((N, nu, rows, 128), dtype),
@@ -1281,7 +1469,10 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
             jax.ShapeDtypeStruct((N, m, rows, 128), dtype),
             jax.ShapeDtypeStruct((N + 1, nx, rows, 128), dtype),
             jax.ShapeDtypeStruct((9, rows, 128), dtype),
-        )
+        ) + ((
+            jax.ShapeDtypeStruct((mT, rows, 128), dtype),
+            jax.ShapeDtypeStruct((mT, rows, 128), dtype),
+        ) if mT else ())
         scratch = [
             pltpu.VMEM((N + 1, nx, tbs, 128), dtype),      # Vx sequence
             pltpu.VMEM((N + 1, nx, nx, tbs, 128), dtype),  # Vxx sequence
@@ -1290,13 +1481,20 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
             pltpu.VMEM((N, m, tbs, 128), dtype),           # Yc
             pltpu.VMEM((N, m, tbs, 128), dtype),           # Sc
             pltpu.VMEM((N + 1, nx, tbs, 128), dtype),      # Lc
+        ] + ([
+            pltpu.VMEM((mT, tbs, 128), dtype),             # STc
+            pltpu.VMEM((mT, tbs, 128), dtype),             # YTc
+        ] if mT else []) + [
             pltpu.VMEM((_N_SCALARS, tbs, 128), dtype),     # sc
         ]
         ins = (X0, U0, Y0, S0, ku0, Ku0, L0, mu0, dtv, params, Q, R, Qf,
                goal)
         if tracking:
             ins = ins + (refs,)
-        args = [fold(v) for v in ins + (lo, hi, sfv)]
+        ins = ins + (lo, hi, sfv)
+        if mT:
+            ins = ins + (st0, yt0, atm, btm)
+        args = [fold(v) for v in ins]
         outs = pl.pallas_call(
             kernel,
             grid=grid,
@@ -1422,7 +1620,10 @@ def mega_eligible(problem, options) -> bool:
     tstk = TerminalStacker(problem)
     if _lane_stack(stk) is None or stk.total_dim == 0:
         return False
-    if tstk.ineq_dim > 0 or tstk.eq_dim > 0:
+    # Linear terminal inequalities fold into the kernel's terminal value
+    # (ipddp_solver.cpp:999-1031); terminal equalities need the p+1
+    # reduced-LQR regime and stay on the XLA driver.
+    if tstk.eq_dim > 0:
         return False
     ip = options.ipddp
     return (
@@ -1453,11 +1654,12 @@ def mega_eligible(problem, options) -> bool:
                      "interpret"),
 )
 def _mega_impl(X0, U0, Y0, S0, ku0, Ku0, L0, mu0, dtv, params, Q, R, Qf,
-               goal, refs, lo, hi, sfv, cfg: _Cfg, kind: str,
-               integrator: str, box_layout,
+               goal, refs, lo, hi, sfv, st0, yt0, atm, btm, cfg: _Cfg,
+               kind: str, integrator: str, box_layout,
                tile_b: int = DEFAULT_TILE_B, interpret: bool = False):
     """Batch-first wrapper: pad to a tile multiple, transpose to batch-last,
-    run the kernel, trim. ``refs`` is None for goal-form objectives."""
+    run the kernel, trim. ``refs`` is None for goal-form objectives;
+    ``st0/yt0/atm/btm`` are None without terminal inequalities."""
     B0 = X0.shape[0]
     nx, nu, N, m = X0.shape[2], U0.shape[2], U0.shape[1], Y0.shape[2]
     pad = (-B0) % tile_b
@@ -1473,14 +1675,16 @@ def _mega_impl(X0, U0, Y0, S0, ku0, Ku0, L0, mu0, dtv, params, Q, R, Qf,
     entry = _REGISTRY[kind]
     n_params, lane_f = entry[0], entry[2]
     deriv_f = deriv_lane_fn(kind, lane_f, nx, nu)
+    mT = 0 if st0 is None else st0.shape[1]
     call = make_solve_kernel(
         nx, nu, m, N, n_params, lane_f, deriv_f, integrator, box_layout,
-        cfg, cap, tracking, tile_b,
+        cfg, cap, tracking, mT=mT, tile_b=tile_b,
     )
     args = [
         prep(v) if v is not None else None
         for v in (X0, U0, Y0, S0, ku0, Ku0, L0, mu0[:, None], dtv[:, None],
-                  params, Q, R, Qf, goal, refs, lo, hi, sfv)
+                  params, Q, R, Qf, goal, refs, lo, hi, sfv, st0, yt0, atm,
+                  btm)
     ]
     outs = call(*args, interpret=interpret)
     unprep = lambda v: jnp.moveaxis(v, -1, 0)[:B0]
@@ -1489,16 +1693,19 @@ def _mega_impl(X0, U0, Y0, S0, ku0, Ku0, L0, mu0, dtv, params, Q, R, Qf,
 
 def build_fused_solve(problem, options, interpret: bool = False):
     """Batch-first fused whole-solve for a concrete (problem, options):
-    ``fused(x0, X0, U0, Y0, S0, L0, mu0, ku0, Ku0) -> (X, U, k, K, Y, S,
-    Lambda, cost, inf_pr, inf_du, inf_comp, mu, reg, alpha_pr,
-    iterations(int32), status(int32))``. Also the test entry for
-    interpret-mode parity runs."""
-    from cddp_tpu.constraints.stack import PathStacker
+    ``fused(x0, X0, U0, Y0, S0, L0, mu0, ku0, Ku0, S_T0, Y_T0) ->
+    (X, U, k, K, Y, S, Lambda, cost, inf_pr, inf_du, inf_comp, mu, reg,
+    alpha_pr, iterations(int32), status(int32), S_T, Y_T)``. ``S_T0/Y_T0``
+    are ``(B, mT)`` (``mT = 0`` without terminal inequalities). Also the
+    test entry for interpret-mode parity runs."""
+    from cddp_tpu.constraints.stack import PathStacker, TerminalStacker
 
     kind = _registry_key(problem.model)
     integrator = problem.model.integration_type
     obj = problem.objective
     stk = PathStacker(problem)
+    tstk = TerminalStacker(problem)
+    mT = tstk.ineq_dim
     boxes = _lane_stack(stk)
     _, box_layout = _lane_stack_dims(boxes, problem.state_dim,
                                      problem.control_dim)
@@ -1514,7 +1721,7 @@ def build_fused_solve(problem, options, interpret: bool = False):
     entry = _REGISTRY[kind]
     n_params, param_fn = entry[0], entry[1]
 
-    def fused_impl(x0, X0, U0, Y0, S0, L0, mu0, ku0, Ku0):
+    def fused_impl(x0, X0, U0, Y0, S0, L0, mu0, ku0, Ku0, S_T0, Y_T0):
         B = x0.shape[0]
         dtype = x0.dtype
 
@@ -1548,22 +1755,37 @@ def build_fused_solve(problem, options, interpret: bool = False):
         sfv = bc(jnp.stack(
             [jnp.asarray(cb.scale_factor, dtype) for _, cb in boxes]
         ))
+        if mT:
+            atm = bc(jnp.concatenate(
+                [jnp.asarray(c.A, dtype) for _, c in tstk.ineq_items]
+            ))
+            btm = bc(jnp.concatenate(
+                [jnp.asarray(c.b, dtype) for _, c in tstk.ineq_items]
+            ))
+            st0, yt0 = S_T0, Y_T0
+        else:
+            atm = btm = st0 = yt0 = None
         outs = _mega_impl(
             X0, U0, Y0, S0, ku0, Ku0, L0,
             jnp.broadcast_to(jnp.asarray(mu0, dtype), (B,)),
             jnp.broadcast_to(jnp.asarray(problem.timestep, dtype), (B,)),
             params, bc(obj.Q), bc(obj.R), bc(obj.Qf),
-            bc(obj.reference_state), refs, lo, hi, sfv,
+            bc(obj.reference_state), refs, lo, hi, sfv, st0, yt0, atm, btm,
             cfg=cfg, kind=kind, integrator=integrator,
             box_layout=box_layout, tile_b=DEFAULT_TILE_B,
             interpret=interpret,
         )
-        X, U, k, K, Y, S, Lam, st = outs
+        if mT:
+            X, U, k, K, Y, S, Lam, st, S_T, Y_T = outs
+        else:
+            X, U, k, K, Y, S, Lam, st = outs
+            S_T = jnp.zeros((B, 0), dtype)
+            Y_T = jnp.zeros((B, 0), dtype)
         return (
             X, U, k, K, Y, S, Lam,
             st[:, 0], st[:, 1], st[:, 2], st[:, 3], st[:, 4], st[:, 5],
             st[:, 6], st[:, 7].astype(jnp.int32),
-            st[:, 8].astype(jnp.int32),
+            st[:, 8].astype(jnp.int32), S_T, Y_T,
         )
 
     return fused_impl
@@ -1572,31 +1794,36 @@ def build_fused_solve(problem, options, interpret: bool = False):
 def problem_consts_concrete(problem) -> bool:
     from cddp_tpu.ops.pallas.mega_clddp import problem_consts_concrete as f
 
-    return f(problem)
+    term_leaves = jax.tree_util.tree_leaves(problem.terminal_constraints)
+    return f(problem) and not any(
+        isinstance(l, jax.core.Tracer) for l in term_leaves
+    )
 
 
 def ipddp_solve_op(problem, options, interpret: bool = False):
     """Batch-aware whole-solve op for this (problem, options) pair.
 
-    ``op(x0, X0, U0, Y0, S0, L0, mu0, ku0, Ku0) -> (X, U, k, K, Y, S,
-    Lambda, cost, inf_pr, inf_du, inf_comp, mu, reg, alpha_pr,
-    iterations(int32), status(int32))``. Unbatched / CPU / non-f32 calls
-    run the XLA ``_drive`` driver per instance; vmapped TPU float32 batches
-    >= MIN_KERNEL_BATCH run the fused kernel."""
+    ``op(x0, X0, U0, Y0, S0, L0, mu0, ku0, Ku0, S_T0, Y_T0) -> (X, U, k,
+    K, Y, S, Lambda, cost, inf_pr, inf_du, inf_comp, mu, reg, alpha_pr,
+    iterations(int32), status(int32), S_T, Y_T)``. Unbatched / CPU /
+    non-f32 calls run the XLA ``_drive`` driver per instance; vmapped TPU
+    float32 batches >= MIN_KERNEL_BATCH run the fused kernel."""
     from cddp_tpu.solvers import ipddp as _ipddp
-    from cddp_tpu.constraints.stack import PathStacker
+    from cddp_tpu.constraints.stack import PathStacker, TerminalStacker
 
     kind = _registry_key(problem.model)
     fused_impl = build_fused_solve(problem, options, interpret)
 
-    def scan_single(x0, X0, U0, Y0, S0, L0, mu0, ku0, Ku0):
+    def scan_single(x0, X0, U0, Y0, S0, L0, mu0, ku0, Ku0, S_T0, Y_T0):
         p = problem.replace(x0=x0)
         stk = PathStacker(p)
+        tstk = TerminalStacker(p)
         dtype = X0.dtype
         G = _ipddp._eval_path(p, stk, X0, U0)
+        G_T = tstk.ineq_evaluate(X0[-1])
         empty = jnp.zeros((0,), dtype)
         sol, st = _ipddp._drive(
-            p, options, X0, U0, Y0, S0, G, empty, empty, empty, L0, empty,
+            p, options, X0, U0, Y0, S0, G, G_T, S_T0, Y_T0, L0, empty,
             mu0, ku0, Ku0,
         )
         return (
@@ -1604,7 +1831,7 @@ def ipddp_solve_op(problem, options, interpret: bool = False):
             st.Y, st.S, st.Lambda, sol.final_objective, sol.inf_pr,
             sol.inf_du, sol.inf_comp, sol.barrier_mu,
             sol.final_regularization, sol.final_step_length,
-            sol.iterations_completed, sol.status_code,
+            sol.iterations_completed, sol.status_code, st.S_T, st.Y_T,
         )
 
     return make_batched_op(

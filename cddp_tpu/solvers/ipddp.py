@@ -353,7 +353,8 @@ def _rollout_linear(A, B, K, k, dx0, d=None):
         dx_next = A_t @ dx + B_t @ du + d_t
         return dx_next, (dx, du)
 
-    dx_last, (dX_head, dU) = jax.lax.scan(step, dx0, (A, B, K, k, d))
+    dx_last, (dX_head, dU) = jax.lax.scan(step, dx0, (A, B, K, k, d),
+                                          unroll=4)
     dX = jnp.concatenate([dX_head, dx_last[None]], axis=0)
     return dX, dU
 
@@ -1076,10 +1077,12 @@ def _forward_pass(
             bp.K_lambda[:-1], c.Lambda[:-1], bp.k_y, bp.K_y, bp.k_s, bp.K_s,
             ts, ks_idx,
         )
+        # unroll=4: tiny per-step body — loop overhead dominates on TPU
+        # (math unchanged; goldens stay bit-identical).
         (x_last, J, feasible), (X_tail, U_new, S_new, Y_new, G_new, Lam_head) = (
             jax.lax.scan(
                 step, (problem.x0, jnp.zeros((), dtype), jnp.asarray(True)),
-                inputs,
+                inputs, unroll=4,
             )
         )
     X_new = jnp.concatenate([problem.x0[None], X_tail], axis=0)
@@ -2033,15 +2036,16 @@ def _solve_mega(problem: Problem, options: CDDPOptions, U0, warm,
 
     op = ipddp_solve_op(problem, options)
     (Xs, Us, ks, Ks, Ys, Ss, Lam, cost, inf_pr, inf_du, inf_comp, mu, reg,
-     alpha_pr, iters, status) = op(
-        problem.x0, X, U, Y, S, Lambda, jnp.asarray(mu0, dtype), ku0, Ku0
+     alpha_pr, iters, status, S_T_out, Y_T_out) = op(
+        problem.x0, X, U, Y, S, Lambda, jnp.asarray(mu0, dtype), ku0, Ku0,
+        S_T, Y_T,
     )
 
+    has_ti = tstk.ineq_dim > 0
     time_points = jnp.arange(N + 1, dtype=dtype) * problem.timestep
     solver_state = IPDDPSolverState(
         k_u=ks, K_u=Ks, Y=Ys, S=Ss, Lambda=Lam,
-        Y_T=jnp.zeros(Ys.shape[:-2] + (0,), dtype),
-        S_T=jnp.zeros(Ys.shape[:-2] + (0,), dtype),
+        Y_T=Y_T_out, S_T=S_T_out,
         Lambda_T_eq=jnp.zeros(Ys.shape[:-2] + (0,), dtype),
         x0=problem.x0,
     )
@@ -2060,7 +2064,7 @@ def _solve_mega(problem: Problem, options: CDDPOptions, U0, warm,
         dual_trajectories=stk.split(Ys),
         slack_trajectories=stk.split(Ss),
         costate_trajectory=Lam,
-        terminal_duals=None,
+        terminal_duals=tstk.split_ineq(Y_T_out) if has_ti else None,
         barrier_mu=mu,
         inf_pr=inf_pr,
         inf_du=inf_du,
