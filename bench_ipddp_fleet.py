@@ -84,7 +84,10 @@ def main():
     opts = ct.CDDPOptions(max_iterations=10, tolerance=1e-4)
     key = jax.random.PRNGKey(0)
 
+    only = os.environ.get("BENCH_CONFIG")  # run one config per process
     for name, prob in _problems(dtype).items():
+        if only and name != only:
+            continue
         x0 = jax.random.uniform(key, (batch, 3), dtype,
                                 minval=-0.5, maxval=0.5)
         os.environ.pop("CDDP_TPU_NO_MEGA", None)

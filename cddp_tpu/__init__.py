@@ -61,6 +61,7 @@ from cddp_tpu.constraints.terminal import (
 
 from cddp_tpu import solvers
 from cddp_tpu.diff import make_differentiable_solve
+from cddp_tpu.refine import polish
 
 __version__ = "0.1.0"
 

@@ -1101,9 +1101,18 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
                         acc3 = (
                             phi < merit_old - cfg.mat * theta_new
                         ) | (theta_new < (1.0 - cfg.vat) * cv_old)
-                        accept = jnp.where(br1, acc1, jnp.where(br2, acc2,
-                                                                acc3))
-                        take = (feas > 0.5) & accept & mnf
+                        # Select with FLOAT operands, not bool: a select of
+                        # i1 vectors lowers to an i8 select + an
+                        # arith.trunci i8->i1 that the Mosaic TPU backend
+                        # rejects ("Unsupported target bitwidth for
+                        # truncation") — caught on hardware; the
+                        # export-based lowering test only runs the MLIR
+                        # verifier, not the backend.
+                        accept = jnp.where(
+                            br1, jnp.where(acc1, ones, zeros),
+                            jnp.where(br2, jnp.where(acc2, ones, zeros),
+                                      jnp.where(acc3, ones, zeros)))
+                        take = (feas > 0.5) & (accept > 0.5) & mnf
 
                         sc[_TJ] = jnp.where(take, J, sc[_TJ])
                         sc[_TMERIT] = jnp.where(take, phi, sc[_TMERIT])

@@ -138,6 +138,14 @@ class IPDDPOptions:
     warmstart_s_min: float = 1e-4
     warmstart_y_min: float = 1e-4
     warmstart_interior_factor: float = 1.1
+    # JAX-only: the reference's per-timestep staleness reinit
+    # (warmstartNeedsReinit, ipddp_solver.cpp:264-292) discards warm
+    # duals/slacks wherever a slack sits below 10% of its cold-init value —
+    # right for MPC ticks whose active set shifts, wrong for a polish
+    # resuming from a CONVERGED iterate, where active constraints hold
+    # s ~ mu/y << slack_var_init_scale by construction. False keeps the
+    # warm duals verbatim (cddp_tpu.refine.polish sets this).
+    warmstart_staleness_check: bool = True
     warmstart_reset_x0_threshold: float = -1.0
     jacobian_regularization_value: float = 1e-8
     jacobian_regularization_exponent: float = 0.25

@@ -1418,7 +1418,7 @@ def _initialize(problem, options, stk, tstk, U0, warm, trajectory_warm, dtype):
         Lambda = warm.Lambda
         Lambda_T_eq = warm.Lambda_T_eq
         # Staleness reinit per step (warmstartNeedsReinit, :264-292).
-        if has_path:
+        if has_path and options.ipddp.warmstart_staleness_check:
             def repair(y, s, g):
                 required = jnp.maximum(
                     options.ipddp.slack_var_init_scale, -g + SLACK_INTERIOR_OFFSET
