@@ -85,18 +85,42 @@ def main():
     key = jax.random.PRNGKey(0)
 
     only = os.environ.get("BENCH_CONFIG")  # run one config per process
+    # One ENGINE per process fits the ~10-min TPU compile budget:
+    # BENCH_ENGINE=kernel|perpass runs that engine and stages its results
+    # to /tmp; the perpass leg prints the comparison when the kernel
+    # leg's stage file exists. Unset = both engines in-process.
+    engine = os.environ.get("BENCH_ENGINE")
     for name, prob in _problems(dtype).items():
         if only and name != only:
             continue
         x0 = jax.random.uniform(key, (batch, 3), dtype,
                                 minval=-0.5, maxval=0.5)
-        os.environ.pop("CDDP_TPU_NO_MEGA", None)
-        jax.clear_caches()
-        t_kernel, c_k, i_k, s_k = _bench(prob, x0, opts, reps)
+        stage = f"/tmp/bench_ipddp_fleet_{name}_{batch}_kernel.npz"
+        if engine != "perpass":
+            os.environ.pop("CDDP_TPU_NO_MEGA", None)
+            jax.clear_caches()
+            t_kernel, c_k, i_k, s_k = _bench(prob, x0, opts, reps)
+            if engine == "kernel":
+                np.savez(stage, t=t_kernel, c=c_k, i=i_k, s=s_k)
+                print(json.dumps({
+                    "metric": f"ipddp_{name}_solves_per_sec",
+                    "value": round(batch / t_kernel, 1),
+                    "unit": "solves/s", "staged": stage,
+                }))
+                continue
         os.environ["CDDP_TPU_NO_MEGA"] = "1"
         jax.clear_caches()
         t_scan, c_s, i_s, s_s = _bench(prob, x0, opts, reps)
         os.environ.pop("CDDP_TPU_NO_MEGA", None)
+        if engine == "perpass":
+            if not os.path.exists(stage):
+                print(json.dumps({
+                    "metric": f"ipddp_{name}_perpass_solves_per_sec",
+                    "value": round(batch / t_scan, 1), "unit": "solves/s",
+                }))
+                continue
+            d = np.load(stage)
+            t_kernel, c_k, i_k, s_k = float(d["t"]), d["c"], d["i"], d["s"]
 
         rel = np.abs(c_k - c_s) / np.maximum(np.abs(c_s), 1e-9)
         # In f32, equally-valid but differently-ordered programs can take

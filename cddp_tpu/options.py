@@ -223,6 +223,12 @@ class MSIPDDPOptions:
     rollout_type: str = "nonlinear"
     use_controlled_rollout: bool = False
     costate_var_init_scale: float = 1e-6
+    # JAX-only: same contract as IPDDPOptions.warmstart_staleness_check —
+    # False keeps warm duals/slacks verbatim wherever they are finite and
+    # positive (cddp_tpu.refine.polish sets this when resuming from a
+    # converged iterate, whose active rows hold s ~ mu/y below the
+    # 10%-of-cold-init staleness bar by construction).
+    warmstart_staleness_check: bool = True
     # JAX-only: engine for the defect-aware Riccati recursion.
     # "sequential" = reverse lax.scan (O(N) depth); "parallel" = associative-
     # scan Riccati with the defect drift (O(log N) depth,

@@ -31,10 +31,12 @@ the fleet tolerance — the very case the polish exists for) carry duals
 that are far from the f64 optimum's (measured inf_du ~0.5 on the
 unreachable-goal family), and dual-warming from them is WORSE than
 ignoring them (268 vs 241 iterations measured); they polish from a
-trajectory-seeded cold start instead, as do other solvers and IPDDP
-solutions recorded without dual maps. A vmap-batched fleet dual-warms
-only when every instance converged (one trace serves the whole batch,
-so the gate is all-or-nothing).
+trajectory-seeded cold start instead, as do CLDDP/LogDDP and solutions
+recorded without dual maps. MSIPDDP dual-warms the same way (duals,
+slacks, costates, gains into MSIPDDPSolverState, staleness reinit
+gated off). A vmap-batched fleet dual-warms only when every instance
+converged (one trace serves the whole batch, so the gate is
+all-or-nothing).
 
 No reference counterpart: the C++ solver is double-only throughout
 (``cddp_core.hpp``), so a mixed-precision deploy loop is new surface.
@@ -124,6 +126,29 @@ def _ipddp_warm_state(problem, solution, X, U, options, dtype):
     return state, mu0
 
 
+def _msipddp_warm_state(problem, solution, X, U, dtype):
+    """Rebuild MSIPDDPSolverState from a recorded Solution. Returns
+    (state, mu0). The shooting-node dynamics values F are recomputed by
+    the solver's own warm path; X[1:] seeds them with the recorded
+    (dynamically consistent at convergence) trajectory."""
+    from cddp_tpu.constraints.stack import PathStacker
+    from cddp_tpu.solvers.msipddp import MSIPDDPSolverState
+
+    stk = PathStacker(problem)
+    Y = _restack(solution.dual_trajectories, stk.names, dtype)
+    S = _restack(solution.slack_trajectories, stk.names, dtype)
+    mu0 = float(jnp.mean(Y * S))
+    state = MSIPDDPSolverState(
+        k_u=jnp.asarray(solution.feedforward_gains, dtype),
+        K_u=jnp.asarray(solution.feedback_gains, dtype),
+        Y=Y,
+        S=S,
+        Lambda=jnp.asarray(solution.costate_trajectory, dtype),
+        F=X[..., 1:, :],
+    )
+    return state, mu0
+
+
 def polish(
     problem: Problem,
     solution: Solution,
@@ -183,32 +208,50 @@ def polish(
     U = jnp.asarray(solution.control_trajectory, dtype)
     prob = _cast_tree(problem, dtype)
 
-    dual_warm = (
-        name.upper() == "IPDDP"
-        and solution.dual_trajectories is not None
+    # Non-converged duals mislead the restart (see module docstring);
+    # batched fleets dual-warm only when EVERY instance converged.
+    warmable = (
+        solution.dual_trajectories is not None
         and solution.feedforward_gains is not None
-        # Non-converged duals mislead the restart (see module docstring);
-        # batched fleets dual-warm only when EVERY instance converged.
         and bool(np.all(solution.converged_mask()))
     )
-    if dual_warm:
-        state, mu_warm = _ipddp_warm_state(prob, solution, X, U, options,
-                                           dtype)
+    if warmable and name.upper() in ("IPDDP", "MSIPDDP"):
+        if name.upper() == "IPDDP":
+            state, mu_warm = _ipddp_warm_state(prob, solution, X, U,
+                                               options, dtype)
+        else:
+            state, mu_warm = _msipddp_warm_state(prob, solution, X, U,
+                                                 dtype)
         # Resume the barrier at the warm iterate's own complementarity
         # (floored above the target tolerance so the first iterations
         # aren't asked for a certificate the duals can't support yet).
+        # Both warm paths restart the barrier at mu_initial * 0.1
+        # (ipddp_solver.cpp:116-127 / msipddp_solver.cpp:116-127), hence
+        # the 10x.
         mu0 = min(0.1, max(mu_warm, 10.0 * options.tolerance))
-        options = dataclasses.replace(
-            options,
-            warm_start=True,
-            ipddp=dataclasses.replace(
-                options.ipddp,
-                barrier=dataclasses.replace(options.ipddp.barrier,
-                                            mu_initial=10.0 * mu0),
-                warmstart_repair=True,
-                warmstart_staleness_check=False,
-            ),
-        )
+        if name.upper() == "IPDDP":
+            options = dataclasses.replace(
+                options,
+                warm_start=True,
+                ipddp=dataclasses.replace(
+                    options.ipddp,
+                    barrier=dataclasses.replace(options.ipddp.barrier,
+                                                mu_initial=10.0 * mu0),
+                    warmstart_repair=True,
+                    warmstart_staleness_check=False,
+                ),
+            )
+        else:
+            options = dataclasses.replace(
+                options,
+                warm_start=True,
+                msipddp=dataclasses.replace(
+                    options.msipddp,
+                    barrier=dataclasses.replace(options.msipddp.barrier,
+                                                mu_initial=10.0 * mu0),
+                    warmstart_staleness_check=False,
+                ),
+            )
 
         def one(X_i, U_i, st_i):
             p = prob.replace(x0=X_i[0])
@@ -218,8 +261,9 @@ def polish(
             return jax.vmap(one)(X, U, state)
         return one(X, U, state)
 
-    # Trajectory-seeded cold start (CLDDP/LogDDP/MSIPDDP, or solutions
-    # recorded without dual maps): the f32 trajectories seed the solve.
+    # Trajectory-seeded cold start (CLDDP/LogDDP, non-converged or
+    # dual-less IPDDP/MSIPDDP solutions): the f32 trajectories seed the
+    # solve.
     options = dataclasses.replace(options, warm_start=False)
 
     def one(X_i, U_i):

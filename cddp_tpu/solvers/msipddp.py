@@ -609,9 +609,14 @@ def _solve(problem: Problem, options: CDDPOptions, X0, U0, warm):
         if has_path:
             required = jnp.maximum(options.msipddp.slack_var_init_scale, -G)
             bad = (
-                (Y <= 1e-12) | (S <= 1e-12) | (S < 0.1 * required)
+                (Y <= 1e-12) | (S <= 1e-12)
                 | ~jnp.isfinite(Y) | ~jnp.isfinite(S)
             )
+            if options.msipddp.warmstart_staleness_check:
+                # Per-row staleness reinit (slack collapsed below 10% of
+                # its cold-init value — right for MPC ticks, wrong for a
+                # converged-iterate polish; see the option's docstring).
+                bad = bad | (S < 0.1 * required)
             S_init = required
             Y_init = jnp.clip(
                 mu0 / jnp.maximum(S_init, 1e-12),

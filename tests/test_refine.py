@@ -126,6 +126,25 @@ def test_polish_batched_fleet():
     assert np.isfinite(np.asarray(polished.final_objective)).all()
 
 
+def test_polish_msipddp_dual_warm():
+    sol32 = ct.solve(_unicycle_box(jnp.float32, REACHABLE), "MSIPDDP",
+                     F32_OPTS)
+    assert sol32.converged
+    polished = ct.polish(_unicycle_box(jnp.float64, REACHABLE), sol32,
+                         tolerance=1e-6)
+    assert polished.solver_name == "MSIPDDP"
+    assert polished.converged
+    assert float(polished.inf_du) <= 1e-6
+    cold = ct.solve(_unicycle_box(jnp.float64, REACHABLE), "MSIPDDP",
+                    F64_OPTS)
+    assert cold.converged
+    np.testing.assert_allclose(
+        float(polished.final_objective), float(cold.final_objective),
+        rtol=1e-8,
+    )
+    assert int(polished.iterations_completed) < int(cold.iterations_completed)
+
+
 def test_polish_defaults_to_solution_solver_and_clddp_path():
     sol32 = ct.solve(_unicycle_box(jnp.float32, REACHABLE), "CLDDP", F32_OPTS)
     polished = ct.polish(_unicycle_box(jnp.float64, REACHABLE), sol32,
