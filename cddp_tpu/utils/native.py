@@ -263,11 +263,14 @@ def ipddp_solve(model_id, params, N, dt, Qs, Rs, Qf, goal, x0,
                 filter_max_violation=1e4, filter_min_violation_armijo=1e-7,
                 filter_armijo_constant=1e-4,
                 dual_var_init_scale=1e-1, slack_var_init_scale=1e-2,
-                barrier_tol_mult=0.1, theta_0_floor=1.0, max_filter_size=5, integrator="euler"):
+                barrier_tol_mult=0.1, theta_0_floor=1.0, max_filter_size=5,
+                barrier_strategy=0, mu_kappa_epsilon=10.0,
+                barrier_update_dual_weight=0.01, integrator="euler"):
     """Full native IPDDP solve (cddp_ipddp_solve in cddp_host.cpp) — the
     independent C++ oracle for the condensed path-constraint regime
     (ipddp_solver.cpp:1355-1568 semantics; cold start, iLQR, sequential
-    filter line search, ADAPTIVE barrier). Constraints: control box
+    filter line search, ADAPTIVE barrier by default; barrier_strategy=1
+    selects the MONOTONIC/IPOPT kappa rule). Constraints: control box
     (mandatory) + optional keep-out ball on x[:2] (BallConstraint, stacked
     first per name-sorted order). Defaults mirror CDDPOptions.
 
@@ -293,6 +296,7 @@ def ipddp_solve(model_id, params, N, dt, Qs, Rs, Qf, goal, x0,
         filter_armijo_constant,
         dual_var_init_scale, slack_var_init_scale,
         barrier_tol_mult, theta_0_floor, max_filter_size,
+        barrier_strategy, mu_kappa_epsilon, barrier_update_dual_weight,
     ], dtype=np.float64)
     X = np.zeros((N + 1, nx))
     U0 = np.ascontiguousarray(

@@ -1059,6 +1059,10 @@ extern "C" {
 //  [20] filter.armijo_constant
 //  [21] dual_var_init_scale [22] slack_var_init_scale
 //  [23] barrier_tol_mult [24] theta_0_floor [25] max_filter_size
+//  [26] barrier_strategy (0 = ADAPTIVE tiered factors, 1 = MONOTONIC/IPOPT
+//       kappa rule: mu decreases when max(inf_pr, w*inf_du, inf_comp)
+//       <= kappa_eps * mu — ipddp_solver.cpp:2548-2660 non-adaptive arm)
+//  [27] mu_kappa_epsilon [28] barrier_update_dual_weight
 //
 // Ball constraint: has_ball != 0 enables -||x[:2]-c||^2 <= -r^2 (the
 // reference BallConstraint with scale 1) stacked BEFORE the box rows.
@@ -1093,6 +1097,9 @@ int cddp_ipddp_solve(
   const double y0_scale = opts[21], s0_scale = opts[22];
   const double barrier_tol_mult = opts[23], theta_0_floor = opts[24];
   const int max_filter_size = (int)opts[25];
+  const int barrier_strategy = (int)opts[26];
+  const double mu_kappa_epsilon = opts[27];
+  const double barrier_dual_weight = opts[28];
 
   // alpha ladder (line_search_alphas, cddp_context_utils.cpp:37-57)
   std::vector<double> alphas;
@@ -1655,7 +1662,7 @@ int cddp_ipddp_solve(
 
       // ---- barrier + filter update (updateBarrierParameters, :2548-2660) --
       const double mu_old = mu;
-      {
+      if (barrier_strategy == 0) {  // ADAPTIVE tiered factors
         const double kkt = std::max(std::max(inf_pr, inf_du), inf_comp);
         const double threshold = std::max(mu_update_factor * mu_old, 2.0 * mu_old);
         const double ratio = kkt / std::max(mu_old, 1e-20);
@@ -1673,6 +1680,14 @@ int cddp_ipddp_solve(
         const double mu_cand = std::max(std::min(linear, superlinear),
                                         std::max(mu_min, tolerance / 100.0));
         mu = (kkt <= threshold) ? mu_cand : mu_old;
+      } else {  // MONOTONIC/IPOPT kappa rule (matches solvers/ipddp.py)
+        const double kkt = std::max(
+            std::max(inf_pr, inf_du * barrier_dual_weight), inf_comp);
+        const double linear = mu_update_factor * mu_old;
+        const double superlinear = std::pow(mu_old, mu_update_power);
+        const double mu_cand =
+            std::max(mu_min, std::min(linear, superlinear));
+        mu = (kkt <= mu_kappa_epsilon * mu_old) ? mu_cand : mu_old;
       }
       filter_theta = std::max(theta_of(G, S), 1e-8);
       const bool reset = (mu < mu_old) && (mu > 0.0);
