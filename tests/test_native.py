@@ -273,6 +273,70 @@ def test_native_ipddp_matches_jax_unicycle_ball():
     assert int(sol_auto.iterations_completed) < int(sol.iterations_completed)
 
 
+def test_native_ipddp_monotonic_barrier_matches_jax():
+    """MONOTONIC/IPOPT kappa-rule barrier cross-check (the non-adaptive arm
+    of updateBarrierParameters, ipddp_solver.cpp:2548-2660): mu decreases
+    when max(inf_pr, w*inf_du, inf_comp) <= kappa_eps * mu. The C++ engine
+    (barrier_strategy=1) and the JAX solver with
+    BarrierStrategy.MONOTONIC walk the same mu schedule and agree at 1e-6
+    cost / 1e-4 trajectory on the control-limited pendulum swing-up."""
+    import cddp_tpu as ct
+    from cddp_tpu.models import Pendulum
+    from cddp_tpu.options import BarrierOptions, BarrierStrategy
+    from cddp_tpu.utils import native
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+
+    dt, N = 0.02, 100
+    l, m, b = 0.5, 1.0, 0.01
+    goal = np.zeros(2)
+    Q = np.zeros((2, 2))
+    R = 0.1 * np.eye(1)
+    Qf = 100.0 * np.eye(2)
+    lo, hi = np.asarray([-10.0]), np.asarray([10.0])
+    x0 = np.asarray([np.pi, 0.0])
+
+    status, Xn, Un, info = native.ipddp_solve(
+        1, np.asarray([l, m, b]), N, dt, Q * dt, R * dt, Qf, goal, x0,
+        lower=lo, upper=hi, max_iterations=400, tolerance=1e-4,
+        acceptable_tolerance=1e-5, barrier_strategy=1,
+    )
+
+    obj = ct.quadratic_objective(
+        jnp.asarray(Q), jnp.asarray(R), jnp.asarray(Qf), jnp.asarray(goal), dt
+    )
+    prob = ct.problem(
+        Pendulum(length=l, mass=m, damping=b), obj, jnp.asarray(x0), N, dt
+    )
+    prob = prob.add_constraint(
+        "ControlConstraint", ct.control_constraint(jnp.asarray(lo), jnp.asarray(hi))
+    )
+    from cddp_tpu.solvers import ipddp as _ipddp
+
+    sol = _ipddp.solve(
+        prob,
+        ct.CDDPOptions(
+            max_iterations=400, tolerance=1e-4, acceptable_tolerance=1e-5,
+            ipddp=ct.IPDDPOptions(
+                barrier=BarrierOptions(strategy=BarrierStrategy.MONOTONIC)
+            ),
+        ),
+    )
+
+    assert status in (1, 2), (status, info)
+    assert sol.status_message in ("OptimalSolutionFound", "AcceptableSolutionFound")
+    assert status == int(sol.status_code), (status, sol.status_message)
+    assert int(info["iters"]) == int(sol.iterations_completed)
+    np.testing.assert_allclose(info["cost"], float(sol.final_objective), rtol=1e-6)
+    np.testing.assert_allclose(
+        Un, np.asarray(sol.control_trajectory), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        Xn, np.asarray(sol.state_trajectory), rtol=1e-4, atol=1e-4
+    )
+
+
 def test_native_logddp_matches_jax_pendulum_box():
     """LogDDP cross-language check: the C++ relaxed-log-barrier engine and
     the JAX solver walk the same iteration path on the control-limited
