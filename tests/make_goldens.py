@@ -22,9 +22,28 @@ import jax.numpy as jnp
 import numpy as np
 
 import cddp_tpu as ct
-from cddp_tpu.models import CartPole, LTISystem, Pendulum, Unicycle, quadrotor
+from cddp_tpu.models import Car, CartPole, LTISystem, Pendulum, Unicycle, quadrotor
 
 OUT = Path(__file__).resolve().parent / "goldens"
+
+
+def mpcc_tick_solution():
+    """BASELINE config 5: one cold-seeded MPCC receding-horizon IPDDP tick
+    (reference: examples/ipddp_mpcc_rc.py:629-661 run_ipddp_mpc inner body)
+    on the synthetic track, f64, 15-iteration MPC budget like the fleet
+    bench. Self-golden (the native oracle has no residual-objective cost)."""
+    import dataclasses
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
+    import mpcc_lib
+
+    track = mpcc_lib.synthetic_track()
+    cfg = dataclasses.replace(mpcc_lib.MpccConfig(), max_iterations=15,
+                              matmul_precision="highest")
+    x0 = jnp.asarray(mpcc_lib.initial_state(track, cfg), jnp.float64)
+    _, sol = mpcc_lib.mpc_tick(track, cfg, x0)
+    return sol
 
 
 def configs():
@@ -88,6 +107,26 @@ def configs():
         ct.control_constraint(jnp.array([-2.0, -jnp.pi]), jnp.array([2.0, jnp.pi])),
     ).add_constraint("BallConstraint", ct.ball_constraint(0.4, jnp.array([1.0, 1.0])))
 
+    # BASELINE config 4b: MSIPDDP car variant (test_msipddp_solver.cpp:365-470
+    # geometry/options: start (1,1,1.5pi,0) facing backwards, park at the
+    # origin, bounds [-0.5,-2]..[0.5,2], mu_initial=1, reg 1e-2, tol 1e-4/
+    # acceptable 1e-6; quadratic parking cost instead of the smooth-abs
+    # CarParkingObjective so the native C++ oracle can crosscheck it, and
+    # N=300 (9 s) so the car actually reaches the origin (6 segments at
+    # length 50).
+    car_dt, car_N = 0.03, 300
+    car = ct.problem(
+        Car(wheelbase=2.0, timestep=car_dt),
+        ct.quadratic_objective(
+            jnp.diag(jnp.array([1e-2, 1e-2, 1e-3, 1e-3])), 1e-2 * jnp.eye(2),
+            jnp.diag(jnp.array([100.0, 100.0, 50.0, 10.0])),
+            jnp.zeros(4), car_dt),
+        jnp.array([1.0, 1.0, 1.5 * jnp.pi, 0.0]), car_N, car_dt,
+    ).add_constraint(
+        "ControlConstraint",
+        ct.control_constraint(jnp.array([-0.5, -2.0]), jnp.array([0.5, 2.0])),
+    )
+
     opts_ipddp = ct.CDDPOptions(max_iterations=300, tolerance=1e-4,
                                 acceptable_tolerance=1e-5)
     opts_clddp = ct.CDDPOptions(max_iterations=100, tolerance=1e-3,
@@ -135,13 +174,33 @@ def configs():
                            acceptable_tolerance=1e-5, use_ilqr=False),
             {},
         ),
+        "car_msipddp": (
+            car, "MSIPDDP",
+            ct.CDDPOptions(
+                max_iterations=150, tolerance=1e-4, acceptable_tolerance=1e-6,
+                regularization=ct.RegularizationOptions(initial_value=1e-2),
+                msipddp=ct.MSIPDDPOptions(
+                    segment_length=50, rollout_type="nonlinear",
+                    barrier=ct.BarrierOptions(mu_initial=1.0)),
+            ),
+            {},
+        ),
+        # BASELINE config 5 — generated by mpcc_tick_solution(), not a
+        # (problem, solver) tuple.
+        "mpcc_tick": mpcc_tick_solution,
     }
 
 
-def main():
+def main(only_missing=True):
     OUT.mkdir(exist_ok=True)
-    for name, (prob, solver, opts, kw) in configs().items():
-        sol = ct.solve(prob, solver, opts, **kw)
+    for name, spec in configs().items():
+        if only_missing and (OUT / f"{name}.npz").exists():
+            continue
+        if callable(spec):
+            sol = spec()
+        else:
+            prob, solver, opts, kw = spec
+            sol = ct.solve(prob, solver, opts, **kw)
         np.savez(
             OUT / f"{name}.npz",
             X=np.asarray(sol.state_trajectory),
