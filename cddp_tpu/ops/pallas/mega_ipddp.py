@@ -76,9 +76,9 @@ DEFAULT_TILE_B = 1024
  _INFPR, _INFDU, _INFCOMP, _STEPN, _APR, _ADU, _DV0, _DV1,
  _BP_DONE, _BP_LIMIT, _APRMAX, _ADUMAX, _LS_FOUND, _LS_OK, _ALPHA_CUR,
  _EARLY, _TJ, _TMERIT, _TTHETA, _TINFPR, _TMAXYS, _TMINYS, _TSUMLOG,
- _TAPR, _TADU, _SOC_ON, _SOC_ARMED, _STALLCNT) = range(37)
+ _TAPR, _TADU, _SOC_ON, _SOC_ARMED, _STALLCNT, _BESTPR) = range(38)
 _F_CAP = 7  # max_filter_size (5) + 2, interior_point_utils.cpp:114-139
-_F_M0 = 37
+_F_M0 = 38
 _F_V0 = _F_M0 + _F_CAP
 _F_OK0 = _F_V0 + _F_CAP
 _N_SCALARS = _F_OK0 + _F_CAP
@@ -515,6 +515,8 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
         sc[_SOC_ON] = ones
         sc[_SOC_ARMED] = zeros
         sc[_STALLCNT] = zeros
+        # +inf, not infpr0 (solvers/ipddp.py best_inf_pr init note).
+        sc[_BESTPR] = zeros + jnp.inf
         # resetFilter: the initial filter is EMPTY in the path-only regime
         # and seeded with (merit0, ftheta0) when terminal constraints
         # exist (_drive:1484-1485).
@@ -1262,14 +1264,17 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
                 reg_dec = jnp.maximum(sc[_REG] / cfg.reg_uf, cfg.reg_min)
 
                 if latch_traced:
-                    # Stall detector (solvers/ipddp.py commit path): no
-                    # barrier progress while inf_pr stays far from
+                    # Stall detector (solvers/ipddp.py commit path —
+                    # stall_detector_update semantics): mu stuck OR no new
+                    # best committed inf_pr, while inf_pr stays far from
                     # tolerance, counted consecutively on committed
                     # iterations; arm the latch (one-way) at the threshold.
                     far_c = sc[_TINFPR] > 100.0 * cfg.tolerance
                     mu_stuck = mu_new >= mu_old * (1.0 - 1e-12)
+                    improved = sc[_TINFPR] < sc[_BESTPR] * (1.0 - 1e-3)
                     stalled = (
-                        mu_stuck & far_c & (sc[_SOC_ARMED] < 0.5)
+                        far_c & (mu_stuck | ~improved)
+                        & (sc[_SOC_ARMED] < 0.5)
                     )
                     cnt_new = jnp.where(
                         stalled, sc[_STALLCNT] + 1.0, zeros
@@ -1284,6 +1289,11 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
                     )
                     sc[_SOC_ARMED] = jnp.where(
                         commit_m, armed_new, sc[_SOC_ARMED]
+                    )
+                    sc[_BESTPR] = jnp.where(
+                        commit_m,
+                        jnp.minimum(sc[_BESTPR], sc[_TINFPR]),
+                        sc[_BESTPR],
                     )
 
                 # Convergence (checkConvergence, :1953-2025), barrier regime.
