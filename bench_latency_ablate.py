@@ -88,10 +88,74 @@ def main_r4():
         line_search=ct.LineSearchOptions(max_iterations=8), **kw_lqr)
 
 
+def main_r5():
+    """Round-5 phase anatomy: where do the ~2 ms/iteration go at the bench
+    config (par_ls + par_lqr, ls15, f32, matmul=highest)? Times the
+    backward pass and the derivative sweep as standalone jits, derives the
+    per-iteration slope from two solve budgets, and sweeps the scan-unroll
+    knob (CDDP_TPU_SCAN_UNROLL)."""
+    import cddp_tpu as ct
+    from cddp_tpu.constraints.stack import PathStacker, TerminalStacker
+    from cddp_tpu.solvers import base, ipddp
+
+    prob, goal, U0 = build()
+    kw_lqr = dict(ipddp=ct.IPDDPOptions(lqr_backend="parallel"))
+    opts = ct.CDDPOptions(
+        max_iterations=120, tolerance=1e-4, acceptable_tolerance=1e-4,
+        line_search=ct.LineSearchOptions(max_iterations=15),
+        regularization=ct.RegularizationOptions(initial_value=1e-4),
+        enable_parallel=True, **kw_lqr,
+    )
+    dtype = jnp.float32
+    stk = PathStacker(prob)
+    tstk = TerminalStacker(prob)
+    (X, U, Y, S, G, G_T, S_T, Y_T, Lam, Lam_te, mu0, reset) = (
+        ipddp._initialize(prob, opts, stk, tstk, U0, None, False, dtype)
+    )
+    mu = jnp.asarray(mu0, dtype)
+    reg = jnp.asarray(1e-4, dtype)
+
+    def timeit(name, f, *args, reps=20):
+        with jax.default_matmul_precision("highest"):
+            out = jax.block_until_ready(f(*args))
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                out = f(*args)
+            jax.block_until_ready(out)
+        ms = (time.perf_counter() - t0) / reps * 1e3
+        print(f"{name:34s} {ms:9.3f} ms", flush=True)
+        return ms
+
+    bw = jax.jit(lambda X, U, Y, S, G, mu, reg: ipddp._backward_condensed(
+        prob, opts, stk, tstk, X, U, Y, S, G, Y_T, S_T, mu, reg))
+    timeit("backward (parallel lqr)", bw, X, U, Y, S, G, mu, reg)
+
+    opts_seq = opts.replace(ipddp=ct.IPDDPOptions(lqr_backend="sequential"))
+    bw_s = jax.jit(lambda X, U, Y, S, G, mu, reg: ipddp._backward_condensed(
+        prob, opts_seq, stk, tstk, X, U, Y, S, G, Y_T, S_T, mu, reg))
+    timeit("backward (sequential lqr)", bw_s, X, U, Y, S, G, mu, reg)
+
+    dv = jax.jit(lambda X, U: (
+        base.discrete_jacobians(prob, X, U),
+        base.running_cost_derivatives(prob, X, U),
+    ))
+    timeit("derivative sweep (A,B + cost)", dv, X, U)
+
+    # Per-iteration slope from two budgets of the full solve.
+    t10 = run("solve @10 iters", prob, goal, U0, max_iterations=10,
+              enable_parallel=True, **kw_lqr)
+    t60 = run("solve @60 iters", prob, goal, U0, max_iterations=60,
+              enable_parallel=True, **kw_lqr)
+    print(f"slope ~ {(t60 - t10) / 50.0:.3f} ms/iter", flush=True)
+    run("full (bench cfg)", prob, goal, U0, enable_parallel=True, **kw_lqr)
+
+
 if __name__ == "__main__":
     import os
 
-    if os.environ.get("ABLATE_R4"):
+    if os.environ.get("ABLATE_R5"):
+        main_r5()
+    elif os.environ.get("ABLATE_R4"):
         main_r4()
     else:
         main()

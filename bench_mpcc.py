@@ -68,20 +68,70 @@ def main():
         }))
         return
 
+    # Engine selection for the whole-solve-kernel A/B (VERDICT r4 item 2):
+    # BENCH_ENGINE=kernel stages its results to /tmp; BENCH_ENGINE=perpass
+    # runs with CDDP_TPU_NO_MEGA=1 and prints the comparison when the
+    # kernel leg's stage file exists (one engine per process keeps each
+    # run inside the ~10-min TPU compile window). Unset = current engine
+    # dispatch only (auto).
+    import numpy as np
+
+    engine = os.environ.get("BENCH_ENGINE")
+    stage = f"/tmp/bench_mpcc_{B}_kernel.npz"
+    if engine == "perpass":
+        os.environ["CDDP_TPU_NO_MEGA"] = "1"
+
     step = jax.jit(lambda xb: mpcc.batched_mpcc_step_costs(track, cfg, xb))
-    u, cost, iters = step(x_batch)
+    u, cost, iters, status = step(x_batch)
     jax.block_until_ready(cost)
     t0 = time.perf_counter()
     reps = 3
     for _ in range(reps):
-        u, cost, iters = step(x_batch)
+        u, cost, iters, status = step(x_batch)
     jax.block_until_ready(cost)
     dt = (time.perf_counter() - t0) / reps
+
+    if engine == "kernel":
+        np.savez(stage, t=dt, c=np.asarray(cost), i=np.asarray(iters),
+                 s=np.asarray(status))
+        print(json.dumps({
+            "metric": "mpcc_fleet_ticks_per_sec",
+            "value": round(B / dt, 1),
+            "unit": "ipddp_mpc_ticks/s",
+            "fleet": B,
+            "mean_iterations": round(float(iters.mean()), 1),
+            "staged": stage,
+        }))
+        return
+    if engine == "perpass" and os.path.exists(stage):
+        d = np.load(stage)
+        t_k, c_k, i_k, s_k = float(d["t"]), d["c"], d["i"], d["s"]
+        c_s = np.asarray(cost)
+        rel = np.abs(c_k - c_s) / np.maximum(np.abs(c_s), 1e-9)
+        print(json.dumps({
+            "metric": "mpcc_fleet_ticks_per_sec",
+            "value": round(B / t_k, 1),
+            "unit": "ipddp_mpc_ticks/s",
+            "fleet": B,
+            "vs_perpass": round(dt / t_k, 3),
+            "perpass_ticks_per_sec": round(B / dt, 1),
+            "mean_iterations_kernel": round(float(i_k.mean()), 1),
+            "mean_iterations_perpass": round(float(iters.mean()), 1),
+            "parity_rel_cost_p50": float(np.percentile(rel, 50)),
+            "parity_rel_cost_p99": float(np.percentile(rel, 99)),
+            "parity_max_rel_cost": float(rel.max()),
+            "parity_iters_equal_frac": float((i_k == np.asarray(iters)).mean()),
+            "parity_status_equal_frac": float(
+                (s_k == np.asarray(status)).mean()
+            ),
+        }))
+        return
     print(json.dumps({
         "metric": "mpcc_fleet_ticks_per_sec",
         "value": round(B / dt, 1),
         "unit": "ipddp_mpc_ticks/s",
         "fleet": B,
+        "engine": engine or "auto",
         "mean_iterations": round(float(iters.mean()), 1),
     }))
 

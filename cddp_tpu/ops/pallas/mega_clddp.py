@@ -895,14 +895,21 @@ def _vmem_estimate_bytes(problem, options=None,
 
 
 def problem_consts_concrete(problem) -> bool:
-    """True when every problem leaf except x0 is a concrete array — the op
-    closes over them as constants, so tracers (e.g. a user vmapping over
-    cost matrices or the timestep) must fall back to the XLA driver."""
+    """True when every problem leaf except x0 is safe to close over. Only
+    *batch* tracers disqualify (a vmap-mapped leaf — e.g. a user vmapping
+    over cost matrices or the timestep — closed over as if shared would
+    silently drop its batch axis and must fall back to the XLA driver).
+    Plain jit tracers are fine: under ``jit(vmap(solve))`` even constants
+    built inside the trace (``jnp.asarray([...])`` binds device_put when
+    tracing) appear as unbatched jit tracers, and closing over same-trace
+    values is ordinary capture."""
+    from jax._src.interpreters.batching import BatchTracer
+
     leaves = jax.tree_util.tree_leaves(
         (problem.objective, problem.constraints, problem.model,
          problem.timestep)
     )
-    return not any(isinstance(l, jax.core.Tracer) for l in leaves)
+    return not any(isinstance(l, BatchTracer) for l in leaves)
 
 
 @functools.partial(

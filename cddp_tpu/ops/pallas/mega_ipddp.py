@@ -92,6 +92,104 @@ _ST_REG_LIMIT = 3.0
 _EPS_SLACK = 1e-10  # ipddp.EPS_SLACK
 
 
+# --- Gauss-Newton (residual) cost lanes ---------------------------------------
+# The whole-solve kernel's cost interface is pluggable: QuadraticObjective
+# problems use the built-in quadratic lanes (Q/R/Qf/goal inputs), and any
+# ResidualObjective subclass with a registered GN lane runs the same kernel
+# with cost = sum(r^2) and Gauss-Newton derivatives (2 J^T r / 2 J^T J —
+# costs/objective.py ResidualObjective semantics, the reference's
+# NONLINEAR_LS pattern from examples/ipddp_mpcc_rc.py:333-436). Residual
+# Jacobian lanes come from jax.jvp of the residual lane function (one
+# directional derivative per state/control column, the mega_clddp
+# _jvp_deriv pattern), so a registered cost needs only the residual values.
+
+
+class GnCostSpec(NamedTuple):
+    """Static residual-cost structure baked into the kernel trace.
+
+    ``res_f(x_list, u_list, cp_list, t_idx) -> [n_res] lane scalars`` are
+    the running residuals (cost = sum of squares); ``tres_f(x_list,
+    cp_list) -> [n_tres]`` the terminal residuals; ``textra_f(x_list,
+    cp_list) -> lane scalar`` an optional AFFINE terminal extra term (its
+    gradient is folded via jvp; its Hessian is treated as zero, so
+    register only affine extras — ResidualObjective.terminal_cost_extra
+    like MPCC's progress bonus). Running extras are not supported; a
+    factory for an objective with one must decline (return None)."""
+
+    n_cp: int
+    n_res: int
+    n_tres: int
+    res_f: object
+    tres_f: object
+    textra_f: object
+
+
+class GnCostEntry(NamedTuple):
+    """Resolved GN cost lane for one objective instance. ``static_key``
+    must capture everything the lane closures depend on besides the traced
+    ``cp_fn(objective)`` parameter vector (it keys the compiled-op cache);
+    ``cp_fn`` maps the objective pytree to its ``(n_cp,)`` traced
+    parameters and is vmapped over leaf-batched objectives."""
+
+    static_key: tuple
+    cp_fn: object
+    spec: GnCostSpec
+
+
+# Exact objective class -> factory(objective) -> GnCostEntry | None.
+_GN_COST_LANES = {}
+# static_key -> GnCostSpec (recovered inside the jitted impl, where only
+# the hashable key travels as a static argument).
+_GN_BY_KEY = {}
+
+
+def register_gn_cost_lane(cls, factory):
+    """Register a Gauss-Newton residual-lane factory for an Objective
+    subclass so whole-solve fleet dispatch can fold its cost into the
+    kernel. ``factory(objective)`` returns a :class:`GnCostEntry` or None
+    to decline (e.g. a track representation the lane cannot evaluate)."""
+    _GN_COST_LANES[cls] = factory
+
+
+def gn_cost_lane(objective):
+    """Resolved :class:`GnCostEntry` for the objective, else None."""
+    factory = _GN_COST_LANES.get(type(objective))
+    if factory is None:
+        return None
+    entry = factory(objective)
+    if entry is not None:
+        _GN_BY_KEY.setdefault(entry.static_key, entry.spec)
+    return entry
+
+
+def _model_entry(model):
+    """(static key, n_params, param_fn, lane_f, discrete) for a model with
+    a lane function: built-in rollout._REGISTRY models (key = class name)
+    or user models registered via ip_rollout.register_model_lane (key =
+    the exact class, which is hashable and travels as a jit static arg)."""
+    kind = _registry_key(model)
+    if kind is not None:
+        e = _REGISTRY[kind]
+        return kind, e[0], e[1], e[2], _is_discrete(e)
+    from cddp_tpu.ops.pallas.ip_rollout import _MODEL_LANES
+
+    e = _MODEL_LANES.get(type(model))
+    if e is None:
+        return None
+    return type(model), e[0], e[1], e[2], e[3]
+
+
+def _model_lanes_by_key(kind):
+    """(n_params, lane_f) for a _model_entry static key."""
+    if isinstance(kind, str):
+        e = _REGISTRY[kind]
+        return e[0], e[2]
+    from cddp_tpu.ops.pallas.ip_rollout import _MODEL_LANES
+
+    e = _MODEL_LANES[kind]
+    return e[0], e[2]
+
+
 class _Cfg(NamedTuple):
     """Static (trace-time) solver configuration baked into the kernel."""
 
@@ -273,21 +371,31 @@ def _filter_prune(fm, fv, fval, zeros, ones):
 
 def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
                       box_layout, cfg: _Cfg, cap, tracking: bool = False,
-                      mT: int = 0, tile_b: int = DEFAULT_TILE_B):
+                      mT: int = 0, tile_b: int = DEFAULT_TILE_B,
+                      gn: GnCostSpec = None, track_costates: bool = True):
     """Build the whole-solve pallas_call for static problem structure.
 
     Inputs (batch-last, lane-folded): X0 (N+1,nx,B), U0 (N,nu,B),
-    Y0/S0 (N,m,B), ku0 (N,nu,B), Ku0 (N,nu,nx,B), L0 (N+1,nx,B), mu0 (1,B),
-    dt (1,B), params (max(n_params,1),B), Q/Qf (nx,nx,B) [dt-prescaled Q],
-    R (nu,nu,B), goal (nx,B), [refs (N,nx,B)], lo/hi (nb,B), sf (n_items,B),
-    and for mT > 0 the linear terminal-inequality regime
-    (ipddp_solver.cpp:999-1031 V-fold): ST0/YT0 (mT,B), A_T (mT,nx,B),
-    b_T (mT,B).
+    Y0/S0 (N,m,B), ku0 (N,nu,B), Ku0 (N,nu,nx,B), [L0 (N+1,nx,B)],
+    mu0 (1,B), dt (1,B), params (max(n_params,1),B), then the cost inputs —
+    quadratic mode: Q/Qf (nx,nx,B) [dt-prescaled Q], R (nu,nu,B),
+    goal (nx,B), [refs (N,nx,B)]; GN mode (``gn`` set): cp (n_cp,B) —
+    then lo/hi (nb,B), sf (n_items,B), and for mT > 0 the linear
+    terminal-inequality regime (ipddp_solver.cpp:999-1031 V-fold):
+    ST0/YT0 (mT,B), A_T (mT,nx,B), b_T (mT,B).
 
     Outputs: X (N+1,nx,B), U (N,nu,B), k (N,nu,B), K (N,nu,nx,B),
-    Y (N,m,B), S (N,m,B), Lambda (N+1,nx,B), stats (9,B) =
+    Y (N,m,B), S (N,m,B), [Lambda (N+1,nx,B)], stats (9,B) =
     [cost, inf_pr, inf_du, inf_comp, mu, reg, alpha_pr, iterations, status],
     and for mT > 0 additionally S_T (mT,B), Y_T (mT,B).
+
+    ``track_costates=False`` drops the costate bookkeeping (the L0 input,
+    the Lambda output, and the whole Vx/Vxx VMEM sequences whose only
+    consumer is the per-step costate update) — a large VMEM saving that
+    makes bigger (nx, N) problems kernel-eligible. The costates are
+    write-only state in the iLQR condensed regime, so iterates match the
+    XLA driver except in the pathological case where a non-finite costate
+    alone would have rejected a line-search trial.
     """
     def _item_rows(kind):
         """(param rows in lo/hi, constraint rows in the stack) per item."""
@@ -302,55 +410,184 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
     has_ball = any(isinstance(kind, tuple) for kind in box_layout)
     latch_traced = has_ball and (cfg.soc_auto or cfg.chess_auto)
 
-    def kernel(X0_ref, U0_ref, Y0_ref, S0_ref, ku0_ref, Ku0_ref, L0_ref,
-               mu0_ref, dt_ref, p_ref, Q_ref, R_ref, Qf_ref, goal_ref,
-               *rest):
-        if tracking:
-            refs_ref, rest = rest[0], rest[1:]
+    def kernel(X0_ref, U0_ref, Y0_ref, S0_ref, ku0_ref, Ku0_ref, *rest):
+        if track_costates:
+            L0_ref, rest = rest[0], rest[1:]
+        mu0_ref, dt_ref, p_ref = rest[:3]
+        rest = rest[3:]
+        refs_ref = None
+        if gn is not None:
+            cp_ref, rest = rest[0], rest[1:]
         else:
-            refs_ref = None
+            Q_ref, R_ref, Qf_ref, goal_ref = rest[:4]
+            rest = rest[4:]
+            if tracking:
+                refs_ref, rest = rest[0], rest[1:]
+        lo_ref, hi_ref, sf_ref = rest[:3]
+        rest = rest[3:]
         if mT:
-            (lo_ref, hi_ref, sf_ref, st0_ref, yt0_ref, at_ref, bt_ref,
-             Xo, Uo, ko, Ko, Yo, So, Lo, st_ref, STo, YTo,
-             Vxs, Vxxs, Xc, Uc, Yc, Sc, Lc, STc, YTc, sc) = rest
-        else:
-            (lo_ref, hi_ref, sf_ref,
-             Xo, Uo, ko, Ko, Yo, So, Lo, st_ref,
-             Vxs, Vxxs, Xc, Uc, Yc, Sc, Lc, sc) = rest
+            st0_ref, yt0_ref, at_ref, bt_ref = rest[:4]
+            rest = rest[4:]
+        Xo, Uo, ko, Ko, Yo, So = rest[:6]
+        rest = rest[6:]
+        if track_costates:
+            Lo, rest = rest[0], rest[1:]
+        st_ref, rest = rest[0], rest[1:]
+        if mT:
+            STo, YTo = rest[:2]
+            rest = rest[2:]
+        if track_costates:
+            Vxs, Vxxs = rest[:2]
+            rest = rest[2:]
+        Xc, Uc, Yc, Sc = rest[:4]
+        rest = rest[4:]
+        if track_costates:
+            Lc, rest = rest[0], rest[1:]
+        if mT:
+            STc, YTc = rest[:2]
+            rest = rest[2:]
+        (sc,) = rest
         dt = dt_ref[0]
         zeros = jnp.zeros_like(dt)
         ones = zeros + 1.0
         p = [p_ref[i] for i in range(n_params)]
-        Q = [[Q_ref[i, j] for j in range(nx)] for i in range(nx)]
-        R = [[R_ref[i, j] for j in range(nu)] for i in range(nu)]
-        Qf = [[Qf_ref[i, j] for j in range(nx)] for i in range(nx)]
-        goal = [goal_ref[i] for i in range(nx)]
         sf = [sf_ref[i] for i in range(n_items)]
 
-        def ref_row(t):
-            if tracking:
-                return [refs_ref[t, i] for i in range(nx)]
-            return goal
+        if gn is not None:
+            cp = [cp_ref[i] for i in range(gn.n_cp)]
 
-        def run_cost(x, u, t):
-            ref = ref_row(t)
-            e = [x[i] - ref[i] for i in range(nx)]
-            c = zeros
-            for i in range(nx):
+            def run_cost(x, u, t):
+                r = gn.res_f(x, u, cp, t)
+                c = zeros
+                for ri in r:
+                    c = c + ri * ri
+                return c
+
+            def term_cost(x):
+                r = gn.tres_f(x, cp)
+                c = zeros
+                for ri in r:
+                    c = c + ri * ri
+                if gn.textra_f is not None:
+                    c = c + gn.textra_f(x, cp)
+                return c
+
+            def run_derivs(x, u, t):
+                """Gauss-Newton stage derivatives (ResidualObjective
+                running_cost_gradients/_hessians): gradient 2 J^T r,
+                Hessians 2 J^T J, residual Jacobian columns via jax.jvp
+                of the residual lanes (mega_clddp._jvp_deriv pattern)."""
+                r0 = gn.res_f(x, u, cp, t)
+                nr = gn.n_res
+                Jx = []
                 for j in range(nx):
-                    c = c + e[i] * Q[i][j] * e[j]
-            for i in range(nu):
+                    tx = [ones if i == j else zeros for i in range(nx)]
+                    _, dr = jax.jvp(
+                        lambda xx: gn.res_f(xx, u, cp, t), (x,), (tx,)
+                    )
+                    Jx.append(dr)
+                Ju = []
                 for j in range(nu):
-                    c = c + u[i] * R[i][j] * u[j]
-            return c
+                    tu = [ones if i == j else zeros for i in range(nu)]
+                    _, dr = jax.jvp(
+                        lambda uu: gn.res_f(x, uu, cp, t), (u,), (tu,)
+                    )
+                    Ju.append(dr)
+                lx = [2.0 * sum(Jx[i][k] * r0[k] for k in range(nr))
+                      for i in range(nx)]
+                lu = [2.0 * sum(Ju[i][k] * r0[k] for k in range(nr))
+                      for i in range(nu)]
+                lxx = [[2.0 * sum(Jx[i][k] * Jx[j][k] for k in range(nr))
+                        for j in range(nx)] for i in range(nx)]
+                luu = [[2.0 * sum(Ju[i][k] * Ju[j][k] for k in range(nr))
+                        for j in range(nu)] for i in range(nu)]
+                lux = [[2.0 * sum(Ju[i][k] * Jx[j][k] for k in range(nr))
+                        for j in range(nx)] for i in range(nu)]
+                return lx, lu, lxx, luu, lux
 
-        def term_cost(x):
-            e = [x[i] - goal[i] for i in range(nx)]
-            c = zeros
-            for i in range(nx):
+            def term_value(x):
+                """GN terminal fold: Vx = 2 J_T^T r_T + grad(extra),
+                Vxx = 2 J_T^T J_T (extra affine by the registry contract,
+                so its Hessian is zero)."""
+                rT = gn.tres_f(x, cp)
+                ntr = gn.n_tres
+                JT = []
                 for j in range(nx):
-                    c = c + e[i] * Qf[i][j] * e[j]
-            return c
+                    tx = [ones if i == j else zeros for i in range(nx)]
+                    _, dr = jax.jvp(
+                        lambda xx: gn.tres_f(xx, cp), (x,), (tx,)
+                    )
+                    JT.append(dr)
+                Vx = [2.0 * sum(JT[i][k] * rT[k] for k in range(ntr))
+                      for i in range(nx)]
+                if gn.textra_f is not None:
+                    for j in range(nx):
+                        tx = [ones if i == j else zeros for i in range(nx)]
+                        _, de = jax.jvp(
+                            lambda xx: gn.textra_f(xx, cp), (x,), (tx,)
+                        )
+                        Vx[j] = Vx[j] + de
+                Vxx = [[2.0 * sum(JT[i][k] * JT[j][k] for k in range(ntr))
+                        for j in range(nx)] for i in range(nx)]
+                return Vx, Vxx
+        else:
+            Q = [[Q_ref[i, j] for j in range(nx)] for i in range(nx)]
+            R = [[R_ref[i, j] for j in range(nu)] for i in range(nu)]
+            Qf = [[Qf_ref[i, j] for j in range(nx)] for i in range(nx)]
+            goal = [goal_ref[i] for i in range(nx)]
+
+            def ref_row(t):
+                if tracking:
+                    return [refs_ref[t, i] for i in range(nx)]
+                return goal
+
+            def run_cost(x, u, t):
+                ref = ref_row(t)
+                e = [x[i] - ref[i] for i in range(nx)]
+                c = zeros
+                for i in range(nx):
+                    for j in range(nx):
+                        c = c + e[i] * Q[i][j] * e[j]
+                for i in range(nu):
+                    for j in range(nu):
+                        c = c + u[i] * R[i][j] * u[j]
+                return c
+
+            def term_cost(x):
+                e = [x[i] - goal[i] for i in range(nx)]
+                c = zeros
+                for i in range(nx):
+                    for j in range(nx):
+                        c = c + e[i] * Qf[i][j] * e[j]
+                return c
+
+            def run_derivs(x, u, t):
+                ref = ref_row(t)
+                e = [x[i] - ref[i] for i in range(nx)]
+                lx = [
+                    2.0 * sum(Q[i][j] * e[j] for j in range(nx))
+                    for i in range(nx)
+                ]
+                lu = [
+                    2.0 * sum(R[i][j] * u[j] for j in range(nu))
+                    for i in range(nu)
+                ]
+                lxx = [[2.0 * Q[i][j] for j in range(nx)]
+                       for i in range(nx)]
+                luu = [[2.0 * R[i][j] for j in range(nu)]
+                       for i in range(nu)]
+                lux = [[zeros] * nx for _ in range(nu)]
+                return lx, lu, lxx, luu, lux
+
+            def term_value(x):
+                eN = [x[i] - goal[i] for i in range(nx)]
+                Vx = [
+                    2.0 * sum(Qf[i][j] * eN[j] for j in range(nx))
+                    for i in range(nx)
+                ]
+                Vxx = [[2.0 * Qf[i][j] for j in range(nx)]
+                       for i in range(nx)]
+                return Vx, Vxx
 
         def box_g(x, u):
             """Shifted stack g (stack order): box items contribute
@@ -438,12 +675,13 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
         Ko[...] = Ku0_ref[...]
         Yo[...] = Y0_ref[...]
         So[...] = S0_ref[...]
-        Lo[...] = L0_ref[...]
         Xc[...] = X0_ref[...]
         Uc[...] = U0_ref[...]
         Yc[...] = Y0_ref[...]
         Sc[...] = S0_ref[...]
-        Lc[...] = L0_ref[...]
+        if track_costates:
+            Lo[...] = L0_ref[...]
+            Lc[...] = L0_ref[...]
         if mT:
             STo[...] = st0_ref[...]
             YTo[...] = yt0_ref[...]
@@ -552,18 +790,12 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
                         mrt = sc[_BP_DONE] < 0.5
                         regl = sc[_REG]
 
-                        # Terminal value fold: quadratic terminal cost,
+                        # Terminal value fold: terminal-cost derivatives,
                         # plus the terminal-inequality barrier fold when
                         # present (_terminal_value_fold,
                         # ipddp_solver.cpp:999-1031).
                         xN = [Xo[N, i] for i in range(nx)]
-                        eN = [xN[i] - goal[i] for i in range(nx)]
-                        VxT = [
-                            2.0 * sum(Qf[i][j] * eN[j] for j in range(nx))
-                            for i in range(nx)
-                        ]
-                        VxxT = [[2.0 * Qf[i][j] for j in range(nx)]
-                                for i in range(nx)]
+                        VxT, VxxT = term_value(xN)
                         infpr_T = zeros
                         infcomp_T = zeros
                         if mT:
@@ -589,12 +821,15 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
                                 infcomp_T = jnp.maximum(
                                     infcomp_T, jnp.abs(YTo[i] * STo[i] - mu)
                                 )
-                        for i in range(nx):
-                            Vxs[N, i] = jnp.where(mrt, VxT[i], Vxs[N, i])
-                            for j in range(nx):
-                                Vxxs[N, i, j] = jnp.where(
-                                    mrt, VxxT[i][j], Vxxs[N, i, j]
+                        if track_costates:
+                            for i in range(nx):
+                                Vxs[N, i] = jnp.where(
+                                    mrt, VxT[i], Vxs[N, i]
                                 )
+                                for j in range(nx):
+                                    Vxxs[N, i, j] = jnp.where(
+                                        mrt, VxxT[i][j], Vxxs[N, i, j]
+                                    )
 
                         def bstep(_s, carry):
                             t = carry[-1]
@@ -616,21 +851,7 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
                             ]
                             Bm = [[dt * Fu[i][j] for j in range(nu)]
                                   for i in range(nx)]
-                            ref = ref_row(t)
-                            e = [x[i] - ref[i] for i in range(nx)]
-                            lx = [
-                                2.0 * sum(Q[i][j] * e[j] for j in range(nx))
-                                for i in range(nx)
-                            ]
-                            lu = [
-                                2.0 * sum(R[i][j] * u[j] for j in range(nu))
-                                for i in range(nu)
-                            ]
-                            lxx = [[2.0 * Q[i][j] for j in range(nx)]
-                                   for i in range(nx)]
-                            luu = [[2.0 * R[i][j] for j in range(nu)]
-                                   for i in range(nu)]
-                            lux = [[zeros] * nx for _ in range(nu)]
+                            lx, lu, lxx, luu, lux = run_derivs(x, u, t)
                             y = [Yo[t, i] for i in range(m)]
                             s = [So[t, i] for i in range(m)]
                             g = box_g(x, u)
@@ -672,14 +893,16 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
                                     Ko[t, i, j] = jnp.where(
                                         mrt, K_u[i][j], Ko[t, i, j]
                                     )
-                            for i in range(nx):
-                                Vxs[t, i] = jnp.where(
-                                    mrt, Vx_new[i], Vxs[t, i]
-                                )
-                                for j in range(nx):
-                                    Vxxs[t, i, j] = jnp.where(
-                                        mrt, Vxx_new[i][j], Vxxs[t, i, j]
+                            if track_costates:
+                                for i in range(nx):
+                                    Vxs[t, i] = jnp.where(
+                                        mrt, Vx_new[i], Vxs[t, i]
                                     )
+                                    for j in range(nx):
+                                        Vxxs[t, i, j] = jnp.where(
+                                            mrt, Vxx_new[i][j],
+                                            Vxxs[t, i, j],
+                                        )
 
                             for i in range(nu):
                                 infdu = jnp.maximum(infdu, jnp.abs(Qu_c[i]))
@@ -868,12 +1091,13 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
                             t = carry[-1]
                             tp1 = t + _i32(1)
                             dx = [x[i] - Xo[t, i] for i in range(nx)]
-                            lam_new = [
-                                Lo[t, i] + a_pr * Vxs[t, i]
-                                + sum(Vxxs[t, i, j] * dx[j]
-                                      for j in range(nx))
-                                for i in range(nx)
-                            ]
+                            if track_costates:
+                                lam_new = [
+                                    Lo[t, i] + a_pr * Vxs[t, i]
+                                    + sum(Vxxs[t, i, j] * dx[j]
+                                          for j in range(nx))
+                                    for i in range(nx)
+                                ]
                             y = [Yo[t, i] for i in range(m)]
                             s = [So[t, i] for i in range(m)]
                             g_nom = box_g(
@@ -970,11 +1194,15 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
                                 lane_f, integrator, x, u, p, dt
                             )
                             for i in range(nx):
-                                feas = feas * fin(x_next[i]) * fin(lam_new[i])
+                                feas = feas * fin(x_next[i])
+                                if track_costates:
+                                    feas = feas * fin(lam_new[i])
+                                    Lc[t, i] = jnp.where(
+                                        mnf, lam_new[i], Lc[t, i]
+                                    )
                                 Xc[tp1, i] = jnp.where(
                                     mnf, x_next[i], Xc[tp1, i]
                                 )
-                                Lc[t, i] = jnp.where(mnf, lam_new[i], Lc[t, i])
                             for i in range(nu):
                                 feas = feas * fin(u[i])
                                 Uc[t, i] = jnp.where(mnf, u[i], Uc[t, i])
@@ -996,14 +1224,16 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
                          feas) = out[1:-1]
                         J = J + term_cost(xN)
                         dxN = [xN[i] - Xo[N, i] for i in range(nx)]
-                        lamN = [
-                            Lo[N, i] + a_pr * Vxs[N, i]
-                            + sum(Vxxs[N, i, j] * dxN[j] for j in range(nx))
-                            for i in range(nx)
-                        ]
-                        for i in range(nx):
-                            feas = feas * fin(lamN[i])
-                            Lc[N, i] = jnp.where(mnf, lamN[i], Lc[N, i])
+                        if track_costates:
+                            lamN = [
+                                Lo[N, i] + a_pr * Vxs[N, i]
+                                + sum(Vxxs[N, i, j] * dxN[j]
+                                      for j in range(nx))
+                                for i in range(nx)
+                            ]
+                            for i in range(nx):
+                                feas = feas * fin(lamN[i])
+                                Lc[N, i] = jnp.where(mnf, lamN[i], Lc[N, i])
 
                         if mT:
                             # Terminal-inequality slack/dual trial updates
@@ -1148,7 +1378,10 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
                     for i in range(nx):
                         Xo[tp1, i] = jnp.where(commit_m, Xc[tp1, i],
                                                Xo[tp1, i])
-                        Lo[t, i] = jnp.where(commit_m, Lc[t, i], Lo[t, i])
+                        if track_costates:
+                            Lo[t, i] = jnp.where(
+                                commit_m, Lc[t, i], Lo[t, i]
+                            )
                     for i in range(nu):
                         Uo[t, i] = jnp.where(commit_m, Uc[t, i], Uo[t, i])
                     for i in range(m):
@@ -1158,8 +1391,9 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
 
                 jax.lax.fori_loop(_i32(0), _i32(N), copy_body,
                                   jnp.asarray(0, jnp.int32))
-                for i in range(nx):
-                    Lo[N, i] = jnp.where(commit_m, Lc[N, i], Lo[N, i])
+                if track_costates:
+                    for i in range(nx):
+                        Lo[N, i] = jnp.where(commit_m, Lc[N, i], Lo[N, i])
                 if mT:
                     for i in range(mT):
                         STo[i] = jnp.where(commit_m, STc[i], STo[i])
@@ -1450,7 +1684,10 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
 
     def call(X0, U0, Y0, S0, ku0, Ku0, L0, mu0, dtv, params, Q, R, Qf,
              goal, refs, lo, hi, sfv, st0=None, yt0=None, atm=None,
-             btm=None, interpret=False):
+             btm=None, cp=None, interpret=False):
+        """Outputs: (X, U, k, K, Y, S, [Lambda], stats, [S_T, Y_T]) —
+        Lambda only with ``track_costates``; in GN mode Q/R/Qf/goal/refs
+        are ignored and ``cp`` carries the cost parameters."""
         Btot = X0.shape[-1]
         assert Btot % tile_b == 0, (Btot, tile_b)
         grid = (Btot // tile_b,)
@@ -1470,14 +1707,21 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
 
         in_specs = [
             spec(N + 1, nx), spec(N, nu), spec(N, m), spec(N, m),
-            spec(N, nu), spec(N, nu, nx), spec(N + 1, nx), spec(1), spec(1),
-            spec(np_eff), spec(nx, nx), spec(nu, nu), spec(nx, nx), spec(nx),
-        ] + ([spec(N, nx)] if tracking else []) + [
+            spec(N, nu), spec(N, nu, nx),
+        ] + ([spec(N + 1, nx)] if track_costates else []) + [
+            spec(1), spec(1), spec(np_eff),
+        ] + (
+            [spec(gn.n_cp)] if gn is not None else
+            [spec(nx, nx), spec(nu, nu), spec(nx, nx), spec(nx)]
+            + ([spec(N, nx)] if tracking else [])
+        ) + [
             spec(nb), spec(nb), spec(n_items),
         ] + ([spec(mT), spec(mT), spec(mT, nx), spec(mT)] if mT else [])
         out_specs = (
             spec(N + 1, nx), spec(N, nu), spec(N, nu), spec(N, nu, nx),
-            spec(N, m), spec(N, m), spec(N + 1, nx), spec(9),
+            spec(N, m), spec(N, m),
+        ) + ((spec(N + 1, nx),) if track_costates else ()) + (
+            spec(9),
         ) + ((spec(mT), spec(mT)) if mT else ())
         out_shape = (
             jax.ShapeDtypeStruct((N + 1, nx, rows, 128), dtype),
@@ -1486,30 +1730,40 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
             jax.ShapeDtypeStruct((N, nu, nx, rows, 128), dtype),
             jax.ShapeDtypeStruct((N, m, rows, 128), dtype),
             jax.ShapeDtypeStruct((N, m, rows, 128), dtype),
+        ) + ((
             jax.ShapeDtypeStruct((N + 1, nx, rows, 128), dtype),
+        ) if track_costates else ()) + (
             jax.ShapeDtypeStruct((9, rows, 128), dtype),
         ) + ((
             jax.ShapeDtypeStruct((mT, rows, 128), dtype),
             jax.ShapeDtypeStruct((mT, rows, 128), dtype),
         ) if mT else ())
-        scratch = [
+        scratch = ([
             pltpu.VMEM((N + 1, nx, tbs, 128), dtype),      # Vx sequence
             pltpu.VMEM((N + 1, nx, nx, tbs, 128), dtype),  # Vxx sequence
+        ] if track_costates else []) + [
             pltpu.VMEM((N + 1, nx, tbs, 128), dtype),      # Xc
             pltpu.VMEM((N, nu, tbs, 128), dtype),          # Uc
             pltpu.VMEM((N, m, tbs, 128), dtype),           # Yc
             pltpu.VMEM((N, m, tbs, 128), dtype),           # Sc
-            pltpu.VMEM((N + 1, nx, tbs, 128), dtype),      # Lc
         ] + ([
+            pltpu.VMEM((N + 1, nx, tbs, 128), dtype),      # Lc
+        ] if track_costates else []) + ([
             pltpu.VMEM((mT, tbs, 128), dtype),             # STc
             pltpu.VMEM((mT, tbs, 128), dtype),             # YTc
         ] if mT else []) + [
             pltpu.VMEM((_N_SCALARS, tbs, 128), dtype),     # sc
         ]
-        ins = (X0, U0, Y0, S0, ku0, Ku0, L0, mu0, dtv, params, Q, R, Qf,
-               goal)
-        if tracking:
-            ins = ins + (refs,)
+        ins = (X0, U0, Y0, S0, ku0, Ku0)
+        if track_costates:
+            ins = ins + (L0,)
+        ins = ins + (mu0, dtv, params)
+        if gn is not None:
+            ins = ins + (cp,)
+        else:
+            ins = ins + (Q, R, Qf, goal)
+            if tracking:
+                ins = ins + (refs,)
         ins = ins + (lo, hi, sfv)
         if mT:
             ins = ins + (st0, yt0, atm, btm)
@@ -1580,44 +1834,72 @@ def _lane_stack_dims(stack, nx, nu):
 
 
 def _vmem_estimate_bytes(problem, options=None,
-                         tile_b: int = DEFAULT_TILE_B) -> int:
-    from cddp_tpu.constraints.stack import PathStacker
+                         tile_b: int = DEFAULT_TILE_B,
+                         track_costates: bool = True) -> int:
+    from cddp_tpu.constraints.stack import PathStacker, TerminalStacker
+    from cddp_tpu.costs.objective import QuadraticObjective
 
     nx, nu, N = problem.state_dim, problem.control_dim, problem.horizon
     stk = PathStacker(problem)
     m = stk.total_dim
-    kind = _registry_key(problem.model)
-    np_eff = max(_REGISTRY[kind][0], 1) if kind else 1
-    tracking = problem.objective.reference_states is not None
+    entry = _model_entry(problem.model)
+    np_eff = max(entry[1], 1) if entry is not None else 1
+    if isinstance(problem.objective, QuadraticObjective):
+        tracking = problem.objective.reference_states is not None
+        cost_in = 2 * nx * nx + nu * nu + nx + (N * nx if tracking else 0)
+    else:
+        gn_entry = gn_cost_lane(problem.objective)
+        cost_in = gn_entry.spec.n_cp if gn_entry is not None else 0
     stack = _lane_stack(stk)
     if stack is not None:
         nb, _ = _lane_stack_dims(stack, nx, nu)
     else:
         nb = m // 2  # box rows come in lower/upper pairs
     n_items = len(stk.items)
+    mT = TerminalStacker(problem).ineq_dim
+    lam_rows = (N + 1) * nx if track_costates else 0
     ins = (
         (N + 1) * nx + N * nu + 2 * N * m + N * nu + N * nu * nx
-        + (N + 1) * nx + 2 + np_eff + 2 * nx * nx + nu * nu + nx
-        + (N * nx if tracking else 0) + 2 * nb + n_items
+        + lam_rows + 2 + np_eff + cost_in + 2 * nb + n_items
+        + (3 * mT + mT * nx)
     )
     outs = (
         (N + 1) * nx + 2 * N * nu + N * nu * nx + 2 * N * m
-        + (N + 1) * nx + 9
+        + lam_rows + 9 + 2 * mT
     )
     scratch = (
-        (N + 1) * nx * (3 + nx) + N * nu + 2 * N * m + (N + 1) * nx
-        + _N_SCALARS
+        ((N + 1) * nx * (2 + nx) if track_costates else 0)  # Vx, Vxx, Lc
+        + (N + 1) * nx + N * nu + 2 * N * m                 # Xc, Uc, Yc, Sc
+        + 2 * mT + _N_SCALARS
     )
     return (ins + outs + scratch) * tile_b * 4
+
+
+def _costate_mode(problem, options=None):
+    """(vmem_eligible, track_costates) for the whole-solve kernel: costates
+    are tracked whenever the full footprint fits the VMEM budget; if only
+    the costate-free footprint fits, the kernel runs with
+    ``track_costates=False`` (Lambda returned as zeros — write-only state
+    in the iLQR condensed regime, see :func:`make_solve_kernel`)."""
+    if _vmem_estimate_bytes(problem, options) <= _VMEM_BUDGET_BYTES:
+        return True, True
+    fits = (
+        _vmem_estimate_bytes(problem, options, track_costates=False)
+        <= _VMEM_BUDGET_BYTES
+    )
+    return fits, False
 
 
 def mega_eligible(problem, options) -> bool:
     """Static dispatch predicate for the whole-solve IPDDP kernel.
 
-    Requires: registered continuous-dynamics lane model, QuadraticObjective
-    (goal or reference_states tracking), a lane path-constraint stack
-    (ControlConstraint / StateConstraint boxes and/or BallConstraint
-    keep-out balls), no terminal constraints, the
+    Requires: a continuous-dynamics lane model (built-in registry or
+    ip_rollout.register_model_lane), a kernel-capable objective —
+    QuadraticObjective (goal or reference_states tracking) or any
+    objective with a registered Gauss-Newton residual lane
+    (:func:`register_gn_cost_lane`, e.g. the MPCC racing cost) — a lane
+    path-constraint stack (ControlConstraint / StateConstraint boxes
+    and/or BallConstraint keep-out balls), no terminal equalities, the
     iLQR sequential condensed backward, the sequential first-success line
     search, and none of the driver features the kernel doesn't model
     (history/verbose/debug/cpu-time, explicit always-on slack SOC or
@@ -1630,11 +1912,12 @@ def mega_eligible(problem, options) -> bool:
 
     if os.environ.get("CDDP_TPU_NO_MEGA"):  # emergency kill switch
         return False
-    kind = _registry_key(problem.model)
-    if kind is None or _is_discrete(_REGISTRY[kind]):
+    entry = _model_entry(problem.model)
+    if entry is None or entry[4]:  # unknown model or exact discrete map
         return False
     if not isinstance(problem.objective, QuadraticObjective):
-        return False
+        if gn_cost_lane(problem.objective) is None:
+            return False
     stk = PathStacker(problem)
     tstk = TerminalStacker(problem)
     if _lane_stack(stk) is None or stk.total_dim == 0:
@@ -1663,22 +1946,25 @@ def mega_eligible(problem, options) -> bool:
         and options.max_cpu_time <= 0
         and options.max_iterations >= 1
         and options.regularization.update_factor > 1.0
-        and _vmem_estimate_bytes(problem, options) <= _VMEM_BUDGET_BYTES
+        and _costate_mode(problem, options)[0]
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "kind", "integrator", "box_layout", "tile_b",
-                     "interpret"),
+    static_argnames=("cfg", "kind", "integrator", "box_layout", "gn_key",
+                     "track_costates", "tile_b", "interpret"),
 )
 def _mega_impl(X0, U0, Y0, S0, ku0, Ku0, L0, mu0, dtv, params, Q, R, Qf,
-               goal, refs, lo, hi, sfv, st0, yt0, atm, btm, cfg: _Cfg,
-               kind: str, integrator: str, box_layout,
-               tile_b: int = DEFAULT_TILE_B, interpret: bool = False):
+               goal, refs, lo, hi, sfv, st0, yt0, atm, btm, cp, cfg: _Cfg,
+               kind, integrator: str, box_layout, gn_key=None,
+               track_costates: bool = True, tile_b: int = DEFAULT_TILE_B,
+               interpret: bool = False):
     """Batch-first wrapper: pad to a tile multiple, transpose to batch-last,
     run the kernel, trim. ``refs`` is None for goal-form objectives;
-    ``st0/yt0/atm/btm`` are None without terminal inequalities."""
+    ``st0/yt0/atm/btm`` are None without terminal inequalities; in GN mode
+    (``gn_key`` set) Q/R/Qf/goal/refs are None and ``cp`` carries the cost
+    parameters. ``kind`` is the model static key (class name or class)."""
     B0 = X0.shape[0]
     nx, nu, N, m = X0.shape[2], U0.shape[2], U0.shape[1], Y0.shape[2]
     pad = (-B0) % tile_b
@@ -1691,37 +1977,53 @@ def _mega_impl(X0, U0, Y0, S0, ku0, Ku0, L0, mu0, dtv, params, Q, R, Qf,
             v = jnp.concatenate([v, jnp.repeat(v[-1:], pad, 0)], 0)
         return jnp.moveaxis(v, 0, -1)
 
-    entry = _REGISTRY[kind]
-    n_params, lane_f = entry[0], entry[2]
+    n_params, lane_f = _model_lanes_by_key(kind)
     deriv_f = deriv_lane_fn(kind, lane_f, nx, nu)
+    gn = _GN_BY_KEY[gn_key] if gn_key is not None else None
     mT = 0 if st0 is None else st0.shape[1]
     call = make_solve_kernel(
         nx, nu, m, N, n_params, lane_f, deriv_f, integrator, box_layout,
-        cfg, cap, tracking, mT=mT, tile_b=tile_b,
+        cfg, cap, tracking, mT=mT, tile_b=tile_b, gn=gn,
+        track_costates=track_costates,
     )
     args = [
         prep(v) if v is not None else None
         for v in (X0, U0, Y0, S0, ku0, Ku0, L0, mu0[:, None], dtv[:, None],
                   params, Q, R, Qf, goal, refs, lo, hi, sfv, st0, yt0, atm,
-                  btm)
+                  btm, cp)
     ]
     outs = call(*args, interpret=interpret)
     unprep = lambda v: jnp.moveaxis(v, -1, 0)[:B0]
     return tuple(unprep(o) for o in outs)
 
 
-def build_fused_solve(problem, options, interpret: bool = False):
+def build_fused_solve(problem, options, interpret: bool = False,
+                      obj_treedef=None):
     """Batch-first fused whole-solve for a concrete (problem, options):
-    ``fused(x0, X0, U0, Y0, S0, L0, mu0, ku0, Ku0, S_T0, Y_T0) ->
-    (X, U, k, K, Y, S, Lambda, cost, inf_pr, inf_du, inf_comp, mu, reg,
-    alpha_pr, iterations(int32), status(int32), S_T, Y_T)``. ``S_T0/Y_T0``
-    are ``(B, mT)`` (``mT = 0`` without terminal inequalities). Also the
-    test entry for interpret-mode parity runs."""
-    from cddp_tpu.constraints.stack import PathStacker, TerminalStacker
+    ``fused(x0, X0, U0, Y0, S0, L0, mu0, ku0, Ku0, S_T0, Y_T0,
+    *obj_leaves) -> (X, U, k, K, Y, S, Lambda, cost, inf_pr, inf_du,
+    inf_comp, mu, reg, alpha_pr, iterations(int32), status(int32), S_T,
+    Y_T)``. ``S_T0/Y_T0`` are ``(B, mT)`` (``mT = 0`` without terminal
+    inequalities). Also the test entry for interpret-mode parity runs.
 
-    kind = _registry_key(problem.model)
+    With ``obj_treedef`` set, the objective travels as trailing
+    ``*obj_leaves`` op arguments, every leaf carrying the leading batch
+    dimension — per-instance cost parameters (e.g. a fleet of per-car
+    track windows) batch through vmap instead of being closed over.
+    Without it, the closed-over ``problem.objective`` must be concrete."""
+    from cddp_tpu.constraints.stack import PathStacker, TerminalStacker
+    from cddp_tpu.costs.objective import QuadraticObjective
+
+    kind = _model_entry(problem.model)[0]
     integrator = problem.model.integration_type
-    obj = problem.objective
+    obj0 = problem.objective
+    quad = isinstance(obj0, QuadraticObjective)
+    gn_entry = None if quad else gn_cost_lane(obj0)
+    if not quad:
+        assert gn_entry is not None, (
+            "build_fused_solve: objective has no registered GN cost lane"
+        )
+    track_costates = _costate_mode(problem, options)[1]
     stk = PathStacker(problem)
     tstk = TerminalStacker(problem)
     mT = tstk.ineq_dim
@@ -1737,24 +2039,54 @@ def build_fused_solve(problem, options, interpret: bool = False):
         chess_auto=has_ball
         and options.ipddp.use_constraint_hessians == "auto",
     )
-    entry = _REGISTRY[kind]
-    n_params, param_fn = entry[0], entry[1]
+    n_params, param_fn = _model_entry(problem.model)[1:3]
 
-    def fused_impl(x0, X0, U0, Y0, S0, L0, mu0, ku0, Ku0, S_T0, Y_T0):
+    def fused_impl(x0, X0, U0, Y0, S0, L0, mu0, ku0, Ku0, S_T0, Y_T0,
+                   *obj_leaves):
         B = x0.shape[0]
+        N = U0.shape[1]
         dtype = x0.dtype
 
         def bc(a):
             a = jnp.asarray(a, dtype)
             return jnp.broadcast_to(a, (B,) + a.shape)
 
+        if obj_leaves:
+            # Leaf-batched objective: every leaf arrives (B, ...) (the
+            # batched-op rule broadcasts unbatched ones).
+            obj = jax.tree_util.tree_unflatten(obj_treedef, obj_leaves)
+            batched_obj = True
+        else:
+            obj = obj0
+            batched_obj = False
+
         params = bc(jnp.asarray(param_fn(problem.model), dtype))
         if n_params == 0:
             params = jnp.zeros((B, 1), dtype)
-        if obj.reference_states is not None:
-            refs = bc(jnp.asarray(obj.reference_states)[: U0.shape[1]])
+        if gn_entry is not None:
+            if batched_obj:
+                cp = jnp.asarray(jax.vmap(gn_entry.cp_fn)(obj), dtype)
+            else:
+                cp = bc(gn_entry.cp_fn(obj))
+            Qb = Rb = Qfb = goalb = refs = None
         else:
-            refs = None
+            cp = None
+            if batched_obj:
+                Qb = jnp.asarray(obj.Q, dtype)
+                Rb = jnp.asarray(obj.R, dtype)
+                Qfb = jnp.asarray(obj.Qf, dtype)
+                goalb = jnp.asarray(obj.reference_state, dtype)
+                refs = (
+                    jnp.asarray(obj.reference_states, dtype)[:, :N]
+                    if obj.reference_states is not None else None
+                )
+            else:
+                Qb, Rb, Qfb = bc(obj.Q), bc(obj.R), bc(obj.Qf)
+                goalb = bc(obj.reference_state)
+                refs = (
+                    bc(jnp.asarray(obj.reference_states)[:N])
+                    if obj.reference_states is not None else None
+                )
         # lo/hi parameter rows per item: box bounds, or for a ball item
         # its center in lo and [radius, 0...] in hi (same row count).
         lo_parts, hi_parts = [], []
@@ -1785,19 +2117,27 @@ def build_fused_solve(problem, options, interpret: bool = False):
         else:
             atm = btm = st0 = yt0 = None
         outs = _mega_impl(
-            X0, U0, Y0, S0, ku0, Ku0, L0,
+            X0, U0, Y0, S0, ku0, Ku0, L0 if track_costates else None,
             jnp.broadcast_to(jnp.asarray(mu0, dtype), (B,)),
             jnp.broadcast_to(jnp.asarray(problem.timestep, dtype), (B,)),
-            params, bc(obj.Q), bc(obj.R), bc(obj.Qf),
-            bc(obj.reference_state), refs, lo, hi, sfv, st0, yt0, atm, btm,
+            params, Qb, Rb, Qfb, goalb, refs, lo, hi, sfv, st0, yt0, atm,
+            btm, cp,
             cfg=cfg, kind=kind, integrator=integrator,
-            box_layout=box_layout, tile_b=DEFAULT_TILE_B,
+            box_layout=box_layout,
+            gn_key=gn_entry.static_key if gn_entry is not None else None,
+            track_costates=track_costates, tile_b=DEFAULT_TILE_B,
             interpret=interpret,
         )
-        if mT:
-            X, U, k, K, Y, S, Lam, st, S_T, Y_T = outs
+        X, U, k, K, Y, S = outs[:6]
+        outs = outs[6:]
+        if track_costates:
+            Lam, outs = outs[0], outs[1:]
         else:
-            X, U, k, K, Y, S, Lam, st = outs
+            Lam = jnp.zeros_like(X)
+        st, outs = outs[0], outs[1:]
+        if mT:
+            S_T, Y_T = outs
+        else:
             S_T = jnp.zeros((B, 0), dtype)
             Y_T = jnp.zeros((B, 0), dtype)
         return (
@@ -1811,12 +2151,25 @@ def build_fused_solve(problem, options, interpret: bool = False):
 
 
 def problem_consts_concrete(problem) -> bool:
-    from cddp_tpu.ops.pallas.mega_clddp import problem_consts_concrete as f
+    """True when every problem leaf the whole-solve op closes over is safe
+    to close over. The objective's leaves are op ARGUMENTS (so per-instance
+    cost parameters — a fleet of per-car MPCC track windows, per-instance
+    goals — batch through vmap); model, path-constraint,
+    terminal-constraint and timestep leaves are closed over.
 
-    term_leaves = jax.tree_util.tree_leaves(problem.terminal_constraints)
-    return f(problem) and not any(
-        isinstance(l, jax.core.Tracer) for l in term_leaves
+    Only *batch* tracers are disqualifying: a vmap-mapped leaf closed over
+    as if shared would silently drop its batch axis. Plain jit tracers are
+    fine — under ``jit(vmap(solve))`` even constants built inside the trace
+    (``jnp.asarray([...])`` binds device_put when tracing) appear as
+    unbatched jit tracers, and closing over same-trace values is ordinary
+    capture."""
+    from jax._src.interpreters.batching import BatchTracer
+
+    leaves = jax.tree_util.tree_leaves(
+        (problem.constraints, problem.terminal_constraints, problem.model,
+         problem.timestep)
     )
+    return not any(isinstance(l, BatchTracer) for l in leaves)
 
 
 def ipddp_solve_op(problem, options, interpret: bool = False):
@@ -1826,15 +2179,21 @@ def ipddp_solve_op(problem, options, interpret: bool = False):
     K, Y, S, Lambda, cost, inf_pr, inf_du, inf_comp, mu, reg, alpha_pr,
     iterations(int32), status(int32), S_T, Y_T)``. Unbatched / CPU /
     non-f32 calls run the XLA ``_drive`` driver per instance; vmapped TPU
-    float32 batches >= MIN_KERNEL_BATCH run the fused kernel."""
+    float32 batches >= MIN_KERNEL_BATCH run the fused kernel. The
+    objective's pytree leaves ride as trailing op arguments so vmapping
+    over per-instance cost parameters reaches the kernel."""
     from cddp_tpu.solvers import ipddp as _ipddp
     from cddp_tpu.constraints.stack import PathStacker, TerminalStacker
 
-    kind = _registry_key(problem.model)
-    fused_impl = build_fused_solve(problem, options, interpret)
+    kind = _model_entry(problem.model)[0]
+    obj_leaves0, obj_def = jax.tree_util.tree_flatten(problem.objective)
+    fused_impl = build_fused_solve(problem, options, interpret,
+                                   obj_treedef=obj_def)
 
-    def scan_single(x0, X0, U0, Y0, S0, L0, mu0, ku0, Ku0, S_T0, Y_T0):
-        p = problem.replace(x0=x0)
+    def scan_single(x0, X0, U0, Y0, S0, L0, mu0, ku0, Ku0, S_T0, Y_T0,
+                    *obj_leaves):
+        obj = jax.tree_util.tree_unflatten(obj_def, obj_leaves)
+        p = problem.replace(x0=x0, objective=obj)
         stk = PathStacker(p)
         tstk = TerminalStacker(p)
         dtype = X0.dtype
@@ -1853,8 +2212,16 @@ def ipddp_solve_op(problem, options, interpret: bool = False):
             sol.iterations_completed, sol.status_code, st.S_T, st.Y_T,
         )
 
-    return make_batched_op(
+    op = make_batched_op(
         scan_single, fused_impl, "IPDDP solve",
         min_batch=MIN_KERNEL_BATCH,
         log_detail=lambda x0, *rest: dict(model=kind),
     )
+
+    def call_op(x0, X0, U0, Y0, S0, L0, mu0, ku0, Ku0, S_T0, Y_T0):
+        # The objective leaves (possibly tracers of an enclosing vmap over
+        # per-instance cost parameters) ride as trailing op arguments.
+        return op(x0, X0, U0, Y0, S0, L0, mu0, ku0, Ku0, S_T0, Y_T0,
+                  *obj_leaves0)
+
+    return call_op

@@ -33,6 +33,7 @@ ipddp_solver.cpp:652-817); pass it back in with ``options.warm_start=True``.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -388,6 +389,12 @@ def _terminal_ineq_steps(g_T, G_T_x, S_T, Y_T, dx_last, mu):
     return dS_T, dY_T
 
 
+# Unroll factor for the tiny-body sequential N-scans (forward rollout,
+# linear Newton-step rollout): loop overhead dominates their cost on TPU.
+# Env-tunable for latency ablations; the math is unchanged at any value.
+_SCAN_UNROLL = int(os.environ.get("CDDP_TPU_SCAN_UNROLL", "4"))
+
+
 def _rollout_linear(A, B, K, k, dx0, d=None):
     """rolloutLinearPolicy (ipddp_solver.cpp:368-395): dU = k + K dX,
     dX+ = A dX + B dU (+ d). Returns (dX, dU)."""
@@ -401,7 +408,7 @@ def _rollout_linear(A, B, K, k, dx0, d=None):
         return dx_next, (dx, du)
 
     dx_last, (dX_head, dU) = jax.lax.scan(step, dx0, (A, B, K, k, d),
-                                          unroll=4)
+                                          unroll=_SCAN_UNROLL)
     dX = jnp.concatenate([dX_head, dx_last[None]], axis=0)
     return dX, dU
 
@@ -1124,12 +1131,12 @@ def _forward_pass(
             bp.K_lambda[:-1], c.Lambda[:-1], bp.k_y, bp.K_y, bp.k_s, bp.K_s,
             ts, ks_idx,
         )
-        # unroll=4: tiny per-step body — loop overhead dominates on TPU
+        # unroll: tiny per-step body — loop overhead dominates on TPU
         # (math unchanged; goldens stay bit-identical).
         (x_last, J, feasible), (X_tail, U_new, S_new, Y_new, G_new, Lam_head) = (
             jax.lax.scan(
                 step, (problem.x0, jnp.zeros((), dtype), jnp.asarray(True)),
-                inputs, unroll=4,
+                inputs, unroll=_SCAN_UNROLL,
             )
         )
     X_new = jnp.concatenate([problem.x0[None], X_tail], axis=0)

@@ -490,11 +490,128 @@ def _mpcc_cost_factory(obj):
     return ((M, cfg), params, lane_f)
 
 
+def _mpcc_track_params(obj):
+    """LocalTrack cost-parameter vector shared by the fused-forward and
+    whole-solve lanes: coeffs (M, 5) row-major, then center/halfwidth/
+    width (n_cp = 5M + 3). vmapped over leaf-batched objectives for
+    per-car track windows in a fleet."""
+    trk = obj.track
+    return jnp.concatenate([
+        jnp.asarray(trk.coeffs).reshape(-1),
+        jnp.asarray(trk.center).reshape(1),
+        jnp.asarray(trk.halfwidth).reshape(1),
+        jnp.asarray(trk.width).reshape(1),
+    ])
+
+
+def _mpcc_gn_factory(obj):
+    """Whole-solve (mega) Gauss-Newton residual lanes for MpccObjective
+    over a LocalTrack window — the 13 running residuals of
+    :meth:`MpccObjective.running_residuals` (ipddp_mpcc_rc.py:333-436) and
+    the 2 terminal contour/lag residuals + affine progress bonus, on lane
+    scalars with the Clenshaw track lookup of ``_mpcc_cost_factory``.
+    Residual Jacobians come from jax.jvp inside the kernel (GN 2 J^T J,
+    exactly the ResidualObjective derivative contract). Fourier-track
+    objectives decline (fleet solves use LocalTrack)."""
+    from cddp_tpu.ops.pallas.mega_ipddp import GnCostEntry, GnCostSpec
+
+    trk = obj.track
+    if not isinstance(trk, LocalTrack):
+        return None
+    cfg = obj.cfg
+    M = int(trk.coeffs.shape[0])
+    two_pi = 2.0 * jnp.pi
+
+    def track_lanes(x, p):
+        """(e_c, e_l, e_yaw, v_ref, dx, dy, width) at lane state x.
+
+        Scalar literals are broadcast to lanes before min/max ops: under
+        jax_enable_x64 the jvp of max/clip instantiates the literal
+        operand's zero tangent as a weak-f64 constant, which the Mosaic
+        TPU lowering cannot cast back to f32 (the STATUS r3 pitfall list;
+        these lanes are differentiated in-kernel by the GN derivs)."""
+        center, halfwidth, width = p[5 * M], p[5 * M + 1], p[5 * M + 2]
+        zero = jnp.zeros_like(x[IDX_THETA])
+        one = zero + 1.0
+        tt = (x[IDX_THETA] - center) / halfwidth
+        t = jnp.minimum(jnp.maximum(tt, -one), one)  # == clip(tt, -1, 1)
+        b1 = [zero] * 5
+        b2 = [zero] * 5
+        t2 = 2.0 * t
+        for k in range(M - 1, 0, -1):
+            b1, b2 = [t2 * b1[f] - b2[f] + p[5 * k + f] for f in range(5)], b1
+        vals = [t * b1[f] - b2[f] + p[f] for f in range(5)]
+        rx, ry, heading, _curv, v_ref = vals
+        sin_h = jnp.sin(heading)
+        cos_h = jnp.cos(heading)
+        dx = x[IDX_X] - rx
+        dy = x[IDX_Y] - ry
+        e_c = -sin_h * dx + cos_h * dy
+        e_l = cos_h * dx + sin_h * dy
+        a = x[IDX_PSI] - heading
+        e_yaw = a - two_pi * jnp.floor((a + jnp.pi) / two_pi)
+        return e_c, e_l, e_yaw, v_ref, dx, dy, width
+
+    sq = lambda w: (cfg.dt * w) ** 0.5  # python-float sqrt scale
+
+    def res_f(x, u, p, t_idx):
+        e_c, e_l, e_yaw, v_ref, dx, dy, width = track_lanes(x, p)
+        v_prev, delta_prev, v_theta_prev = x[4], x[5], x[6]
+        v_w, delta, v_theta = u[0], u[1], u[2]
+        zero = jnp.zeros_like(e_c)
+        v_target = jnp.maximum(v_ref, zero + cfg.reference_speed)
+        # where-form |e_c|: value-identical to jnp.abs; its jvp is a
+        # select instead of sign() (whose Mosaic lowering materializes
+        # f64 constants under x64 — the STATUS r3 pitfall list), and the
+        # subgradient difference at e_c == 0 is annihilated by the outer
+        # max (|0| - band*width < 0 there). Literal max operands are
+        # lane-broadcast for the same jvp-under-x64 reason (track_lanes).
+        abs_ec = jnp.where(e_c >= 0.0, e_c, -e_c)
+        boundary = jnp.maximum(
+            zero, abs_ec - cfg.boundary_band * width
+        )
+        return [
+            sq(cfg.w_contour) * e_c,
+            sq(cfg.w_lag) * e_l,
+            sq(cfg.w_speed) * (v_theta - v_target),
+            sq(cfg.w_speed_w) * (v_w - v_target),
+            sq(cfg.w_control) * v_w,
+            sq(cfg.w_control) * delta,
+            sq(cfg.w_x) * dx,
+            sq(cfg.w_y) * dy,
+            sq(cfg.w_yaw) * e_yaw,
+            sq(cfg.w_dv) * (v_w - v_prev),
+            sq(cfg.w_ddelta) * (delta - delta_prev),
+            sq(cfg.w_dv_theta) * (v_theta - v_theta_prev),
+            sq(cfg.w_boundary) * boundary,
+        ]
+
+    w_T = cfg.w_terminal ** 0.5
+
+    def tres_f(x, p):
+        e_c, e_l, _, _, _, _, _ = track_lanes(x, p)
+        return [w_T * e_c, w_T * e_l]
+
+    def textra_f(x, p):
+        # Affine progress bonus (terminal_cost_extra) — gradient folds via
+        # jvp, Hessian exactly zero.
+        return -cfg.w_terminal_progress * x[IDX_THETA]
+
+    spec = GnCostSpec(
+        n_cp=5 * M + 3, n_res=13, n_tres=2,
+        res_f=res_f, tres_f=tres_f, textra_f=textra_f,
+    )
+    return GnCostEntry(
+        static_key=("mpcc_gn", M, cfg), cp_fn=_mpcc_track_params, spec=spec,
+    )
+
+
 def _register_lanes():
     from cddp_tpu.ops.pallas.ip_rollout import (
         register_cost_lane,
         register_model_lane,
     )
+    from cddp_tpu.ops.pallas.mega_ipddp import register_gn_cost_lane
 
     register_model_lane(
         KinematicBicycle7, 2,
@@ -502,6 +619,7 @@ def _register_lanes():
         _bicycle7_lane,
     )
     register_cost_lane(MpccObjective, _mpcc_cost_factory)
+    register_gn_cost_lane(MpccObjective, _mpcc_gn_factory)
 
 
 _register_lanes()
@@ -612,10 +730,12 @@ def run_mpc(track: Track, cfg: MpccConfig, n_ticks: int = 40):
 
 
 def batched_mpcc_step_costs(track: Track, cfg: MpccConfig, x_batch):
-    """Fleet tick returning (u, cost, iterations) arrays (bench helper)."""
+    """Fleet tick returning (u, cost, iterations, status) arrays (bench
+    helper)."""
     def one(x):
         u, sol = mpc_tick(track, cfg, x)
-        return u, sol.final_objective, sol.iterations_completed
+        return (u, sol.final_objective, sol.iterations_completed,
+                sol.status_code)
 
     return jax.vmap(one)(x_batch)
 
