@@ -107,7 +107,12 @@ def main():
         d = np.load(stage)
         t_k, c_k, i_k, s_k = float(d["t"]), d["c"], d["i"], d["s"]
         c_s = np.asarray(cost)
+        # MPCC tick costs cross zero (the terminal progress bonus makes
+        # them negative), so relative error explodes on near-zero-cost
+        # instances; absolute deltas (cost units) are the honest tail
+        # metric alongside.
         rel = np.abs(c_k - c_s) / np.maximum(np.abs(c_s), 1e-9)
+        absd = np.abs(c_k - c_s)
         print(json.dumps({
             "metric": "mpcc_fleet_ticks_per_sec",
             "value": round(B / t_k, 1),
@@ -120,6 +125,9 @@ def main():
             "parity_rel_cost_p50": float(np.percentile(rel, 50)),
             "parity_rel_cost_p99": float(np.percentile(rel, 99)),
             "parity_max_rel_cost": float(rel.max()),
+            "parity_abs_cost_p50": float(np.percentile(absd, 50)),
+            "parity_abs_cost_p99": float(np.percentile(absd, 99)),
+            "parity_abs_cost_max": float(absd.max()),
             "parity_iters_equal_frac": float((i_k == np.asarray(iters)).mean()),
             "parity_status_equal_frac": float(
                 (s_k == np.asarray(status)).mean()

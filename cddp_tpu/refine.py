@@ -253,23 +253,50 @@ def polish(
                 ),
             )
 
-        def one(X_i, U_i, st_i):
-            p = prob.replace(x0=X_i[0])
-            return solve_fn(p, options, X0=X_i, U0=U_i, state=st_i)
-
-        if U.ndim == 3:  # vmap-batched fleet solution
-            return jax.vmap(one)(X, U, state)
-        return one(X, U, state)
+        runner = _runner(solve_fn, options, warm=True,
+                         batched=U.ndim == 3)
+        return runner(prob, X, U, state)
 
     # Trajectory-seeded cold start (CLDDP/LogDDP, non-converged or
     # dual-less IPDDP/MSIPDDP solutions): the f32 trajectories seed the
     # solve.
     options = dataclasses.replace(options, warm_start=False)
+    runner = _runner(solve_fn, options, warm=False, batched=U.ndim == 3)
+    return runner(prob, X, U)
 
-    def one(X_i, U_i):
-        p = prob.replace(x0=X_i[0])
-        return solve_fn(p, options, X0=X_i, U0=U_i)
 
-    if U.ndim == 3:
-        return jax.vmap(one)(X, U)
-    return one(X, U)
+# Jitted polish runners, cached on (solver, options, warm, batched): a
+# vmapped f64 fleet polish dispatched eagerly is unusable at fleet batch
+# sizes on the host, and an inline jax.jit would recompile per call (the
+# closure is fresh each time). The problem travels as a jit ARGUMENT so
+# repeated polishes of same-shaped fleets reuse the compiled program.
+_RUNNER_CACHE = {}
+
+
+def _runner(solve_fn, options, warm: bool, batched: bool):
+    key = (solve_fn, options, warm, batched)
+    f = _RUNNER_CACHE.get(key)
+    if f is not None:
+        return f
+
+    if warm:
+        def one(p, X_i, U_i, st_i):
+            return solve_fn(p.replace(x0=X_i[0]), options, X0=X_i, U0=U_i,
+                            state=st_i)
+
+        if batched:
+            f = jax.jit(lambda p, X, U, st: jax.vmap(
+                lambda Xi, Ui, sti: one(p, Xi, Ui, sti))(X, U, st))
+        else:
+            f = jax.jit(one)
+    else:
+        def one(p, X_i, U_i):
+            return solve_fn(p.replace(x0=X_i[0]), options, X0=X_i, U0=U_i)
+
+        if batched:
+            f = jax.jit(lambda p, X, U: jax.vmap(
+                lambda Xi, Ui: one(p, Xi, Ui))(X, U))
+        else:
+            f = jax.jit(one)
+    _RUNNER_CACHE[key] = f
+    return f

@@ -430,7 +430,12 @@ class TestDispatch:
             mega_clddp._VMEM_BUDGET_BYTES
         assert not mega_clddp.mega_eligible(big, opts)
 
-    def test_timestep_tracer_blocks_op(self):
+    def test_timestep_tracer_dispatch_gate(self):
+        # Unbatched jit tracers are safe to close over (the op consumes
+        # them as traced inputs — under jit(vmap(solve)) even constants
+        # built inside the trace look like jit tracers); only vmap BATCH
+        # tracers (a per-instance timestep closed over as if shared,
+        # silently dropping its batch axis) must block the op.
         prob = _box_problem(Unicycle(), 3, 2, goal=[1.0, 1.0, 0.0],
                             x0=[0.0, 0.0, 0.0], lower=-1.0, upper=1.0)
         assert mega_clddp.problem_consts_concrete(prob)
@@ -445,6 +450,9 @@ class TestDispatch:
             return ts
 
         jax.make_jaxpr(f)(0.05)
+        assert seen == [True]
+        seen.clear()
+        jax.vmap(f)(jnp.asarray([0.05, 0.06]))
         assert seen == [False]
 
     def test_eligibility(self):
