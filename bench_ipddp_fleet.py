@@ -53,7 +53,32 @@ def _problems(dtype):
         ct.ball_constraint(jnp.asarray(0.4, dtype),
                            jnp.asarray([1.0, 1.0], dtype)),
     )
-    return {"box_fleet": box, "obstacle_fleet": obstacle}
+    # Rendezvous fleet (VERDICT r4 item 4): HCW relative motion, control
+    # box, terminal equality x_N = 0 — the p+1 reduced-LQR regime through
+    # the whole-solve kernel. N=24 keeps the costate-free footprint inside
+    # the VMEM budget at nx=6.
+    from cddp_tpu.models import HCW
+
+    dt3 = 25.0
+    rendezvous = ct.problem(
+        HCW(),
+        ct.quadratic_objective(
+            jnp.eye(6, dtype=dtype) * 1e-4,
+            jnp.eye(3, dtype=dtype) * 1e-2,
+            jnp.eye(6, dtype=dtype) * 1.0,
+            jnp.zeros(6, dtype), dt3,
+        ),
+        jnp.asarray([10.0, 5.0, 2.0, 0.0, 0.0, 0.0], dtype), 24, dt3,
+    ).add_constraint(
+        "ControlConstraint",
+        ct.control_constraint(jnp.full((3,), -0.004, dtype),
+                              jnp.full((3,), 0.004, dtype)),
+    ).add_terminal_constraint(
+        "TerminalEquality",
+        ct.terminal_equality_constraint(jnp.zeros(6, dtype)),
+    )
+    return {"box_fleet": box, "obstacle_fleet": obstacle,
+            "rendezvous_te_fleet": rendezvous}
 
 
 def _bench(problem, x0, opts, reps):
@@ -93,8 +118,16 @@ def main():
     for name, prob in _problems(dtype).items():
         if only and name != only:
             continue
-        x0 = jax.random.uniform(key, (batch, 3), dtype,
-                                minval=-0.5, maxval=0.5)
+        nx = prob.state_dim
+        # Position-scale perturbations; the rendezvous fleet's velocity
+        # states get 1/100 of it (±0.5 m/s over a 600 s horizon is not
+        # reachable at |u| <= 0.004 — keep the fleet feasible).
+        scale = jnp.full((nx,), 0.5, dtype)
+        if name == "rendezvous_te_fleet":
+            scale = scale.at[3:].set(0.005)
+        x0 = jnp.asarray(prob.x0, dtype)[None] + scale * jax.random.uniform(
+            key, (batch, nx), dtype, minval=-1.0, maxval=1.0
+        )
         stage = f"/tmp/bench_ipddp_fleet_{name}_{batch}_kernel.npz"
         if engine != "perpass":
             os.environ.pop("CDDP_TPU_NO_MEGA", None)

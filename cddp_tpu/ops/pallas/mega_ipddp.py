@@ -60,6 +60,13 @@ from cddp_tpu.ops.pallas.ipddp_riccati import (
     ipddp_condensed_step_lanes,
     ipddp_path_gain_lanes,
 )
+from cddp_tpu.ops.pallas.riccati import (
+    _inv,
+    _leading_minors_pd,
+    _matmul,
+    _matvec,
+    _transpose,
+)
 from cddp_tpu.ops.pallas.mega_clddp import _i32, deriv_lane_fn
 from cddp_tpu.ops.pallas.rollout import (
     MIN_KERNEL_BATCH,
@@ -76,9 +83,10 @@ DEFAULT_TILE_B = 1024
  _INFPR, _INFDU, _INFCOMP, _STEPN, _APR, _ADU, _DV0, _DV1,
  _BP_DONE, _BP_LIMIT, _APRMAX, _ADUMAX, _LS_FOUND, _LS_OK, _ALPHA_CUR,
  _EARLY, _TJ, _TMERIT, _TTHETA, _TINFPR, _TMAXYS, _TMINYS, _TSUMLOG,
- _TAPR, _TADU, _SOC_ON, _SOC_ARMED, _STALLCNT, _BESTPR) = range(38)
+ _TAPR, _TADU, _SOC_ON, _SOC_ARMED, _STALLCNT, _BESTPR,
+ _TLAMH) = range(39)
 _F_CAP = 7  # max_filter_size (5) + 2, interior_point_utils.cpp:114-139
-_F_M0 = 38
+_F_M0 = 39
 _F_V0 = _F_M0 + _F_CAP
 _F_OK0 = _F_V0 + _F_CAP
 _N_SCALARS = _F_OK0 + _F_CAP
@@ -229,6 +237,10 @@ class _Cfg(NamedTuple):
     soc_auto: bool = False
     chess_auto: bool = False
     soc_stall: int = 8
+    # Terminal-equality reduced-LQR regime (ipddp.jacobian_regularization_*,
+    # used by the tiny least-squares ladder for the multiplier step).
+    jac_reg_val: float = 1e-8
+    jac_reg_exp: float = 0.25
 
 
 def _make_cfg(options, soc_auto: bool = False,
@@ -278,6 +290,8 @@ def _make_cfg(options, soc_auto: bool = False,
         soc_auto=bool(soc_auto),
         chess_auto=bool(chess_auto),
         soc_stall=int(ip.soc_stall_iterations),
+        jac_reg_val=float(ip.jacobian_regularization_value),
+        jac_reg_exp=float(ip.jacobian_regularization_exponent),
     )
 
 
@@ -369,10 +383,180 @@ def _filter_prune(fm, fv, fval, zeros, ones):
     return nm, nv, nval
 
 
+# --- terminal-equality lane linalg -------------------------------------------
+# The p+1 reduced-LQR regime (_backward_terminal_eq, ipddp_solver.cpp:478-639)
+# needs a tiny PD solve (the 5-scale least-squares ladder — the driver uses
+# cho_solve) and the extreme singular values of the p x p sensitivity product
+# (the driver uses jnp.linalg.svd for the SVD floor). Both are static-p
+# unrolled lane code.
+
+
+def _chol_solve_lanes(A, b, p, zeros, ones):
+    """Cholesky solve of the (p, p) lane-matrix system ``A x = b``.
+    Returns ``(x, ok)`` where ``ok`` is the all-pivots-positive lane mask
+    (the driver's NaN-Cholesky check). Failed lanes solve against the
+    identity factor, mirroring the driver's ``chol_safe`` fallback."""
+    L = [[zeros for _ in range(p)] for _ in range(p)]
+    ok = ones > 0.5
+    for i in range(p):
+        for j in range(i + 1):
+            s = A[i][j]
+            for k2 in range(j):
+                s = s - L[i][k2] * L[j][k2]
+            if i == j:
+                ok = ok & (s > 0.0)
+                d = jnp.sqrt(jnp.maximum(s, 1e-300))
+                L[i][i] = jnp.where(ok, d, ones)
+            else:
+                L[i][j] = jnp.where(ok, s / L[j][j], zeros)
+    # forward substitution L z = b, then back substitution L^T x = z
+    z = [zeros] * p
+    for i in range(p):
+        s = b[i]
+        for j in range(i):
+            s = s - L[i][j] * z[j]
+        z[i] = s / L[i][i]
+    x = [zeros] * p
+    for i in reversed(range(p)):
+        s = z[i]
+        for j in range(i + 1, p):
+            s = s - L[j][i] * x[j]
+        x[i] = s / L[i][i]
+    return x, ok
+
+
+def _jacobi_sv_minmax(A, p, zeros, ones, sweeps=8):
+    """(max, min) singular values of the (near-)symmetric (p, p) lane
+    matrix via cyclic Jacobi on sym(A): singular values are |eigenvalues|.
+    Trig-free rotations (tau/t/c/s algebra); fixed ``sweeps`` for static
+    control flow. Stands in for the driver's jnp.linalg.svd in the SVD
+    regularization floor — identical (zero floor) whenever
+    min_sv >= 1e-8 * max_sv, approximate only near rank-deficiency."""
+    B = [[0.5 * (A[i][j] + A[j][i]) for j in range(p)] for i in range(p)]
+    if p == 1:
+        sv = jnp.abs(B[0][0])
+        return sv, sv
+    for _ in range(sweeps):
+        for i in range(p - 1):
+            for j in range(i + 1, p):
+                apq = B[i][j]
+                small = jnp.abs(apq) < 1e-300
+                apq_s = jnp.where(small, ones, apq)
+                tau = (B[j][j] - B[i][i]) / (2.0 * apq_s)
+                sgn = jnp.where(tau >= 0.0, ones, -ones)
+                t = sgn / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+                t = jnp.where(small, zeros, t)
+                c = 1.0 / jnp.sqrt(1.0 + t * t)
+                s = t * c
+                for k2 in range(p):
+                    bik, bjk = B[i][k2], B[j][k2]
+                    B[i][k2] = c * bik - s * bjk
+                    B[j][k2] = s * bik + c * bjk
+                for k2 in range(p):
+                    bki, bkj = B[k2][i], B[k2][j]
+                    B[k2][i] = c * bki - s * bkj
+                    B[k2][j] = s * bki + c * bkj
+    mx = jnp.abs(B[0][0])
+    mn = jnp.abs(B[0][0])
+    for i in range(1, p):
+        d = jnp.abs(B[i][i])
+        mx = jnp.maximum(mx, d)
+        mn = jnp.minimum(mn, d)
+    return mx, mn
+
+
+def ipddp_te_stage_lanes(lx, lu, lxx, luu, lux, y, s, g, Gx, Gu, mu, reg,
+                         nx, nu, m, cap):
+    """Stagewise LQR data of the terminal-equality regime
+    (_backward_terminal_eq stage build, ipddp_solver.cpp:1143-1258): path
+    constraints condensed into (Qs, qs, Rs, rs, Ms) with the barrier sigma
+    weights; ``reg`` lands on Rs (the driver adds reg*I to Rs before the
+    LQR). Also returns the per-row primal/complementarity residuals for the
+    caller's inf-norm bookkeeping."""
+    zeros = jnp.zeros_like(mu)
+    Qs = [[0.5 * (lxx[i][j] + lxx[j][i]) for j in range(nx)]
+          for i in range(nx)]
+    qs = list(lx)
+    Rs = [[0.5 * (luu[i][j] + luu[j][i]) + (reg if i == j else zeros)
+           for j in range(nu)] for i in range(nu)]
+    rs = list(lu)
+    # Ms is (nx, nu): lux^T.
+    Ms = [[lux[j][i] for j in range(nu)] for i in range(nx)]
+    pr = [zeros] * m
+    comp = [zeros] * m
+    if m:
+        s_safe, sigma, pr, comp, rhat, sir = ipddp_condense_lanes(
+            y, s, g, mu, m, cap
+        )
+        y_sir = [y[i] + sir[i] for i in range(m)]
+        Gxt = _transpose(Gx, m, nx)
+        Gut = _transpose(Gu, m, nu)
+        gq = _matvec(Gxt, y_sir, nx, m)
+        gr = _matvec(Gut, y_sir, nu, m)
+        qs = [qs[i] + gq[i] for i in range(nx)]
+        rs = [rs[i] + gr[i] for i in range(nu)]
+        sGx = [[sigma[i] * Gx[i][j] for j in range(nx)] for i in range(m)]
+        sGu = [[sigma[i] * Gu[i][j] for j in range(nu)] for i in range(m)]
+        GtSGx = _matmul(Gxt, sGx, nx, m, nx)
+        GtSGu_u = _matmul(Gut, sGu, nu, m, nu)
+        GtSGu_x = _matmul(Gxt, sGu, nx, m, nu)
+        Qs = [[0.5 * (Qs[i][j] + GtSGx[i][j] + Qs[j][i] + GtSGx[j][i])
+               for j in range(nx)] for i in range(nx)]
+        Rs = [[0.5 * (Rs[i][j] + GtSGu_u[i][j] + Rs[j][i] + GtSGu_u[j][i])
+               for j in range(nu)] for i in range(nu)]
+        Ms = [[Ms[i][j] + GtSGu_x[i][j] for j in range(nu)]
+              for i in range(nx)]
+    return Qs, qs, Rs, rs, Ms, pr, comp
+
+
+def ipddp_te_lqr_step_lanes(A, Bm, Qs, qs, Rs, rs, Ms, Vx, Vxx, nx, nu):
+    """One sequential-LQR backward step over lane lists
+    (_solve_sequential_lqr, ipddp_solver.cpp:413-476): returns
+    ``(k, K, Vx_new, Vxx_new, Qu, Hinv, pd_ok)``. ``Hinv`` is the
+    regularized Quu inverse (reg already folded into Rs by the stage
+    build), reused by the whole-solve kernel's sensitivity Gramian."""
+    zeros = jnp.zeros_like(qs[0])
+    At = _transpose(A, nx, nx)
+    Bt = _transpose(Bm, nx, nu)
+    PB = _matmul(Vxx, Bm, nx, nx, nu)
+    PA = _matmul(Vxx, A, nx, nx, nx)
+    BtPB = _matmul(Bt, PB, nu, nx, nu)
+    Quu = [[0.5 * (Rs[i][j] + BtPB[i][j] + Rs[j][i] + BtPB[j][i])
+            for j in range(nu)] for i in range(nu)]
+    BtPA = _matmul(Bt, PA, nu, nx, nx)
+    Qux = [[BtPA[i][j] + Ms[j][i] for j in range(nx)] for i in range(nu)]
+    Atp = _matvec(At, Vx, nx, nx)
+    Qx = [qs[i] + Atp[i] for i in range(nx)]
+    Btp = _matvec(Bt, Vx, nu, nx)
+    Qu = [rs[i] + Btp[i] for i in range(nu)]
+    Hinv, _ = _inv(Quu, nu)
+    pd_ok = _leading_minors_pd(Quu, nu)
+    k = [jnp.where(pd_ok, -v, zeros) for v in _matvec(Hinv, Qu, nu, nu)]
+    K = [[jnp.where(pd_ok, -v, zeros) for v in row]
+         for row in _matmul(Hinv, Qux, nu, nu, nx)]
+    AtPA = _matmul(At, PA, nx, nx, nx)
+    Kt = _transpose(K, nu, nx)
+    QuxtK = _matmul(_transpose(Qux, nu, nx), K, nx, nu, nx)
+    QuuK = _matmul(Quu, K, nu, nu, nx)
+    KtQuuK = _matmul(Kt, QuuK, nx, nu, nx)
+    P = [[Qs[i][j] + AtPA[i][j] + QuxtK[i][j] + QuxtK[j][i] + KtQuuK[i][j]
+          for j in range(nx)] for i in range(nx)]
+    P = [[0.5 * (P[i][j] + P[j][i]) for j in range(nx)] for i in range(nx)]
+    Quuk = _matvec(Quu, k, nu, nu)
+    p_new = [
+        Qx[i]
+        + sum(Qux[l][i] * k[l] for l in range(nu))
+        + sum(Kt[i][l] * (Qu[l] + Quuk[l]) for l in range(nu))
+        for i in range(nx)
+    ]
+    return k, K, p_new, P, Qu, Hinv, pd_ok
+
+
 def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
                       box_layout, cfg: _Cfg, cap, tracking: bool = False,
                       mT: int = 0, tile_b: int = DEFAULT_TILE_B,
-                      gn: GnCostSpec = None, track_costates: bool = True):
+                      gn: GnCostSpec = None, track_costates: bool = True,
+                      pT: int = 0):
     """Build the whole-solve pallas_call for static problem structure.
 
     Inputs (batch-last, lane-folded): X0 (N+1,nx,B), U0 (N,nu,B),
@@ -428,6 +612,9 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
         if mT:
             st0_ref, yt0_ref, at_ref, bt_ref = rest[:4]
             rest = rest[4:]
+        if pT:
+            ht_ref, hb_ref, lte0_ref = rest[:3]
+            rest = rest[3:]
         Xo, Uo, ko, Ko, Yo, So = rest[:6]
         rest = rest[6:]
         if track_costates:
@@ -436,6 +623,8 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
         if mT:
             STo, YTo = rest[:2]
             rest = rest[2:]
+        if pT:
+            LteO, rest = rest[0], rest[1:]
         if track_costates:
             Vxs, Vxxs = rest[:2]
             rest = rest[2:]
@@ -446,6 +635,8 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
         if mT:
             STc, YTc = rest[:2]
             rest = rest[2:]
+        if pT:
+            dLamS, rest = rest[0], rest[1:]
         (sc,) = rest
         dt = dt_ref[0]
         zeros = jnp.zeros_like(dt)
@@ -665,6 +856,18 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
                     for i in range(mT)
                 ]
 
+        if pT:
+            HTl = [[ht_ref[i, j] for j in range(nx)] for i in range(pT)]
+            hbl = [hb_ref[i] for i in range(pT)]
+
+            def h_of(x):
+                """Linear terminal equalities h_T = H x_N - b
+                (TerminalEqualityConstraint: H = I, b = target)."""
+                return [
+                    sum(HTl[i][j] * x[j] for j in range(nx)) - hbl[i]
+                    for i in range(pT)
+                ]
+
         def fin(v):
             return jnp.where(jnp.isfinite(v), ones, zeros)
 
@@ -687,6 +890,9 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
             YTo[...] = yt0_ref[...]
             STc[...] = st0_ref[...]
             YTc[...] = yt0_ref[...]
+        if pT:
+            LteO[...] = lte0_ref[...]
+            dLamS[...] = jnp.zeros_like(lte0_ref[...])
 
         mu0 = mu0_ref[0]
 
@@ -728,6 +934,14 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
                 infpr0 = jnp.maximum(infpr0, jnp.abs(r))
                 maxys0 = jnp.maximum(maxys0, yTi * sTi)
                 minys0 = jnp.minimum(minys0, yTi * sTi)
+        lam_h0 = zeros
+        if pT:
+            hT0i = h_of(xN0)
+            for i in range(pT):
+                r = hT0i[i]
+                th0 = th0 + (r * r if cfg.theta_l2 else jnp.abs(r))
+                infpr0 = jnp.maximum(infpr0, jnp.abs(r))
+                lam_h0 = lam_h0 + lte0_ref[i] * r
         theta0_raw = jnp.maximum(
             jnp.sqrt(th0) if cfg.theta_l2 else th0, infpr0
         )
@@ -737,7 +951,7 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
         sc[_STATUS] = zeros + _ST_MAX_ITER
         sc[_IT] = zeros
         sc[_COST] = J0
-        sc[_MERIT] = J0 - mu0 * sumlog0
+        sc[_MERIT] = J0 - mu0 * sumlog0 + lam_h0
         sc[_FTHETA] = ftheta0
         sc[_THETA] = jnp.maximum(ftheta0, cfg.theta0_floor)
         sc[_MU] = mu0
@@ -748,6 +962,7 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
         sc[_STEPN] = zeros
         sc[_APR] = ones
         sc[_ADU] = ones
+        sc[_TLAMH] = zeros
         # "auto" stall latch state (solvers/ipddp.py _Carry soc_on /
         # soc_armed / stall_count): drop-latch on, armed off, count 0.
         sc[_SOC_ON] = ones
@@ -762,7 +977,7 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
             sc[_F_M0 + i] = zeros + jnp.inf
             sc[_F_V0 + i] = zeros + jnp.inf
             sc[_F_OK0 + i] = zeros
-        if mT:
+        if mT or pT:
             sc[_F_M0] = sc[_MERIT]
             sc[_F_V0] = ftheta0
             sc[_F_OK0] = ones
@@ -821,7 +1036,7 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
                                 infcomp_T = jnp.maximum(
                                     infcomp_T, jnp.abs(YTo[i] * STo[i] - mu)
                                 )
-                        if track_costates:
+                        if track_costates and pT == 0:
                             for i in range(nx):
                                 Vxs[N, i] = jnp.where(
                                     mrt, VxT[i], Vxs[N, i]
@@ -923,14 +1138,368 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
                                 t - _i32(1),
                             )
 
-                        init = (
-                            tuple(VxT),
-                            tuple(tuple(r) for r in VxxT),
-                            zeros, zeros, zeros, infpr_T, infcomp_T, zeros,
-                            ones, jnp.asarray(N - 1, jnp.int32),
-                        )
-                        out = jax.lax.fori_loop(_i32(0), _i32(N), bstep, init)
-                        dv0, dv1, infdu, infpr, infcomp, stepn, okl = out[2:-1]
+                        if pT == 0:
+                            init = (
+                                tuple(VxT),
+                                tuple(tuple(r) for r in VxxT),
+                                zeros, zeros, zeros, infpr_T, infcomp_T,
+                                zeros, ones, jnp.asarray(N - 1, jnp.int32),
+                            )
+                            out = jax.lax.fori_loop(
+                                _i32(0), _i32(N), bstep, init
+                            )
+                            (dv0, dv1, infdu, infpr, infcomp, stepn,
+                             okl) = out[2:-1]
+                        else:
+                            # ---- terminal-equality reduced-LQR regime ----
+                            # (_backward_terminal_eq, ipddp_solver.cpp:
+                            # 478-639 + 1121-1351). The driver runs p+1
+                            # perturbed-q LQR variants; K and P are shared
+                            # across variants (identical quadratic data),
+                            # so the kernel runs ONE base sweep that also
+                            # accumulates the closed-loop sensitivity
+                            # Gramian W = sum_t Phi(N,t+1) B Quu^{-1} B^T
+                            # Phi(N,t+1)^T — the variant linear terms obey
+                            # the adjoint recursion dp(t) = A_cl^T dp(t+1),
+                            # so the sensitivity matrix is S = dx_N/dlam =
+                            # -W H^T — then solves the driver's SVD-floored
+                            # 5-scale least-squares ladder for the
+                            # multiplier step and re-runs the sweep once
+                            # with the combined terminal linear term.
+                            hTb = h_of(xN)
+                            for i in range(pT):
+                                infpr_T = jnp.maximum(
+                                    infpr_T, jnp.abs(hTb[i])
+                                )
+                            q_base = [
+                                VxT[i]
+                                + sum(HTl[r][i] * LteO[r] for r in range(pT))
+                                for i in range(nx)
+                            ]
+
+                            def te_stage(t):
+                                x = [Xo[t, i] for i in range(nx)]
+                                u = [Uo[t, i] for i in range(nu)]
+                                Fx, Fu = deriv_f(x, u, p)
+                                A = [
+                                    [
+                                        (ones if i == j else zeros)
+                                        + dt * Fx[i][j]
+                                        for j in range(nx)
+                                    ]
+                                    for i in range(nx)
+                                ]
+                                Bm = [[dt * Fu[i][j] for j in range(nu)]
+                                      for i in range(nx)]
+                                lx, lu, lxx, luu, lux = run_derivs(x, u, t)
+                                y = [Yo[t, i] for i in range(m)]
+                                s = [So[t, i] for i in range(m)]
+                                g = box_g(x, u)
+                                Qs, qs, Rs, rs, Ms, pr, comp = (
+                                    ipddp_te_stage_lanes(
+                                        lx, lu, lxx, luu, lux, y, s, g,
+                                        stack_Gx(x), Gu_c, mu, regl,
+                                        nx, nu, m, cap,
+                                    )
+                                )
+                                return A, Bm, Qs, qs, Rs, rs, Ms, pr, comp
+
+                            def sweep1(_s, carry):
+                                t = carry[-1]
+                                Vx = list(carry[0])
+                                Vxx = [list(r) for r in carry[1]]
+                                Phi = [list(r) for r in carry[2]]
+                                W = [list(r) for r in carry[3]]
+                                infpr, infcomp, okl = carry[4:-1]
+                                (A, Bm, Qs, qs, Rs, rs, Ms, pr,
+                                 comp) = te_stage(t)
+                                (k, K, p_new, P, Qu, Hinv, pd_ok) = (
+                                    ipddp_te_lqr_step_lanes(
+                                        A, Bm, Qs, qs, Rs, rs, Ms, Vx, Vxx,
+                                        nx, nu,
+                                    )
+                                )
+                                for i in range(nu):
+                                    ko[t, i] = jnp.where(mrt, k[i], ko[t, i])
+                                    for j in range(nx):
+                                        Ko[t, i, j] = jnp.where(
+                                            mrt, K[i][j], Ko[t, i, j]
+                                        )
+                                FB = _matmul(Phi, Bm, nx, nx, nu)
+                                FBH = _matmul(FB, Hinv, nx, nu, nu)
+                                Wc = _matmul(
+                                    FBH, _transpose(FB, nx, nu), nx, nu, nx
+                                )
+                                W_new = [
+                                    [W[i][j] + Wc[i][j] for j in range(nx)]
+                                    for i in range(nx)
+                                ]
+                                BK = _matmul(Bm, K, nx, nu, nx)
+                                Acl = [
+                                    [A[i][j] + BK[i][j] for j in range(nx)]
+                                    for i in range(nx)
+                                ]
+                                Phi_new = _matmul(Phi, Acl, nx, nx, nx)
+                                for i in range(m):
+                                    infpr = jnp.maximum(
+                                        infpr, jnp.abs(pr[i])
+                                    )
+                                    infcomp = jnp.maximum(
+                                        infcomp, jnp.abs(comp[i])
+                                    )
+                                return (
+                                    tuple(p_new),
+                                    tuple(tuple(r) for r in P),
+                                    tuple(tuple(r) for r in Phi_new),
+                                    tuple(tuple(r) for r in W_new),
+                                    infpr, infcomp,
+                                    okl * jnp.where(pd_ok, ones, zeros),
+                                    t - _i32(1),
+                                )
+
+                            eye_l = tuple(
+                                tuple(ones if i == j else zeros
+                                      for j in range(nx))
+                                for i in range(nx)
+                            )
+                            zero_m = tuple(
+                                tuple(zeros for _ in range(nx))
+                                for _ in range(nx)
+                            )
+                            out1 = jax.lax.fori_loop(
+                                _i32(0), _i32(N), sweep1,
+                                (tuple(q_base),
+                                 tuple(tuple(r) for r in VxxT),
+                                 eye_l, zero_m, infpr_T, infcomp_T, ones,
+                                 jnp.asarray(N - 1, jnp.int32)),
+                            )
+                            W_fin = [list(r) for r in out1[3]]
+                            infpr, infcomp, okl = out1[4:-1]
+
+                            # Base-variant linear rollout -> dx_N
+                            # (_rollout_linear with the base gains).
+                            def base_roll(_s, carry):
+                                dx = list(carry[0])
+                                t = carry[1]
+                                x = [Xo[t, i] for i in range(nx)]
+                                u = [Uo[t, i] for i in range(nu)]
+                                Fx, Fu = deriv_f(x, u, p)
+                                du = [
+                                    ko[t, i]
+                                    + sum(Ko[t, i, j] * dx[j]
+                                          for j in range(nx))
+                                    for i in range(nu)
+                                ]
+                                dx_next = [
+                                    dx[i]
+                                    + dt * sum(Fx[i][j] * dx[j]
+                                               for j in range(nx))
+                                    + sum(dt * Fu[i][j] * du[j]
+                                          for j in range(nu))
+                                    for i in range(nx)
+                                ]
+                                return (tuple(dx_next), t + _i32(1))
+
+                            outr = jax.lax.fori_loop(
+                                _i32(0), _i32(N), base_roll,
+                                (tuple(zeros for _ in range(nx)),
+                                 jnp.asarray(0, jnp.int32)),
+                            )
+                            xT0 = list(outr[0])
+
+                            # Tiny least squares for the multiplier step
+                            # (ipddp_solver.cpp:556-617): S = -W H^T,
+                            # A_small = H S, SVD floor + 5-scale ladder.
+                            WHt = [
+                                [sum(W_fin[a][b] * HTl[r][b]
+                                     for b in range(nx))
+                                 for r in range(pT)]
+                                for a in range(nx)
+                            ]
+                            Asm = [
+                                [-sum(HTl[i][a] * WHt[a][r]
+                                      for a in range(nx))
+                                 for r in range(pT)]
+                                for i in range(pT)
+                            ]
+                            rhs = [
+                                -hTb[i]
+                                - sum(HTl[i][j] * xT0[j] for j in range(nx))
+                                for i in range(pT)
+                            ]
+                            AtA = [
+                                [sum(Asm[k2][i] * Asm[k2][j]
+                                     for k2 in range(pT))
+                                 for j in range(pT)]
+                                for i in range(pT)
+                            ]
+                            Atb = [
+                                sum(Asm[k2][i] * rhs[k2] for k2 in range(pT))
+                                for i in range(pT)
+                            ]
+                            trace = zeros
+                            for i in range(pT):
+                                trace = trace + AtA[i][i]
+                            trace_term = jnp.where(
+                                trace > 1.0, trace / float(pT), ones
+                            )
+                            mu_pow = jnp.exp(
+                                cfg.jac_reg_exp
+                                * jnp.log(jnp.maximum(mu, 1e-300))
+                            )
+                            base_floor = jnp.maximum(
+                                zeros + 1e-10, cfg.jac_reg_val * mu_pow
+                            )
+                            reg0_l = jnp.maximum(
+                                base_floor, 1e-6 * trace_term
+                            )
+                            max_sv, min_sv = _jacobi_sv_minmax(
+                                Asm, pT, zeros, ones
+                            )
+                            svd_reg = jnp.maximum(
+                                1e-8 * max_sv - min_sv, 0.0
+                            )
+                            reg_base_l = jnp.maximum(reg0_l, svd_reg)
+                            rhs_norm = jnp.sqrt(
+                                sum(r * r for r in rhs)
+                            )
+                            lambda_cap = 100.0 * (1.0 + rhs_norm)
+                            best_lam = [zeros] * pT
+                            best_res = zeros + jnp.inf
+                            for scale in (1.0, 10.0, 100.0, 1e3, 1e4):
+                                reg_i = jnp.maximum(
+                                    reg_base_l * scale, 1e-12
+                                )
+                                shifted = [
+                                    [AtA[i][j] + (reg_i if i == j else zeros)
+                                     for j in range(pT)]
+                                    for i in range(pT)
+                                ]
+                                lam, chol_ok = _chol_solve_lanes(
+                                    shifted, Atb, pT, zeros, ones
+                                )
+                                norm = jnp.sqrt(
+                                    sum(l * l for l in lam)
+                                )
+                                shrink = lambda_cap / jnp.maximum(
+                                    norm, 1e-12
+                                )
+                                lam = [
+                                    jnp.where(norm > lambda_cap,
+                                              l * shrink, l)
+                                    for l in lam
+                                ]
+                                res_v = [
+                                    sum(Asm[i][j] * lam[j]
+                                        for j in range(pT)) - rhs[i]
+                                    for i in range(pT)
+                                ]
+                                residual = jnp.sqrt(
+                                    sum(r * r for r in res_v)
+                                )
+                                okf = jnp.where(chol_ok, ones, zeros)
+                                for l in lam:
+                                    okf = okf * fin(l)
+                                okf = okf * fin(residual)
+                                residual = jnp.where(
+                                    okf > 0.5, residual, zeros + jnp.inf
+                                )
+                                # strict <: first-min wins (argmin parity)
+                                better = residual < best_res
+                                best_res = jnp.where(
+                                    better, residual, best_res
+                                )
+                                best_lam = [
+                                    jnp.where(better, lam[i], best_lam[i])
+                                    for i in range(pT)
+                                ]
+                            best_lam = [
+                                jnp.where(jnp.isfinite(best_res),
+                                          best_lam[i], zeros)
+                                for i in range(pT)
+                            ]
+                            for i in range(pT):
+                                dLamS[i] = jnp.where(
+                                    mrt, best_lam[i], dLamS[i]
+                                )
+
+                            # Combined sweep: terminal linear term
+                            # q_comb = q_base + H^T best_lambda
+                            # (gain recombination :619-634 — linear in the
+                            # terminal q, so one re-run replaces the
+                            # combination).
+                            q_comb = [
+                                q_base[i]
+                                + sum(HTl[r][i] * best_lam[r]
+                                      for r in range(pT))
+                                for i in range(nx)
+                            ]
+                            if track_costates:
+                                for i in range(nx):
+                                    Vxs[N, i] = jnp.where(
+                                        mrt, q_comb[i], Vxs[N, i]
+                                    )
+                                    for j in range(nx):
+                                        Vxxs[N, i, j] = jnp.where(
+                                            mrt, VxxT[i][j], Vxxs[N, i, j]
+                                        )
+
+                            def sweep2(_s, carry):
+                                t = carry[-1]
+                                Vx = list(carry[0])
+                                Vxx = [list(r) for r in carry[1]]
+                                infdu, stepn, okl2 = carry[2:-1]
+                                (A, Bm, Qs, qs, Rs, rs, Ms, _pr,
+                                 _comp) = te_stage(t)
+                                (k, K, p_new, P, Qu, _Hinv, pd_ok) = (
+                                    ipddp_te_lqr_step_lanes(
+                                        A, Bm, Qs, qs, Rs, rs, Ms, Vx, Vxx,
+                                        nx, nu,
+                                    )
+                                )
+                                for i in range(nu):
+                                    ko[t, i] = jnp.where(mrt, k[i], ko[t, i])
+                                    for j in range(nx):
+                                        Ko[t, i, j] = jnp.where(
+                                            mrt, K[i][j], Ko[t, i, j]
+                                        )
+                                if track_costates:
+                                    for i in range(nx):
+                                        Vxs[t, i] = jnp.where(
+                                            mrt, p_new[i], Vxs[t, i]
+                                        )
+                                        for j in range(nx):
+                                            Vxxs[t, i, j] = jnp.where(
+                                                mrt, P[i][j], Vxxs[t, i, j]
+                                            )
+                                for i in range(nu):
+                                    infdu = jnp.maximum(
+                                        infdu, jnp.abs(Qu[i])
+                                    )
+                                    stepn = jnp.maximum(
+                                        stepn, jnp.abs(k[i])
+                                    )
+                                return (
+                                    tuple(p_new),
+                                    tuple(tuple(r) for r in P),
+                                    infdu, stepn,
+                                    okl2 * jnp.where(pd_ok, ones, zeros),
+                                    t - _i32(1),
+                                )
+
+                            out2 = jax.lax.fori_loop(
+                                _i32(0), _i32(N), sweep2,
+                                (tuple(q_comb),
+                                 tuple(tuple(r) for r in VxxT),
+                                 zeros, zeros, ones,
+                                 jnp.asarray(N - 1, jnp.int32)),
+                            )
+                            infdu, stepn, okl2 = out2[2:-1]
+                            okl = okl * okl2
+                            # The te regime reports dV = 0
+                            # (_backward_terminal_eq returns zeros(2)).
+                            dv0 = zeros
+                            dv1 = zeros
 
                         okb = okl > 0.5
                         reg_next = jnp.where(
@@ -1304,7 +1873,24 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
                                 STc[i] = jnp.where(mnf, sT_new, STc[i])
                                 YTc[i] = jnp.where(mnf, yT_new, YTc[i])
 
-                        phi = J - mu * sumlog
+                        lam_h = zeros
+                        if pT:
+                            # Terminal-equality trial: multiplier step
+                            # lam += a_pr * dLambda, |h_T| rows into
+                            # theta/inf_pr, lam.h_T into the merit
+                            # (_forward_pass has_te + _barrier_merit).
+                            hTn = h_of(xN)
+                            for i in range(pT):
+                                lte_n = LteO[i] + a_pr * dLamS[i]
+                                feas = feas * fin(lte_n)
+                                r = hTn[i]
+                                th = th + (
+                                    r * r if cfg.theta_l2 else jnp.abs(r)
+                                )
+                                infpr = jnp.maximum(infpr, jnp.abs(r))
+                                lam_h = lam_h + lte_n * r
+
+                        phi = J - mu * sumlog + lam_h
                         theta_new = jnp.maximum(
                             jnp.sqrt(th) if cfg.theta_l2 else th, infpr
                         )
@@ -1353,6 +1939,7 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
                         sc[_TMAXYS] = jnp.where(take, maxys, sc[_TMAXYS])
                         sc[_TMINYS] = jnp.where(take, minys, sc[_TMINYS])
                         sc[_TSUMLOG] = jnp.where(take, sumlog, sc[_TSUMLOG])
+                        sc[_TLAMH] = jnp.where(take, lam_h, sc[_TLAMH])
                         sc[_TAPR] = jnp.where(take, a_pr, sc[_TAPR])
                         sc[_TADU] = jnp.where(take, a_du, sc[_TADU])
                         sc[_LS_OK] = jnp.where(take, ones, sc[_LS_OK])
@@ -1398,6 +1985,12 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
                     for i in range(mT):
                         STo[i] = jnp.where(commit_m, STc[i], STo[i])
                         YTo[i] = jnp.where(commit_m, YTc[i], YTo[i])
+                if pT:
+                    for i in range(pT):
+                        LteO[i] = jnp.where(
+                            commit_m, LteO[i] + sc[_TAPR] * dLamS[i],
+                            LteO[i],
+                        )
 
                 # Barrier schedule (updateBarrierParameters,
                 # ipddp_solver.cpp:2548-2660) on committed lanes.
@@ -1474,7 +2067,7 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
                     mi = jnp.where(do_prune, pm[i], km[i])
                     vi = jnp.where(do_prune, pv[i], kv[i])
                     oki = jnp.where(do_prune, pval[i], kval[i])
-                    if mT and i == 0:
+                    if (mT or pT) and i == 0:
                         # With terminal constraints the mu-decrease reset
                         # re-seeds the cleared filter with the committed
                         # point (_update_barrier_and_filter: cleared gets
@@ -1494,7 +2087,7 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
                 infcomp_new = jnp.maximum(
                     sc[_TMAXYS] - mu_new, mu_new - sc[_TMINYS]
                 )
-                merit_new = sc[_TJ] - mu_new * sc[_TSUMLOG]
+                merit_new = sc[_TJ] - mu_new * sc[_TSUMLOG] + sc[_TLAMH]
                 reg_dec = jnp.maximum(sc[_REG] / cfg.reg_uf, cfg.reg_min)
 
                 if latch_traced:
@@ -1571,7 +2164,10 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
                 done_c = conv_opt | conv_acc
 
                 # Fail branch (handleForwardPassFailure, :2037-2082).
-                reg_fail = jnp.minimum(sc[_REG] * cfg.reg_uf, cfg.reg_max)
+                # Terminal equalities escalate the regularization TWICE per
+                # failure (_drive fail(): "(not no_barrier) and has_te").
+                fail_uf = cfg.reg_uf * cfg.reg_uf if pT else cfg.reg_uf
+                reg_fail = jnp.minimum(sc[_REG] * fail_uf, cfg.reg_max)
                 limit_f = reg_fail >= cfg.reg_max
                 if cfg.acceptable_tolerance > 0:
                     at_f = jnp.maximum(
@@ -1684,10 +2280,13 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
 
     def call(X0, U0, Y0, S0, ku0, Ku0, L0, mu0, dtv, params, Q, R, Qf,
              goal, refs, lo, hi, sfv, st0=None, yt0=None, atm=None,
-             btm=None, cp=None, interpret=False):
-        """Outputs: (X, U, k, K, Y, S, [Lambda], stats, [S_T, Y_T]) —
-        Lambda only with ``track_costates``; in GN mode Q/R/Qf/goal/refs
-        are ignored and ``cp`` carries the cost parameters."""
+             btm=None, cp=None, ht=None, hbt=None, lte0=None,
+             interpret=False):
+        """Outputs: (X, U, k, K, Y, S, [Lambda], stats, [S_T, Y_T],
+        [Lte]) — Lambda only with ``track_costates``; in GN mode
+        Q/R/Qf/goal/refs are ignored and ``cp`` carries the cost
+        parameters; ``ht/hbt/lte0`` are the linear terminal-equality rows,
+        targets and initial multipliers when ``pT > 0``."""
         Btot = X0.shape[-1]
         assert Btot % tile_b == 0, (Btot, tile_b)
         grid = (Btot // tile_b,)
@@ -1716,13 +2315,17 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
             + ([spec(N, nx)] if tracking else [])
         ) + [
             spec(nb), spec(nb), spec(n_items),
-        ] + ([spec(mT), spec(mT), spec(mT, nx), spec(mT)] if mT else [])
+        ] + ([spec(mT), spec(mT), spec(mT, nx), spec(mT)] if mT else []) + (
+            [spec(pT, nx), spec(pT), spec(pT)] if pT else []
+        )
         out_specs = (
             spec(N + 1, nx), spec(N, nu), spec(N, nu), spec(N, nu, nx),
             spec(N, m), spec(N, m),
         ) + ((spec(N + 1, nx),) if track_costates else ()) + (
             spec(9),
-        ) + ((spec(mT), spec(mT)) if mT else ())
+        ) + ((spec(mT), spec(mT)) if mT else ()) + (
+            (spec(pT),) if pT else ()
+        )
         out_shape = (
             jax.ShapeDtypeStruct((N + 1, nx, rows, 128), dtype),
             jax.ShapeDtypeStruct((N, nu, rows, 128), dtype),
@@ -1737,7 +2340,9 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
         ) + ((
             jax.ShapeDtypeStruct((mT, rows, 128), dtype),
             jax.ShapeDtypeStruct((mT, rows, 128), dtype),
-        ) if mT else ())
+        ) if mT else ()) + ((
+            jax.ShapeDtypeStruct((pT, rows, 128), dtype),
+        ) if pT else ())
         scratch = ([
             pltpu.VMEM((N + 1, nx, tbs, 128), dtype),      # Vx sequence
             pltpu.VMEM((N + 1, nx, nx, tbs, 128), dtype),  # Vxx sequence
@@ -1751,7 +2356,9 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
         ] if track_costates else []) + ([
             pltpu.VMEM((mT, tbs, 128), dtype),             # STc
             pltpu.VMEM((mT, tbs, 128), dtype),             # YTc
-        ] if mT else []) + [
+        ] if mT else []) + ([
+            pltpu.VMEM((pT, tbs, 128), dtype),             # dLamS
+        ] if pT else []) + [
             pltpu.VMEM((_N_SCALARS, tbs, 128), dtype),     # sc
         ]
         ins = (X0, U0, Y0, S0, ku0, Ku0)
@@ -1767,6 +2374,8 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
         ins = ins + (lo, hi, sfv)
         if mT:
             ins = ins + (st0, yt0, atm, btm)
+        if pT:
+            ins = ins + (ht, hbt, lte0)
         args = [fold(v) for v in ins]
         outs = pl.pallas_call(
             kernel,
@@ -1856,21 +2465,23 @@ def _vmem_estimate_bytes(problem, options=None,
     else:
         nb = m // 2  # box rows come in lower/upper pairs
     n_items = len(stk.items)
-    mT = TerminalStacker(problem).ineq_dim
+    tstk = TerminalStacker(problem)
+    mT = tstk.ineq_dim
+    pT = tstk.eq_dim
     lam_rows = (N + 1) * nx if track_costates else 0
     ins = (
         (N + 1) * nx + N * nu + 2 * N * m + N * nu + N * nu * nx
         + lam_rows + 2 + np_eff + cost_in + 2 * nb + n_items
-        + (3 * mT + mT * nx)
+        + (3 * mT + mT * nx) + (2 * pT + pT * nx)
     )
     outs = (
         (N + 1) * nx + 2 * N * nu + N * nu * nx + 2 * N * m
-        + lam_rows + 9 + 2 * mT
+        + lam_rows + 9 + 2 * mT + pT
     )
     scratch = (
         ((N + 1) * nx * (2 + nx) if track_costates else 0)  # Vx, Vxx, Lc
         + (N + 1) * nx + N * nu + 2 * N * m                 # Xc, Uc, Yc, Sc
-        + 2 * mT + _N_SCALARS
+        + 2 * mT + pT + _N_SCALARS
     )
     return (ins + outs + scratch) * tile_b * 4
 
@@ -1918,14 +2529,19 @@ def mega_eligible(problem, options) -> bool:
     if not isinstance(problem.objective, QuadraticObjective):
         if gn_cost_lane(problem.objective) is None:
             return False
+    from cddp_tpu.constraints.terminal import TerminalEqualityConstraint
+
     stk = PathStacker(problem)
     tstk = TerminalStacker(problem)
     if _lane_stack(stk) is None or stk.total_dim == 0:
         return False
     # Linear terminal inequalities fold into the kernel's terminal value
-    # (ipddp_solver.cpp:999-1031); terminal equalities need the p+1
-    # reduced-LQR regime and stay on the XLA driver.
-    if tstk.eq_dim > 0:
+    # (ipddp_solver.cpp:999-1031); terminal equalities run the in-kernel
+    # p+1 reduced-LQR regime (linear rows only — the one reference type,
+    # TerminalEqualityConstraint x_N = target, qualifies).
+    if tstk.eq_dim > 0 and any(
+        type(c) is not TerminalEqualityConstraint for _, c in tstk.eq_items
+    ):
         return False
     ip = options.ipddp
     return (
@@ -1956,13 +2572,15 @@ def mega_eligible(problem, options) -> bool:
                      "track_costates", "tile_b", "interpret"),
 )
 def _mega_impl(X0, U0, Y0, S0, ku0, Ku0, L0, mu0, dtv, params, Q, R, Qf,
-               goal, refs, lo, hi, sfv, st0, yt0, atm, btm, cp, cfg: _Cfg,
+               goal, refs, lo, hi, sfv, st0, yt0, atm, btm, cp, lte0, ht,
+               hbt, cfg: _Cfg,
                kind, integrator: str, box_layout, gn_key=None,
                track_costates: bool = True, tile_b: int = DEFAULT_TILE_B,
                interpret: bool = False):
     """Batch-first wrapper: pad to a tile multiple, transpose to batch-last,
     run the kernel, trim. ``refs`` is None for goal-form objectives;
-    ``st0/yt0/atm/btm`` are None without terminal inequalities; in GN mode
+    ``st0/yt0/atm/btm`` are None without terminal inequalities;
+    ``lte0/ht/hbt`` are None without terminal equalities; in GN mode
     (``gn_key`` set) Q/R/Qf/goal/refs are None and ``cp`` carries the cost
     parameters. ``kind`` is the model static key (class name or class)."""
     B0 = X0.shape[0]
@@ -1981,16 +2599,17 @@ def _mega_impl(X0, U0, Y0, S0, ku0, Ku0, L0, mu0, dtv, params, Q, R, Qf,
     deriv_f = deriv_lane_fn(kind, lane_f, nx, nu)
     gn = _GN_BY_KEY[gn_key] if gn_key is not None else None
     mT = 0 if st0 is None else st0.shape[1]
+    pT = 0 if lte0 is None else lte0.shape[1]
     call = make_solve_kernel(
         nx, nu, m, N, n_params, lane_f, deriv_f, integrator, box_layout,
         cfg, cap, tracking, mT=mT, tile_b=tile_b, gn=gn,
-        track_costates=track_costates,
+        track_costates=track_costates, pT=pT,
     )
     args = [
         prep(v) if v is not None else None
         for v in (X0, U0, Y0, S0, ku0, Ku0, L0, mu0[:, None], dtv[:, None],
                   params, Q, R, Qf, goal, refs, lo, hi, sfv, st0, yt0, atm,
-                  btm, cp)
+                  btm, cp, ht, hbt, lte0)
     ]
     outs = call(*args, interpret=interpret)
     unprep = lambda v: jnp.moveaxis(v, -1, 0)[:B0]
@@ -2000,11 +2619,13 @@ def _mega_impl(X0, U0, Y0, S0, ku0, Ku0, L0, mu0, dtv, params, Q, R, Qf,
 def build_fused_solve(problem, options, interpret: bool = False,
                       obj_treedef=None):
     """Batch-first fused whole-solve for a concrete (problem, options):
-    ``fused(x0, X0, U0, Y0, S0, L0, mu0, ku0, Ku0, S_T0, Y_T0,
+    ``fused(x0, X0, U0, Y0, S0, L0, mu0, ku0, Ku0, S_T0, Y_T0, Lte0,
     *obj_leaves) -> (X, U, k, K, Y, S, Lambda, cost, inf_pr, inf_du,
     inf_comp, mu, reg, alpha_pr, iterations(int32), status(int32), S_T,
-    Y_T)``. ``S_T0/Y_T0`` are ``(B, mT)`` (``mT = 0`` without terminal
-    inequalities). Also the test entry for interpret-mode parity runs.
+    Y_T, Lte)``. ``S_T0/Y_T0`` are ``(B, mT)`` (``mT = 0`` without
+    terminal inequalities); ``Lte0`` is ``(B, pT)`` (``pT = 0`` without
+    terminal equalities). Also the test entry for interpret-mode parity
+    runs.
 
     With ``obj_treedef`` set, the objective travels as trailing
     ``*obj_leaves`` op arguments, every leaf carrying the leading batch
@@ -2027,6 +2648,7 @@ def build_fused_solve(problem, options, interpret: bool = False,
     stk = PathStacker(problem)
     tstk = TerminalStacker(problem)
     mT = tstk.ineq_dim
+    pT = tstk.eq_dim
     boxes = _lane_stack(stk)
     _, box_layout = _lane_stack_dims(boxes, problem.state_dim,
                                      problem.control_dim)
@@ -2042,7 +2664,7 @@ def build_fused_solve(problem, options, interpret: bool = False,
     n_params, param_fn = _model_entry(problem.model)[1:3]
 
     def fused_impl(x0, X0, U0, Y0, S0, L0, mu0, ku0, Ku0, S_T0, Y_T0,
-                   *obj_leaves):
+                   Lte0, *obj_leaves):
         B = x0.shape[0]
         N = U0.shape[1]
         dtype = x0.dtype
@@ -2116,12 +2738,26 @@ def build_fused_solve(problem, options, interpret: bool = False,
             st0, yt0 = S_T0, Y_T0
         else:
             atm = btm = st0 = yt0 = None
+        if pT:
+            # Linear terminal-equality rows: the one reference type is
+            # x_N - target (H = I, b = target), stacked in eq-item order.
+            ht = bc(jnp.concatenate([
+                jnp.eye(problem.state_dim, dtype=dtype)
+                for _ in tstk.eq_items
+            ]))
+            hbt = bc(jnp.concatenate([
+                jnp.asarray(c.target_state, dtype)
+                for _, c in tstk.eq_items
+            ]))
+            lte0 = Lte0
+        else:
+            ht = hbt = lte0 = None
         outs = _mega_impl(
             X0, U0, Y0, S0, ku0, Ku0, L0 if track_costates else None,
             jnp.broadcast_to(jnp.asarray(mu0, dtype), (B,)),
             jnp.broadcast_to(jnp.asarray(problem.timestep, dtype), (B,)),
             params, Qb, Rb, Qfb, goalb, refs, lo, hi, sfv, st0, yt0, atm,
-            btm, cp,
+            btm, cp, lte0, ht, hbt,
             cfg=cfg, kind=kind, integrator=integrator,
             box_layout=box_layout,
             gn_key=gn_entry.static_key if gn_entry is not None else None,
@@ -2136,15 +2772,20 @@ def build_fused_solve(problem, options, interpret: bool = False,
             Lam = jnp.zeros_like(X)
         st, outs = outs[0], outs[1:]
         if mT:
-            S_T, Y_T = outs
+            S_T, Y_T = outs[:2]
+            outs = outs[2:]
         else:
             S_T = jnp.zeros((B, 0), dtype)
             Y_T = jnp.zeros((B, 0), dtype)
+        if pT:
+            (Lte,) = outs
+        else:
+            Lte = jnp.zeros((B, 0), dtype)
         return (
             X, U, k, K, Y, S, Lam,
             st[:, 0], st[:, 1], st[:, 2], st[:, 3], st[:, 4], st[:, 5],
             st[:, 6], st[:, 7].astype(jnp.int32),
-            st[:, 8].astype(jnp.int32), S_T, Y_T,
+            st[:, 8].astype(jnp.int32), S_T, Y_T, Lte,
         )
 
     return fused_impl
@@ -2175,9 +2816,10 @@ def problem_consts_concrete(problem) -> bool:
 def ipddp_solve_op(problem, options, interpret: bool = False):
     """Batch-aware whole-solve op for this (problem, options) pair.
 
-    ``op(x0, X0, U0, Y0, S0, L0, mu0, ku0, Ku0, S_T0, Y_T0) -> (X, U, k,
-    K, Y, S, Lambda, cost, inf_pr, inf_du, inf_comp, mu, reg, alpha_pr,
-    iterations(int32), status(int32), S_T, Y_T)``. Unbatched / CPU /
+    ``op(x0, X0, U0, Y0, S0, L0, mu0, ku0, Ku0, S_T0, Y_T0, Lte0) -> (X,
+    U, k, K, Y, S, Lambda, cost, inf_pr, inf_du, inf_comp, mu, reg,
+    alpha_pr, iterations(int32), status(int32), S_T, Y_T, Lte)``.
+    Unbatched / CPU /
     non-f32 calls run the XLA ``_drive`` driver per instance; vmapped TPU
     float32 batches >= MIN_KERNEL_BATCH run the fused kernel. The
     objective's pytree leaves ride as trailing op arguments so vmapping
@@ -2191,17 +2833,15 @@ def ipddp_solve_op(problem, options, interpret: bool = False):
                                    obj_treedef=obj_def)
 
     def scan_single(x0, X0, U0, Y0, S0, L0, mu0, ku0, Ku0, S_T0, Y_T0,
-                    *obj_leaves):
+                    Lte0, *obj_leaves):
         obj = jax.tree_util.tree_unflatten(obj_def, obj_leaves)
         p = problem.replace(x0=x0, objective=obj)
         stk = PathStacker(p)
         tstk = TerminalStacker(p)
-        dtype = X0.dtype
         G = _ipddp._eval_path(p, stk, X0, U0)
         G_T = tstk.ineq_evaluate(X0[-1])
-        empty = jnp.zeros((0,), dtype)
         sol, st = _ipddp._drive(
-            p, options, X0, U0, Y0, S0, G, G_T, S_T0, Y_T0, L0, empty,
+            p, options, X0, U0, Y0, S0, G, G_T, S_T0, Y_T0, L0, Lte0,
             mu0, ku0, Ku0,
         )
         return (
@@ -2210,6 +2850,7 @@ def ipddp_solve_op(problem, options, interpret: bool = False):
             sol.inf_du, sol.inf_comp, sol.barrier_mu,
             sol.final_regularization, sol.final_step_length,
             sol.iterations_completed, sol.status_code, st.S_T, st.Y_T,
+            st.Lambda_T_eq,
         )
 
     op = make_batched_op(
@@ -2218,10 +2859,10 @@ def ipddp_solve_op(problem, options, interpret: bool = False):
         log_detail=lambda x0, *rest: dict(model=kind),
     )
 
-    def call_op(x0, X0, U0, Y0, S0, L0, mu0, ku0, Ku0, S_T0, Y_T0):
+    def call_op(x0, X0, U0, Y0, S0, L0, mu0, ku0, Ku0, S_T0, Y_T0, Lte0):
         # The objective leaves (possibly tracers of an enclosing vmap over
         # per-instance cost parameters) ride as trailing op arguments.
-        return op(x0, X0, U0, Y0, S0, L0, mu0, ku0, Ku0, S_T0, Y_T0,
+        return op(x0, X0, U0, Y0, S0, L0, mu0, ku0, Ku0, S_T0, Y_T0, Lte0,
                   *obj_leaves0)
 
     return call_op

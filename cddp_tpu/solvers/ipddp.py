@@ -2046,8 +2046,9 @@ def solve(
         if options.solve_engine == "fused":
             assert mega_ipddp.mega_eligible(problem, options), (
                 "solve_engine='fused' requires a mega-eligible problem: "
-                "registered continuous lane model, quadratic objective, "
-                "box-only path constraints, no terminal constraints, iLQR "
+                "registered continuous lane model, quadratic or "
+                "GN-residual objective, lane path constraints "
+                "(boxes/balls), linear terminal constraints only, iLQR "
                 "sequential backward, sequential line search, default "
                 "driver features, and a horizon small enough to fit VMEM "
                 "(mega_ipddp._vmem_estimate_bytes)"
@@ -2092,17 +2093,18 @@ def _solve_mega(problem: Problem, options: CDDPOptions, U0, warm,
 
     op = ipddp_solve_op(problem, options)
     (Xs, Us, ks, Ks, Ys, Ss, Lam, cost, inf_pr, inf_du, inf_comp, mu, reg,
-     alpha_pr, iters, status, S_T_out, Y_T_out) = op(
+     alpha_pr, iters, status, S_T_out, Y_T_out, Lte_out) = op(
         problem.x0, X, U, Y, S, Lambda, jnp.asarray(mu0, dtype), ku0, Ku0,
-        S_T, Y_T,
+        S_T, Y_T, Lambda_T_eq,
     )
 
     has_ti = tstk.ineq_dim > 0
+    has_te = tstk.eq_dim > 0
     time_points = jnp.arange(N + 1, dtype=dtype) * problem.timestep
     solver_state = IPDDPSolverState(
         k_u=ks, K_u=Ks, Y=Ys, S=Ss, Lambda=Lam,
         Y_T=Y_T_out, S_T=S_T_out,
-        Lambda_T_eq=jnp.zeros(Ys.shape[:-2] + (0,), dtype),
+        Lambda_T_eq=Lte_out,
         x0=problem.x0,
     )
     sol = Solution(
@@ -2120,7 +2122,11 @@ def _solve_mega(problem: Problem, options: CDDPOptions, U0, warm,
         dual_trajectories=stk.split(Ys),
         slack_trajectories=stk.split(Ss),
         costate_trajectory=Lam,
-        terminal_duals=tstk.split_ineq(Y_T_out) if has_ti else None,
+        terminal_duals=(
+            {**tstk.split_ineq(Y_T_out), **tstk.split_eq(Lte_out)}
+            if (has_ti or has_te)
+            else None
+        ),
         barrier_mu=mu,
         inf_pr=inf_pr,
         inf_du=inf_du,

@@ -73,7 +73,7 @@ def _seed_batch(problem, options, x0_batch, dtype=F64):
         (X, U, Y, S, G, G_T, S_T, Y_T, Lam, Lam_te, mu0, reset) = (
             ipddp._initialize(p, options, stk, tstk, U0, None, False, dtype)
         )
-        return X, U, Y, S, Lam, jnp.asarray(mu0, dtype), S_T, Y_T
+        return X, U, Y, S, Lam, jnp.asarray(mu0, dtype), S_T, Y_T, Lam_te
 
     return jax.vmap(seed_one)(x0_batch)
 
@@ -84,7 +84,7 @@ def _run_both(problem, options, x0_batch, ku0=None, Ku0=None):
     dtype = x0_batch.dtype
     B = x0_batch.shape[0]
     N, nx, nu = problem.horizon, problem.state_dim, problem.control_dim
-    (Xb, Ub, Yb, Sb, Lb, mu0b, STb, YTb) = _seed_batch(
+    (Xb, Ub, Yb, Sb, Lb, mu0b, STb, YTb, LTEb) = _seed_batch(
         problem, options, x0_batch, dtype
     )
     if ku0 is None:
@@ -93,17 +93,17 @@ def _run_both(problem, options, x0_batch, ku0=None, Ku0=None):
         Ku0 = jnp.zeros((B, N, nu, nx), dtype)
 
     fused = mega_ipddp.build_fused_solve(problem, options, interpret=True)
-    got = fused(x0_batch, Xb, Ub, Yb, Sb, Lb, mu0b, ku0, Ku0, STb, YTb)
+    got = fused(x0_batch, Xb, Ub, Yb, Sb, Lb, mu0b, ku0, Ku0, STb, YTb,
+                LTEb)
 
-    def one(x0, Xi, Ui, Yi, Si, Li, mu0i, k0, K0, STi, YTi):
+    def one(x0, Xi, Ui, Yi, Si, Li, mu0i, k0, K0, STi, YTi, LTEi):
         p = problem.replace(x0=x0)
         stk = PathStacker(p)
         tstk = TerminalStacker(p)
         G = ipddp._eval_path(p, stk, Xi, Ui)
         G_T = tstk.ineq_evaluate(Xi[-1])
-        empty = jnp.zeros((0,), dtype)
         sol, st = ipddp._drive(
-            p, options, Xi, Ui, Yi, Si, G, G_T, STi, YTi, Li, empty,
+            p, options, Xi, Ui, Yi, Si, G, G_T, STi, YTi, Li, LTEi,
             mu0i, k0, K0,
         )
         return (
@@ -112,16 +112,17 @@ def _run_both(problem, options, x0_batch, ku0=None, Ku0=None):
             sol.inf_du, sol.inf_comp, sol.barrier_mu,
             sol.final_regularization, sol.final_step_length,
             sol.iterations_completed, sol.status_code, st.S_T, st.Y_T,
+            st.Lambda_T_eq,
         )
 
     want = jax.vmap(one)(x0_batch, Xb, Ub, Yb, Sb, Lb, mu0b, ku0, Ku0,
-                         STb, YTb)
+                         STb, YTb, LTEb)
     return got, want
 
 
 NAMES = ("X", "U", "k", "K", "Y", "S", "Lambda", "cost", "inf_pr", "inf_du",
          "inf_comp", "mu", "reg", "alpha_pr", "iters", "status", "S_T",
-         "Y_T")
+         "Y_T", "Lte")
 
 
 def _assert_solutions_match(got, want, atol=1e-8, rtol=1e-8):
@@ -404,14 +405,15 @@ class TestDispatch:
         assert not mega_ipddp.mega_eligible(
             prob, opts.replace(return_iteration_info=True)
         )
-        # Terminal constraints exclude the kernel.
+        # Linear terminal equalities fold in-kernel since round 5 (the
+        # p+1 reduced-LQR regime); only non-linear eq types opt out.
         from cddp_tpu.constraints.terminal import terminal_equality_constraint
 
         pt = prob.add_terminal_constraint(
             "TerminalEqualityConstraint",
             terminal_equality_constraint(jnp.asarray([2.0, 2.0, np.pi / 2], F64)),
         )
-        assert not mega_ipddp.mega_eligible(pt, opts)
+        assert mega_ipddp.mega_eligible(pt, opts)
         # No path constraints -> no interior point -> scan engines.
         bare = prob.replace(constraints={})
         assert not mega_ipddp.mega_eligible(bare, opts)
@@ -490,7 +492,7 @@ class TestTpuLowering:
             jnp.ones((B, N, m), f32), jnp.zeros((B, N + 1, 3), f32),
             jnp.ones((B,), f32), jnp.zeros((B, N, 2), f32),
             jnp.zeros((B, N, 2, 3), f32), jnp.zeros((B, 0), f32),
-            jnp.zeros((B, 0), f32),
+            jnp.zeros((B, 0), f32), jnp.zeros((B, 0), f32),
         )
         exp = jax.export.export(jax.jit(fused), platforms=["tpu"])(*args)
         assert len(exp.mlir_module_serialized) > 0
@@ -600,7 +602,7 @@ class TestBallStackLowering:
             jnp.ones((B, N, m), f32), jnp.zeros((B, N + 1, 3), f32),
             jnp.ones((B,), f32), jnp.zeros((B, N, 2), f32),
             jnp.zeros((B, N, 2, 3), f32), jnp.zeros((B, 0), f32),
-            jnp.zeros((B, 0), f32),
+            jnp.zeros((B, 0), f32), jnp.zeros((B, 0), f32),
         )
         exp = jax.export.export(jax.jit(fused), platforms=["tpu"])(*args)
         assert len(exp.mlir_module_serialized) > 0
@@ -672,12 +674,104 @@ class TestTerminalIneqParity:
         prob = _unicycle_terminal_ineq(horizon=20)
         opts = ct.CDDPOptions(max_iterations=8, tolerance=1e-4)
         assert mega_ipddp.mega_eligible(prob, opts)
-        # Terminal equalities stay on the XLA driver (p+1 reduced LQR).
+        # Linear terminal equalities fold in-kernel (p+1 reduced LQR,
+        # round-5 addition); only non-linear eq types would opt out.
         pe = _unicycle_box(horizon=20).add_terminal_constraint(
             "TerminalEquality",
             ct.terminal_equality_constraint(jnp.zeros(3, F64)),
         )
-        assert not mega_ipddp.mega_eligible(pe, opts)
+        assert mega_ipddp.mega_eligible(pe, opts)
+
+
+def _unicycle_terminal_eq(horizon=20, dtype=F64,
+                          target=(1.5, 1.0, np.pi / 4)):
+    """Control box + terminal equality x_N = target — the p+1 reduced-LQR
+    regime (ipddp_solver.cpp:478-639 + 1121-1351) the round-4 verdict
+    asked the whole-solve kernel to fold (item 4)."""
+    prob = _unicycle_box(horizon=horizon, dtype=dtype)
+    return prob.add_terminal_constraint(
+        "TerminalEquality",
+        ct.terminal_equality_constraint(jnp.asarray(target, dtype)),
+    )
+
+
+class TestTerminalEqParity:
+    """Terminal equalities through the whole-solve kernel: the in-kernel
+    p+1 reduced-LQR regime (one base sweep + sensitivity Gramian + the
+    SVD-floored 5-scale multiplier ladder + one combined sweep), the
+    lam.h_T merit term, |h_T| rows of theta/inf_pr, the multiplier trial
+    step, the seeded filter and the doubled fail-path regularization —
+    kernel (interpret, f64) == vmapped XLA _drive at exact
+    status/iteration counts."""
+
+    SEEDS = np.array(
+        [[0.0, 0.0, 0.0], [0.5, 0.0, 0.0], [0.0, 0.5, 0.5],
+         [-0.3, 0.2, 0.0]]
+    )
+
+    @pytest.mark.parametrize("max_iterations", [4, 8])
+    def test_terminal_eq_parity(self, max_iterations):
+        prob = _unicycle_terminal_eq(horizon=20)
+        opts = ct.CDDPOptions(max_iterations=max_iterations, tolerance=1e-4)
+        x0b = jnp.asarray(self.SEEDS, F64)
+        got, want = _run_both(prob, opts, x0b)
+        _assert_solutions_match(got, want, atol=1e-7, rtol=1e-7)
+        assert np.asarray(got[14]).max() >= 1
+
+    def test_terminal_eq_plus_ineq_parity(self):
+        # Both terminal regimes coexist: the eq rows run the reduced LQR,
+        # the ineq rows fold into the terminal value.
+        prob = _unicycle_terminal_eq(horizon=12)
+        prob = prob.add_terminal_constraint(
+            "TerminalInequality",
+            ct.terminal_inequality_constraint(
+                jnp.asarray([[0.0, 0.0, 1.0]], F64),
+                jnp.asarray([2.0], F64),
+            ),
+        )
+        opts = ct.CDDPOptions(max_iterations=6, tolerance=1e-4)
+        rng = np.random.default_rng(11)
+        x0b = jnp.asarray(rng.uniform(-0.3, 0.3, size=(4, 3)), F64)
+        got, want = _run_both(prob, opts, x0b)
+        _assert_solutions_match(got, want, atol=1e-7, rtol=1e-7)
+
+    @pytest.mark.slow
+    def test_terminal_eq_to_convergence(self):
+        # Full budget: identical statuses/iterations AND the terminal
+        # equality actually holds on converged lanes.
+        prob = _unicycle_terminal_eq(horizon=20)
+        opts = ct.CDDPOptions(max_iterations=120, tolerance=1e-4)
+        x0b = jnp.asarray(self.SEEDS, F64)
+        got, want = _run_both(prob, opts, x0b)
+        _assert_solutions_match(got, want, atol=1e-6, rtol=1e-6)
+        X = np.asarray(got[0])
+        status = np.asarray(got[15])
+        conv = np.isin(status, (1, 2, 4))
+        assert conv.any(), status
+        target = np.array([1.5, 1.0, np.pi / 4])
+        err = np.abs(X[conv, -1, :] - target).max()
+        assert err <= 1e-3, err
+
+
+class TestTerminalEqLowering:
+    @pytest.mark.slow
+    def test_export_for_tpu_terminal_eq(self):
+        N, B = 20, 1024
+        f32 = jnp.float32
+        prob = _unicycle_terminal_eq(horizon=N, dtype=f32)
+        opts = ct.CDDPOptions(max_iterations=10, tolerance=1e-4)
+        fused = mega_ipddp.build_fused_solve(prob, opts)
+        m = PathStacker(prob).total_dim
+        args = (
+            jnp.zeros((B, 3), f32), jnp.zeros((B, N + 1, 3), f32),
+            jnp.zeros((B, N, 2), f32), jnp.ones((B, N, m), f32),
+            jnp.ones((B, N, m), f32), jnp.zeros((B, N + 1, 3), f32),
+            jnp.ones((B,), f32), jnp.zeros((B, N, 2), f32),
+            jnp.zeros((B, N, 2, 3), f32), jnp.zeros((B, 0), f32),
+            jnp.zeros((B, 0), f32), jnp.zeros((B, 3), f32),
+        )
+        exp = jax.export.export(jax.jit(fused), platforms=["tpu"])(*args)
+        assert len(exp.mlir_module_serialized) > 0
 
 
 class TestTerminalIneqLowering:
@@ -695,7 +789,7 @@ class TestTerminalIneqLowering:
             jnp.ones((B, N, m), f32), jnp.zeros((B, N + 1, 3), f32),
             jnp.ones((B,), f32), jnp.zeros((B, N, 2), f32),
             jnp.zeros((B, N, 2, 3), f32), jnp.ones((B, 2), f32),
-            jnp.ones((B, 2), f32),
+            jnp.ones((B, 2), f32), jnp.zeros((B, 0), f32),
         )
         exp = jax.export.export(jax.jit(fused), platforms=["tpu"])(*args)
         assert len(exp.mlir_module_serialized) > 0

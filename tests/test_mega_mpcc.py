@@ -210,8 +210,10 @@ class TestMpccMegaParity:
         )(x0b)
         ku0 = jnp.zeros((B, N, nu), dtype)
         Ku0 = jnp.zeros((B, N, nu, nx), dtype)
+        lte0 = jnp.zeros((B, 0), dtype)
         fused = mega_ipddp.build_fused_solve(prob, opts, interpret=True)
-        got = fused(x0b, Xb, Ub, Yb, Sb, Lb, mu0b, ku0, Ku0, STb, YTb)
+        got = fused(x0b, Xb, Ub, Yb, Sb, Lb, mu0b, ku0, Ku0, STb, YTb,
+                    lte0)
         want = jax.vmap(
             lambda *a: _drive_one(prob, opts, *a)
         )(x0b, Xb, Ub, Yb, Sb, Lb, mu0b, ku0, Ku0, STb, YTb)
@@ -292,7 +294,7 @@ class TestMpccMegaParity:
             prob, opts, interpret=True, obj_treedef=obj_def
         )
         got = fused(x0b, Xb, Ub, Yb, Sb, Lb, mu0b, ku0, Ku0, STb, YTb,
-                    *obj_leaves)
+                    jnp.zeros((B, 0), dtype), *obj_leaves)
 
         def one(x0i, obj_i, Xi, Ui, Yi, Si, Li, mu0i, k0, K0, STi, YTi):
             p = prob.replace(objective=obj_i)
@@ -330,7 +332,7 @@ class TestMpccLowering:
             jnp.ones((B, N, m), f32), jnp.zeros((B, N + 1, nx), f32),
             jnp.ones((B,), f32), jnp.zeros((B, N, nu), f32),
             jnp.zeros((B, N, nu, nx), f32), jnp.zeros((B, 0), f32),
-            jnp.zeros((B, 0), f32),
+            jnp.zeros((B, 0), f32), jnp.zeros((B, 0), f32),
         )
         exp = jax.export.export(jax.jit(fused), platforms=["tpu"])(*args)
         assert len(exp.mlir_module_serialized) > 0
