@@ -551,17 +551,14 @@ def _update_barrier(problem, options, stk, c: _Carry, fp_success, has_path: bool
     )
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-@base.with_matmul_precision
-def _solve(problem: Problem, options: CDDPOptions, X0, U0, warm):
-    stk = PathStacker(problem)
+def _initialize(problem, options, stk, X0, U0, warm, dtype):
+    """Cold/warm seed state (msipddp_solver.cpp:192-265 + 644-707).
+    Factored out of :func:`_solve` so the whole-solve fused engine
+    (ops/pallas/mega_msipddp.py) shares the exact seed. Returns
+    ``(X, U, Y, S, G, F, Lambda, mu0)``."""
     has_path = bool(stk)
-    nx, nu, N = problem.state_dim, problem.control_dim, problem.horizon
-    m = stk.total_dim
-    dtype = X0.dtype
-    alphas = base.alphas_array(options, dtype)
+    nx, N = problem.state_dim, problem.horizon
 
-    # --- initialization (msipddp_solver.cpp:192-265) -----------------------
     X = X0
     U = U0
     if warm is None:
@@ -626,6 +623,90 @@ def _solve(problem: Problem, options: CDDPOptions, X0, U0, warm):
             S = jnp.where(bad, S_init, S)
             Y = jnp.where(bad, Y_init, Y)
 
+    return X, U, Y, S, G, F, Lambda, mu0
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+@base.with_matmul_precision
+def _solve(problem: Problem, options: CDDPOptions, X0, U0, warm):
+    stk = PathStacker(problem)
+    dtype = X0.dtype
+    X, U, Y, S, G, F, Lambda, mu0 = _initialize(
+        problem, options, stk, X0, U0, warm, dtype
+    )
+    N, nu, nx = problem.horizon, problem.control_dim, problem.state_dim
+    ku0 = jnp.zeros((N, nu), dtype)
+    Ku0 = jnp.zeros((N, nu, nx), dtype)
+    if warm is not None:
+        ku0, Ku0 = warm.k_u, warm.K_u
+    return _drive(problem, options, X, U, Y, S, G, F, Lambda, mu0, ku0, Ku0)
+
+
+@base.with_matmul_precision
+def _solve_mega(problem: Problem, options: CDDPOptions, X0, U0, warm):
+    """Whole-solve fused engine entry (ops/pallas/mega_msipddp.py): run
+    :func:`_initialize` in XLA, then the batch-aware whole-solve op (the
+    XLA :func:`_drive` per unbatched instance, ONE Pallas kernel for
+    vmapped TPU f32 fleets)."""
+    from cddp_tpu.ops.pallas.mega_msipddp import msipddp_solve_op
+
+    stk = PathStacker(problem)
+    has_path = bool(stk)
+    nx, nu, N = problem.state_dim, problem.control_dim, problem.horizon
+    dtype = jnp.asarray(problem.x0).dtype
+    X, U, Y, S, G, F, Lambda, mu0 = _initialize(
+        problem, options, stk, X0, U0, warm, dtype
+    )
+    ku0 = jnp.zeros((N, nu), dtype)
+    Ku0 = jnp.zeros((N, nu, nx), dtype)
+    if warm is not None:
+        ku0, Ku0 = warm.k_u, warm.K_u
+
+    op = msipddp_solve_op(problem, options)
+    (Xs, Us, ks, Ks, Ys, Ss, Fs, Lam, cost, inf_pr, inf_du, inf_comp, mu,
+     reg, alpha_pr, iters, status) = op(
+        problem.x0, X, U, Y, S, F, Lambda, jnp.asarray(mu0, dtype), ku0,
+        Ku0,
+    )
+    time_points = jnp.arange(N + 1, dtype=dtype) * problem.timestep
+    state = MSIPDDPSolverState(
+        k_u=ks, K_u=Ks, Y=Ys, S=Ss, Lambda=Lam, F=Fs,
+    )
+    sol = Solution(
+        solver_name="MSIPDDP",
+        status_code=status,
+        iterations_completed=iters,
+        final_objective=cost,
+        final_step_length=alpha_pr,
+        final_regularization=reg,
+        time_points=time_points,
+        state_trajectory=Xs,
+        control_trajectory=Us,
+        feedback_gains=Ks,
+        feedforward_gains=ks,
+        dual_trajectories=stk.split(Ys) if has_path else None,
+        slack_trajectories=stk.split(Ss) if has_path else None,
+        costate_trajectory=Lam,
+        barrier_mu=mu,
+        inf_pr=inf_pr,
+        inf_du=inf_du,
+        inf_comp=inf_comp,
+        history=None,
+    )
+    return sol, state
+
+
+def _drive(problem, options, X, U, Y, S, G, F, Lambda, mu0, ku0, Ku0):
+    """Iteration loop + solution assembly on a prepared seed state
+    (factored from :func:`_solve` for the whole-solve op's per-instance
+    scan path, the ipddp._drive pattern)."""
+    stk = PathStacker(problem)
+    has_path = bool(stk)
+    nx, nu, N = problem.state_dim, problem.control_dim, problem.horizon
+    m = stk.total_dim
+    dtype = X.dtype
+    alphas = base.alphas_array(options, dtype)
+
     cost0 = problem.objective.evaluate(X, U)
     merit0, inf_pr0, inf_comp0, cv0 = _reset_filter_quantities(
         problem, stk, options, X, U, Y, S, G, F, mu0, cost0
@@ -634,8 +715,8 @@ def _solve(problem: Problem, options: CDDPOptions, X0, U0, warm):
     filt0, _ = flt.accept_entry(filt0, merit0, cv0)
 
     bp0 = _BP(
-        k_u=jnp.zeros((N, nu), dtype),
-        K_u=jnp.zeros((N, nu, nx), dtype),
+        k_u=ku0,
+        K_u=Ku0,
         k_y=jnp.zeros((N, m), dtype),
         K_y=jnp.zeros((N, m, nx), dtype),
         k_s=jnp.zeros((N, m), dtype),
@@ -649,8 +730,6 @@ def _solve(problem: Problem, options: CDDPOptions, X0, U0, warm):
         step_norm=jnp.zeros((), dtype),
         ok=jnp.asarray(True),
     )
-    if warm is not None:
-        bp0 = bp0._replace(k_u=warm.k_u, K_u=warm.K_u)
 
     record = options.return_iteration_info
     hist0 = base.history_init(options.max_iterations if record else 0, dtype)
@@ -900,7 +979,30 @@ def solve(
 
         X0 = _rollout(problem.model, problem.x0, U0, problem.timestep)
     warm = state if options.warm_start else None
-    sol, new_state = _solve(problem, options, X0, U0, warm)
+    # Whole-solve fused engine (ops/pallas/mega_msipddp.py): qualifying
+    # box-constrained quadratic problems run the complete multiple-
+    # shooting interior-point solve as a batch-aware op — the XLA _drive
+    # driver per unbatched instance, ONE Pallas kernel for vmapped TPU
+    # f32 fleets.
+    from cddp_tpu.ops.pallas import mega_ipddp, mega_msipddp
+
+    if options.solve_engine == "fused" or (
+        options.solve_engine == "auto"
+        and mega_msipddp.mega_ms_eligible(problem, options)
+        and mega_ipddp.problem_consts_concrete(problem)
+    ):
+        if options.solve_engine == "fused":
+            assert mega_msipddp.mega_ms_eligible(problem, options), (
+                "solve_engine='fused' requires a mega-eligible MSIPDDP "
+                "problem: registered continuous lane model, quadratic "
+                "objective, box-only path constraints, no terminal "
+                "constraints, iLQR sequential backward, sequential line "
+                "search, default driver features, and a horizon small "
+                "enough to fit VMEM"
+            )
+        sol, new_state = _solve_mega(problem, options, X0, U0, warm)
+    else:
+        sol, new_state = _solve(problem, options, X0, U0, warm)
     if return_state:
         return sol, new_state
     return sol
