@@ -1247,13 +1247,23 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
                                     infcomp = jnp.maximum(
                                         infcomp, jnp.abs(comp[i])
                                     )
+                                # _solve_sequential_lqr's ok includes
+                                # finiteness of K/k/P/p, not just PD.
+                                okl = okl * jnp.where(pd_ok, ones, zeros)
+                                for i in range(nu):
+                                    okl = okl * fin(k[i])
+                                    for j in range(nx):
+                                        okl = okl * fin(K[i][j])
+                                for i in range(nx):
+                                    okl = okl * fin(p_new[i])
+                                    for j in range(nx):
+                                        okl = okl * fin(P[i][j])
                                 return (
                                     tuple(p_new),
                                     tuple(tuple(r) for r in P),
                                     tuple(tuple(r) for r in Phi_new),
                                     tuple(tuple(r) for r in W_new),
-                                    infpr, infcomp,
-                                    okl * jnp.where(pd_ok, ones, zeros),
+                                    infpr, infcomp, okl,
                                     t - _i32(1),
                                 )
 
@@ -1479,11 +1489,19 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
                                     stepn = jnp.maximum(
                                         stepn, jnp.abs(k[i])
                                     )
+                                okl2 = okl2 * jnp.where(pd_ok, ones, zeros)
+                                for i in range(nu):
+                                    okl2 = okl2 * fin(k[i])
+                                    for j in range(nx):
+                                        okl2 = okl2 * fin(K[i][j])
+                                for i in range(nx):
+                                    okl2 = okl2 * fin(p_new[i])
+                                    for j in range(nx):
+                                        okl2 = okl2 * fin(P[i][j])
                                 return (
                                     tuple(p_new),
                                     tuple(tuple(r) for r in P),
-                                    infdu, stepn,
-                                    okl2 * jnp.where(pd_ok, ones, zeros),
+                                    infdu, stepn, okl2,
                                     t - _i32(1),
                                 )
 
@@ -2401,6 +2419,13 @@ def make_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f, integrator,
 # headroom for Mosaic temporaries. Long horizons / large state dims must
 # keep the streamed per-pass engines.
 _VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+# The terminal-equality variant carries two backward sweeps with the
+# sensitivity-Gramian temporaries (Phi/W/FB live ranges), so its Mosaic
+# stack overhead is larger relative to the block-buffer estimate.
+# Calibrated on a v5e: the HCW rendezvous fleet at a 9.6 MB estimate
+# compiles and runs; at 11.3 MB the AOT compiler reports a 19.3 MB scoped
+# allocation against the 16 MB cap.
+_VMEM_BUDGET_TE_BYTES = int(9.7 * 1024 * 1024)
 
 
 def _lane_stack(stk):
@@ -2492,11 +2517,18 @@ def _costate_mode(problem, options=None):
     the costate-free footprint fits, the kernel runs with
     ``track_costates=False`` (Lambda returned as zeros — write-only state
     in the iLQR condensed regime, see :func:`make_solve_kernel`)."""
-    if _vmem_estimate_bytes(problem, options) <= _VMEM_BUDGET_BYTES:
+    from cddp_tpu.constraints.stack import TerminalStacker
+
+    budget = (
+        _VMEM_BUDGET_TE_BYTES
+        if TerminalStacker(problem).eq_dim > 0
+        else _VMEM_BUDGET_BYTES
+    )
+    if _vmem_estimate_bytes(problem, options) <= budget:
         return True, True
     fits = (
         _vmem_estimate_bytes(problem, options, track_costates=False)
-        <= _VMEM_BUDGET_BYTES
+        <= budget
     )
     return fits, False
 

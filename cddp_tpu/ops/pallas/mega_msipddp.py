@@ -551,11 +551,14 @@ def make_ms_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f,
                                     Vxxs[t, i, j] = jnp.where(
                                         mrt, Vxx_new[i][j], Vxxs[t, i, j]
                                     )
+                            # ok gates on PD only (msipddp._backward_pass
+                            # step: `ok & ~fail` — no finiteness checks,
+                            # unlike IPDDP; the forward rejects non-finite
+                            # trajectories instead).
                             okl = okl * jnp.where(pd_ok, ones, zeros)
                             for i in range(nu):
                                 infdu = jnp.maximum(infdu, jnp.abs(Qu_c[i]))
                                 stepn = jnp.maximum(stepn, jnp.abs(k_u[i]))
-                                okl = okl * fin(k_u[i])
                             for i in range(m):
                                 infpr = jnp.maximum(infpr, jnp.abs(pr[i]))
                                 infcomp = jnp.maximum(
@@ -563,7 +566,6 @@ def make_ms_solve_kernel(nx, nu, m, N, n_params, lane_f, deriv_f,
                                 )
                             for i in range(nx):
                                 infdef = jnp.maximum(infdef, jnp.abs(d[i]))
-                                okl = okl * fin(Vx_new[i])
                             return (
                                 tuple(Vx_new),
                                 tuple(tuple(r) for r in Vxx_new),
