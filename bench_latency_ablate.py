@@ -36,6 +36,7 @@ def run(name, prob, goal, U0, **kw):
     import cddp_tpu as ct
     from cddp_tpu.solvers import ipddp
 
+    reps = kw.pop("reps", 3)
     opts = ct.CDDPOptions(
         max_iterations=kw.pop("max_iterations", 120),
         tolerance=1e-4,
@@ -50,7 +51,6 @@ def run(name, prob, goal, U0, **kw):
     sol = jax.block_until_ready(f(U0))
     compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
-    reps = 3
     for _ in range(reps):
         sol = f(U0)
     jax.block_until_ready(sol)
@@ -264,10 +264,199 @@ def main_r5e():
     run("ipopt,f=0.2,prec=default", prob, goal, U0, **cfgkw("default"))
 
 
+def main_r5f():
+    """Phase 5: per-iteration decomposition of the winning config (ipopt
+    f=0.2, atol=0, par_ls + par_lqr = 98.4 ms / 47 iters). Slope from two
+    budgets, then component swaps: sequential-scan backward (backward
+    share), line-search ladder width (forward share)."""
+    import cddp_tpu as ct
+    from cddp_tpu.options import BarrierOptions, BarrierStrategy
+
+    prob, goal, U0 = build()
+
+    def cfgkw(lqr="parallel", ls=15):
+        return dict(enable_parallel=True, acceptable_tolerance=0.0,
+                    line_search=ct.LineSearchOptions(max_iterations=ls),
+                    ipddp=ct.IPDDPOptions(
+                        lqr_backend=lqr,
+                        barrier=BarrierOptions(
+                            strategy=BarrierStrategy.IPOPT,
+                            mu_update_factor=0.2)))
+
+    t10 = run("win @10 iters", prob, goal, U0, max_iterations=10,
+              **cfgkw())
+    t40 = run("win @40 iters", prob, goal, U0, max_iterations=40,
+              **cfgkw())
+    print(f"slope ~ {(t40 - t10) / 30.0:.3f} ms/iter, "
+          f"intercept ~ {t10 - 10.0 * (t40 - t10) / 30.0:.1f} ms",
+          flush=True)
+    t10s = run("seq_lqr @10 iters", prob, goal, U0, max_iterations=10,
+               **cfgkw(lqr="sequential"))
+    t40s = run("seq_lqr @40 iters", prob, goal, U0, max_iterations=40,
+               **cfgkw(lqr="sequential"))
+    print(f"seq slope ~ {(t40s - t10s) / 30.0:.3f} ms/iter", flush=True)
+    t10l = run("ls4 @10 iters", prob, goal, U0, max_iterations=10,
+               **cfgkw(ls=4))
+    t40l = run("ls4 @40 iters", prob, goal, U0, max_iterations=40,
+               **cfgkw(ls=4))
+    print(f"ls4 slope ~ {(t40l - t10l) / 30.0:.3f} ms/iter", flush=True)
+
+
+def main_r5g():
+    """Phase 6: IN-TRACE per-component slopes — each solver phase looped
+    K times inside one jit (with an iteration-dependent perturbation so
+    XLA cannot hoist it), timed at two K values. Isolates the real
+    in-program cost of the derivative sweep, the parallel condensed
+    backward, and the vmapped forward ladder at the winning config."""
+    import cddp_tpu as ct
+    from cddp_tpu.constraints.stack import PathStacker, TerminalStacker
+    from cddp_tpu.solvers import base, ipddp
+
+    prob, goal, U0 = build()
+    dtype = jnp.float32
+    opts = ct.CDDPOptions(
+        max_iterations=120, tolerance=1e-4, acceptable_tolerance=0.0,
+        line_search=ct.LineSearchOptions(max_iterations=15),
+        regularization=ct.RegularizationOptions(initial_value=1e-4),
+        enable_parallel=True,
+        ipddp=ct.IPDDPOptions(lqr_backend="parallel"),
+    )
+    stk = PathStacker(prob)
+    tstk = TerminalStacker(prob)
+    (X, U, Y, S, G, G_T, S_T, Y_T, Lam, Lam_te, mu0, reset) = (
+        ipddp._initialize(prob, opts, stk, tstk, U0, None, False, dtype)
+    )
+    mu = jnp.asarray(mu0, dtype)
+    reg = jnp.asarray(1e-4, dtype)
+
+    def timed_loop(name, body, x0):
+        def loop(k, x):
+            def it(i, x):
+                return body(x + 1e-12 * i)
+            return jax.lax.fori_loop(0, k, it, x)
+
+        f = jax.jit(loop, static_argnums=0)
+        with jax.default_matmul_precision("highest"):
+            for k in (8, 40):
+                jax.block_until_ready(f(k, x0))
+            import time as _t
+            ts = {}
+            for k in (8, 40):
+                t0 = _t.perf_counter()
+                out = f(k, x0)
+                jax.block_until_ready(out)
+                ts[k] = _t.perf_counter() - t0
+        ms = (ts[40] - ts[8]) / 32.0 * 1e3
+        print(f"{name:34s} {ms:9.3f} ms/iter (in-trace)", flush=True)
+
+    def derivs(Xp):
+        A, B = base.discrete_jacobians(prob, Xp, U)
+        lx, lu, lxx, luu, lux = base.running_cost_derivatives(prob, Xp, U)
+        return Xp + 1e-30 * (A.sum() + lx.sum() + B.sum() + luu.sum())
+
+    timed_loop("derivative sweep", derivs, X)
+
+    def bwd(Xp):
+        bp = ipddp._backward_condensed(
+            prob, opts, stk, tstk, Xp, U, Y, S, G, Y_T, S_T, mu, reg
+        )
+        return Xp + 1e-30 * (bp.k_u.sum() + bp.inf_du)
+
+    timed_loop("parallel condensed backward", bwd, X)
+
+    def fwd(Xp):
+        # the vmapped 15-rung closed-loop rollout + cost (the dominant
+        # forward work; acceptance glue excluded)
+        alphas = base.alphas_array(opts, dtype)
+        ku = jnp.zeros_like(U)
+        Ku = jnp.zeros((U.shape[0], U.shape[1], Xp.shape[1]), dtype)
+
+        def roll(a):
+            def step(x, inp):
+                Xb, Ub, k_t, K_t, t = inp
+                u = Ub + a * k_t + K_t @ (x - Xb)
+                xn = prob.model.discrete_dynamics(x, u, t, prob.timestep)
+                return xn, u
+
+            ts_ = jnp.arange(U.shape[0], dtype=dtype) * prob.timestep
+            xN, Us = jax.lax.scan(
+                step, Xp[0], (Xp[:-1], U, ku, Ku, ts_)
+            )
+            return xN.sum() + Us.sum()
+
+        v = jax.vmap(roll)(alphas)
+        return Xp + 1e-30 * v.sum()
+
+    timed_loop("15-rung vmapped rollout", fwd, X)
+
+
+def main_r5h():
+    """Phase 7: the fused streamed backward at B=1 (condensed_backward_op
+    now routes unbatched TPU f32 through the Pallas kernel as a 128-lane
+    singleton under backward_engine='fused') vs the 98.4 ms
+    associative-scan record."""
+    import cddp_tpu as ct
+    from cddp_tpu.options import BarrierOptions, BarrierStrategy
+
+    prob, goal, U0 = build()
+
+    def cfgkw(be="auto", lqr="parallel"):
+        return dict(enable_parallel=True, acceptable_tolerance=0.0,
+                    backward_engine=be,
+                    ipddp=ct.IPDDPOptions(
+                        lqr_backend=lqr,
+                        barrier=BarrierOptions(
+                            strategy=BarrierStrategy.IPOPT,
+                            mu_update_factor=0.2)))
+
+    run("record (par lqr)", prob, goal, U0, **cfgkw())
+    run("fused streamed backward", prob, goal, U0,
+        **cfgkw(be="fused", lqr="sequential"))
+    run("fused bwd @10 iters", prob, goal, U0, max_iterations=10,
+        **cfgkw(be="fused", lqr="sequential"))
+    run("fused bwd @40 iters", prob, goal, U0, max_iterations=40,
+        **cfgkw(be="fused", lqr="sequential"))
+
+
+def main_r5i():
+    """Phase 8: intercept anatomy (rep amortization) + barrier tweaks on
+    the fused-backward engine (65.6 ms / 49 iters record)."""
+    import cddp_tpu as ct
+    from cddp_tpu.options import BarrierOptions, BarrierStrategy
+
+    prob, goal, U0 = build()
+
+    def cfgkw(f=0.2, kappa=None, **bkw):
+        ip = dict(lqr_backend="sequential",
+                  barrier=BarrierOptions(strategy=BarrierStrategy.IPOPT,
+                                         mu_update_factor=f, **bkw))
+        if kappa is not None:
+            ip["mu_kappa_epsilon"] = kappa
+        return dict(enable_parallel=True, acceptable_tolerance=0.0,
+                    backward_engine="fused",
+                    ipddp=ct.IPDDPOptions(**ip))
+
+    run("fused reps=3", prob, goal, U0, **cfgkw())
+    run("fused reps=20", prob, goal, U0, reps=20, **cfgkw())
+    run("fused f=0.15", prob, goal, U0, **cfgkw(f=0.15))
+    run("fused f=0.25", prob, goal, U0, **cfgkw(f=0.25))
+    run("fused f=0.3", prob, goal, U0, **cfgkw(f=0.3))
+    run("fused f=0.2 kappa=100", prob, goal, U0, **cfgkw(kappa=100.0))
+    run("fused f=0.2 mu0=0.5", prob, goal, U0, **cfgkw(mu_initial=0.5))
+
+
 if __name__ == "__main__":
     import os
 
-    if os.environ.get("ABLATE_R5E"):
+    if os.environ.get("ABLATE_R5I"):
+        main_r5i()
+    elif os.environ.get("ABLATE_R5H"):
+        main_r5h()
+    elif os.environ.get("ABLATE_R5G"):
+        main_r5g()
+    elif os.environ.get("ABLATE_R5F"):
+        main_r5f()
+    elif os.environ.get("ABLATE_R5E"):
         main_r5e()
     elif os.environ.get("ABLATE_R5D"):
         main_r5d()

@@ -42,14 +42,18 @@ def main():
     # digits and the final cost matches the f64 CPU optimum (5.3927396) to
     # f32 representation error. The 1e-6 configuration runs in f64 on CPU
     # in the parity anchors.
-    # Round-5 config (bench_latency_ablate.py main_r5b-e sweep): the
-    # IPOPT kappa barrier rule with mu_update_factor=0.2 certifies in 47
-    # iterations where the ADAPTIVE default needs 59, and
+    # Round-5 config (bench_latency_ablate.py main_r5b-i sweeps): the
+    # IPOPT kappa barrier rule with mu_update_factor=0.2 certifies in
+    # ~49 iterations where the ADAPTIVE default needs 59, and
     # acceptable_tolerance=0 DISABLES the weaker sqrt-tol acceptable exit
     # — the reported number is the full OptimalSolutionFound certificate
-    # at tol=1e-4, nothing less. matmul_precision stays "highest"
-    # (bf16_3x measured slower end-to-end: noisier steps cost 4 extra
-    # iterations).
+    # at tol=1e-4, nothing less. backward_engine="fused" streams the
+    # condensed backward through the Pallas (batch, time) kernel as a
+    # 128-lane singleton — the in-trace anatomy measured the
+    # associative-scan backward at 1.34 of the 1.80 ms/iteration slope,
+    # and the kernel cuts the slope to 1.09. matmul_precision stays
+    # "highest" (bf16_3x measured slower end-to-end: noisier steps cost
+    # 4 extra iterations; plain bf16 never certifies).
     from cddp_tpu.options import BarrierOptions, BarrierStrategy
 
     opts = ct.CDDPOptions(
@@ -59,8 +63,8 @@ def main():
         line_search=ct.LineSearchOptions(max_iterations=15),
         regularization=ct.RegularizationOptions(initial_value=1e-4),
         enable_parallel=True,
+        backward_engine="fused",
         ipddp=ct.IPDDPOptions(
-            lqr_backend="parallel",
             barrier=BarrierOptions(strategy=BarrierStrategy.IPOPT,
                                    mu_update_factor=0.2),
         ),
@@ -69,8 +73,12 @@ def main():
 
     run = jax.jit(lambda u0: ipddp.solve(prob, opts, U0=u0))
     sol = jax.block_until_ready(run(U0))  # compile
+    # reps amortizes the per-call host/tunnel dispatch (~2 ms/call at
+    # reps=20 vs ~4 ms at the old reps=5 — measured in
+    # bench_latency_ablate main_r5i); the steady-state number is the
+    # honest serving figure for a persistent MPC process.
     t0 = time.perf_counter()
-    reps = 5
+    reps = 20
     for _ in range(reps):
         sol = run(U0)
     jax.block_until_ready(sol)

@@ -24,8 +24,16 @@ nu=3, m=6): the kernel wins in isolation (61us vs 73us for the scan) but
 the condensed backward is <1% of an IPDDP iteration there — a single
 closed-form solve per step, no 3^nu enum like CLDDP — and the custom-call
 boundary inside the solver loop costs more than it saves (fleet throughput
-1.6k vs 2.2k ticks/s). Revisit if a workload appears where this backward
-dominates (large batch x long horizon with cheap dynamics/cost derivatives).
+1.6k vs 2.2k ticks/s). Fleets use the whole-solve kernel instead
+(mega_ipddp.py).
+
+The workload where this backward DOES dominate turned out to be
+SINGLE-SOLVE LATENCY (round 5): at quadrotor N=100 shapes the
+associative-scan parallel backward costs 1.34 of the 1.80 ms/iteration
+slope, and this kernel — dispatched as a 128-lane singleton batch
+(``tile_b=128``, see ``condensed_backward_op``) — replaces it at ~0.3 ms,
+cutting the certified tol=1e-4 solve from 98.4 to 54.8 ms steady-state
+(2.16x the native-oracle single-thread CPU proxy).
 """
 
 from __future__ import annotations
@@ -306,7 +314,10 @@ def make_ipddp_backward_kernel(nx: int, nu: int, m: int, N: int,
         stats_ref[5] = step_norm
         stats_ref[6] = ok
 
-    assert tile_b % 1024 == 0, tile_b
+    # tile_b = 128 (tbs=1) is the single-solve latency variant: one
+    # 128-lane row per grid step (Mosaic pads the sublane dim), so the
+    # B=1 broadcast costs 128 lanes of HBM traffic instead of 1024.
+    assert tile_b % 128 == 0, tile_b
     tbs = tile_b // 128
 
     def call(A, Bm, lx, lu, lxx, luu, lux, y, s, g, Gx, Gu,

@@ -507,9 +507,28 @@ def _condensed_scan_single(A, B, lx, lu, lxx, luu, lux, Y, S, G, Gx, Gu,
 def condensed_backward_op(A, B, lx, lu, lxx, luu, lux, Y, S, G, Gx, Gu,
                           V_x, V_xx, mu, reg):
     """IPDDP condensed backward with a batch-aware implementation: the
-    reference-parity lax.scan unbatched, the fused Pallas kernel
-    (:func:`cddp_tpu.ops.pallas.ipddp_riccati.ipddp_backward_fused`) for
-    vmapped TPU float32 batches."""
+    fused Pallas kernel (:func:`cddp_tpu.ops.pallas.ipddp_riccati
+    .ipddp_backward_fused`) for TPU float32 — as a 128-lane singleton
+    batch when unbatched (the round-5 single-solve latency lever: the
+    streamed (batch, time) kernel replaces ~1.3 ms/iteration of
+    associative-scan / scan backward with ~0.3 ms), the reference-parity
+    lax.scan elsewhere. This op only runs under the opt-in
+    ``backward_engine="fused"``."""
+    use_kernel = (
+        A.dtype == jnp.float32
+        and jax.default_backend() in ("tpu", "axon")
+        and B.shape[-1] <= 4
+        and Y.shape[-1] > 0
+    )
+    if use_kernel:
+        from cddp_tpu.ops.pallas.ipddp_riccati import ipddp_backward_fused
+
+        out = ipddp_backward_fused(
+            *(v[None] for v in (A, B, lx, lu, lxx, luu, lux, Y, S, G,
+                                Gx, Gu, V_x, V_xx, mu, reg)),
+            tile_b=128,
+        )
+        return tuple(o[0] for o in out)
     return _condensed_scan_single(A, B, lx, lu, lxx, luu, lux, Y, S, G,
                                   Gx, Gu, V_x, V_xx, mu, reg)
 
