@@ -71,9 +71,9 @@ DEFAULT_TILE_B = 1024
 # Scalar lane slots.
 (_DONE, _STATUS, _IT, _COST, _MERIT, _MU, _REG, _INFPR, _INFDU, _INFCOMP,
  _STEPN, _APR, _ADU, _DV0, _DV1, _BP_DONE, _BP_LIMIT, _LS_FOUND, _LS_OK,
- _TJ, _TMERIT, _TCV, _TSUMLOG, _TAPR, _TADU, _ALPHA_CUR) = range(26)
+ _TJ, _TMERIT, _TCV, _TSUMLOG, _TAPR, _TADU) = range(25)
 _F_CAP = 7
-_F_M0 = 26
+_F_M0 = 25
 _F_V0 = _F_M0 + _F_CAP
 _F_OK0 = _F_V0 + _F_CAP
 _N_SCALARS = _F_OK0 + _F_CAP

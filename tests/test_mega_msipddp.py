@@ -173,6 +173,65 @@ class TestMegaMsParity:
         got, want = _run_both(prob, opts, x0b)
         _assert_match(got, want)
 
+    def test_warm_start_parity(self):
+        # Warm seeds (Y/S/F/Lambda + gain carry-over via _initialize's
+        # warm path, mu restart at 0.1*mu_initial) through the kernel ==
+        # the driver — the MPC-tick resume path.
+        prob = _unicycle_box(horizon=12)
+        opts = _opts(max_iterations=5, segment_length=4)
+        dtype = F64
+        x0b = jnp.asarray(SEEDS[:3], F64)
+        B = x0b.shape[0]
+        N, nx, nu = prob.horizon, prob.state_dim, prob.control_dim
+
+        def cold_then_warm_seed(x0):
+            p = prob.replace(x0=x0)
+            stk = PathStacker(p)
+            ref = p.objective.reference_state
+            frac = jnp.linspace(0.0, 1.0, N + 1, dtype=dtype)[:, None]
+            X0 = (p.x0[None] * (1 - frac) + ref[None] * frac).at[0].set(
+                p.x0
+            )
+            U0 = jnp.zeros((N, nu), dtype)
+            Xc, Uc, Yc, Sc, Gc, Fc, Lc, mu0c = msipddp._initialize(
+                p, opts, stk, X0, U0, None, dtype
+            )
+            sol, st = msipddp._drive(
+                p, opts, Xc, Uc, Yc, Sc, Gc, Fc, Lc,
+                jnp.asarray(mu0c, dtype),
+                jnp.zeros((N, nu), dtype), jnp.zeros((N, nu, nx), dtype),
+            )
+            X, U, Y, S, G, F, Lam, mu0 = msipddp._initialize(
+                p, opts, stk, sol.state_trajectory,
+                sol.control_trajectory, st, dtype
+            )
+            return (X, U, Y, S, G, F, Lam, jnp.asarray(mu0, dtype),
+                    st.k_u, st.K_u)
+
+        (Xb, Ub, Yb, Sb, Gb, Fb, Lb, mu0b, ku0, Ku0) = jax.vmap(
+            cold_then_warm_seed
+        )(x0b)
+        fused = mega_msipddp.build_fused_ms_solve(prob, opts,
+                                                  interpret=True)
+        got = fused(x0b, Xb, Ub, Yb, Sb, Fb, Lb, mu0b, ku0, Ku0)
+
+        def one(x0, Xi, Ui, Yi, Si, Gi, Fi, Li, mu0i, k0, K0):
+            p = prob.replace(x0=x0)
+            sol, st = msipddp._drive(
+                p, opts, Xi, Ui, Yi, Si, Gi, Fi, Li, mu0i, k0, K0
+            )
+            return (
+                sol.state_trajectory, sol.control_trajectory, st.k_u,
+                st.K_u, st.Y, st.S, st.F, st.Lambda, sol.final_objective,
+                sol.inf_pr, sol.inf_du, sol.inf_comp, sol.barrier_mu,
+                sol.final_regularization, sol.final_step_length,
+                sol.iterations_completed, sol.status_code,
+            )
+
+        want = jax.vmap(one)(x0b, Xb, Ub, Yb, Sb, Gb, Fb, Lb, mu0b, ku0,
+                             Ku0)
+        _assert_match(got, want)
+
     @pytest.mark.slow
     def test_to_convergence_envelope(self):
         # Long budgets hit a driver-inherent knife edge: the MSIPDDP
